@@ -1,0 +1,276 @@
+"""Deduplication operators over the `documents` table — the
+training-data-pipeline surface (BASELINE.json north_star).
+
+Four tiers, in increasing scale-friendliness:
+  1. exact dedup by full text (hash groupBy)
+  2. exact dedup by md5 fingerprint (groupBy on a 16-byte key instead of
+     the full text — at 100 TB you shuffle 16-byte hashes, not documents)
+  3. exact n-gram Jaccard pairs via a shingle inverted-index join
+     (oracle-checkable; quadratic on hot shingles — correctness tier)
+  4. MinHash+LSH near-dup pairs (the 100 TB path: candidate generation
+     is linear in documents × bands, verification only touches
+     candidates).  Rows-only checked: LSH is probabilistic recall by
+     design.
+
+All shingling is built-in higher-order functions (transform/sequence) —
+no Python UDFs anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 32
+LSH_BANDS = 8  # 4 rows/band → P(candidate | J=0.5) ≈ 1-(1-0.5^4)^8 ≈ 0.40,
+#                P(candidate | J=0.8) ≈ 0.97 — tuned for high-sim recall.
+
+# word 3-gram shingles, distinct; empty array for docs with <3 tokens.
+# Spark arrays are 0-based; shingle i covers tokens [i-1, i, i+1] 1-based.
+_SHINGLES = """
+CASE WHEN size(ws) >= 3 THEN
+  array_distinct(transform(sequence(1, size(ws) - 2),
+                 i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))
+ELSE array() END
+"""
+
+_SHINGLES_DUCK = """
+list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.expr(_SHINGLES).alias("shs"))
+        .where(F.size("shs") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+def dedup_exact_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one keeper (min doc_id) per distinct text."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("keeper_id", "dup_count")
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY text
+ORDER BY keeper_id
+"""
+
+
+def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on md5(text): at scale the shuffle carries a
+    16-byte digest instead of the document body."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_MD5_ORACLE = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+ORDER BY keeper_id
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.5 via a shingle
+    inverted-index self-join (explode → join on shingle → count common).
+
+    Scale note: cost is Σ df(shingle)² over shingle doc-frequencies —
+    fine while no shingle is ubiquitous; the LSH variant below is the
+    100 TB path.  The exploded join shuffles on the shingle string.
+    """
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+        )
+        .agg(
+            F.count("*").alias("common"),
+            F.first(F.col("a.n")).alias("n1"),
+            F.first(F.col("b.n")).alias("n2"),
+        )
+    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        pairs.where(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs FROM w
+),
+ex AS (
+  SELECT doc_id, len(shs) AS n, UNNEST(shs) AS s FROM sh WHERE len(shs) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         COUNT(*) AS common,
+         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+FROM pairs
+WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, then exact-Jaccard verification of
+    candidates only.  Rows-only checked (probabilistic recall).
+
+    Pipeline (all built-ins, no UDF):
+      shingles → 32 minhashes (xxhash64 seeded by permutation index)
+      → 8 bands of 4 → explode bands → self-join on (band, band-hash)
+      → distinct candidate pairs → join shingle sets back → exact
+      Jaccard filter.
+    At 100 TB: candidate generation shuffles (band, hash) pairs —
+    linear in corpus size; only candidates pay the verification join.
+    """
+    sh = _shingled(spark, sf_dir)
+    sig = sh.select(
+        "doc_id",
+        "shs",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("shs", lambda s, k=k: F.xxhash64(F.lit(k), s))
+                )
+                for k in range(MINHASH_PERMS)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
+    verified = (
+        candidates.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("common", F.size(F.array_intersect("shs1", "shs2")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("shs1") + F.size("shs2") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("d1", "d2", F.round("jaccard", 4).alias("jaccard")).orderBy(
+        "d1", "d2"
+    )
+
+
+# --------------------------------------------------------------------------
+def dedup_token_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dup pressure report: distribution of shingle
+    doc-frequency (how skewed the inverted index is — the quantity that
+    decides whether the exact join or LSH is affordable)."""
+    sh = _shingled(spark, sf_dir)
+    df_counts = (
+        sh.select(F.explode("shs").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return (
+        df_counts.groupBy("doc_freq")
+        .agg(F.count("*").alias("shingle_count"))
+        .orderBy("doc_freq")
+    )
+
+
+DEDUP_DF_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs FROM w
+),
+ex AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh WHERE len(shs) > 0
+),
+dfreq AS (
+  SELECT s, COUNT(*) AS doc_freq FROM ex GROUP BY s
+)
+SELECT doc_freq, COUNT(*) AS shingle_count
+FROM dfreq
+GROUP BY doc_freq
+ORDER BY doc_freq
+"""
+
+QUERIES = {
+    "dedup_exact_keeper": dedup_exact_keeper,
+    "dedup_exact_md5": dedup_exact_md5,
+    "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_shingle_docfreq_hist": dedup_token_jaccard_stats,
+}
+
+ORACLE = {
+    "dedup_exact_keeper": DEDUP_EXACT_ORACLE,
+    "dedup_exact_md5": DEDUP_MD5_ORACLE,
+    "dedup_ngram_jaccard_pairs": DEDUP_JACCARD_ORACLE,
+    "dedup_shingle_docfreq_hist": DEDUP_DF_ORACLE,
+    # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
+}

@@ -1,0 +1,248 @@
+"""Join and set operators over the star schema.
+
+The reference has **zero** joins — stage 3 brags about designing around
+them with HBase wide rows (reference: stage3.md:67).  Spark gives the
+capability for free; the engine declares the full join surface the
+driver's oracle harness expects (SURVEY.md §2.6).
+
+Scale notes:
+- Dimension sides (region/nation/supplier/part, and customer at small
+  SF) are broadcast — the fact table never shuffles for them.  At a
+  true 100 TB run where customer outgrows the broadcast threshold, the
+  explicit `broadcast()` hint is dropped by AQE-side size checks only
+  for the hinted plan; the un-hinted `j1` chain below leaves the
+  decision to Catalyst+AQE, which is the correct default posture.
+- Semi/anti joins use Spark's dedicated left_semi/left_anti plans —
+  no row duplication, no post-join distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# --------------------------------------------------------------------------
+# Star join: fact → dims chain, revenue per region (TPC-H Q5 shape
+# without the supplier-colocation predicate)
+def j1_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"),
+            F.count("*").alias("item_count"),
+        )
+        .orderBy(F.col("total_revenue").desc(), F.col("r_name"))
+    )
+
+
+J1_ORACLE = f"""
+SELECT r_name,
+       CAST(ROUND(SUM(CAST({_REV_SQL} AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS item_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY total_revenue DESC, r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Left-semi: customers that have at least one order
+def j2_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+J2_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Left-anti: customers with no orders
+def j3_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+J3_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Left-outer with null-preserving aggregates
+def j4_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+J4_ORACLE = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS order_count,
+       ROUND(SUM(COALESCE(o_totalprice, 0.0)), 2) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Set ops: INTERSECT / EXCEPT (SURVEY.md §2.6 set-ops row)
+def j5_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    with_cust = n.join(c, F.col("n_nationkey") == F.col("c_nationkey"), "left_semi")
+    with_supp = n.join(s, F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
+    return with_cust.intersect(with_supp).orderBy("n_nationkey")
+
+
+J5_ORACLE = """
+SELECT n_nationkey, n_name FROM nation
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+INTERSECT
+SELECT n_nationkey, n_name FROM nation
+WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+ORDER BY n_nationkey
+"""
+
+
+def j6_nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    with_cust = n.join(c, F.col("n_nationkey") == F.col("c_nationkey"), "left_semi")
+    with_supp = n.join(s, F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
+    return with_cust.exceptAll(with_supp).orderBy("n_nationkey")
+
+
+J6_ORACLE = """
+SELECT n_nationkey, n_name FROM nation
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+EXCEPT ALL
+SELECT n_nationkey, n_name FROM nation
+WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+ORDER BY n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Union: one normalized account-balance ledger across entity kinds
+def j7_union_acctbal_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("entity_key"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    return c.unionByName(s).orderBy("kind", "entity_key")
+
+
+J7_ORACLE = """
+SELECT 'customer' AS kind, c_custkey AS entity_key, ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+UNION ALL
+SELECT 'supplier' AS kind, s_suppkey AS entity_key, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier
+ORDER BY kind, entity_key
+"""
+
+
+# --------------------------------------------------------------------------
+# Double-broadcast enrichment: fact + two dims in one pass
+def j8_brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"))
+        .orderBy("p_brand", "s_name")
+    )
+
+
+J8_ORACLE = f"""
+SELECT p_brand, s_name, CAST(ROUND(SUM(CAST({_REV_SQL} AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_name
+ORDER BY p_brand, s_name
+"""
+
+QUERIES = {
+    "j1_region_revenue": j1_region_revenue,
+    "j2_customers_with_orders": j2_customers_with_orders,
+    "j3_customers_without_orders": j3_customers_without_orders,
+    "j4_customer_order_counts": j4_customer_order_counts,
+    "j5_nations_with_both": j5_nations_with_both,
+    "j6_nations_customers_only": j6_nations_customers_only,
+    "j7_union_acctbal_ledger": j7_union_acctbal_ledger,
+    "j8_brand_supplier_revenue": j8_brand_supplier_revenue,
+}
+
+ORACLE = {
+    "j1_region_revenue": J1_ORACLE,
+    "j2_customers_with_orders": J2_ORACLE,
+    "j3_customers_without_orders": J3_ORACLE,
+    "j4_customer_order_counts": J4_ORACLE,
+    "j5_nations_with_both": J5_ORACLE,
+    "j6_nations_customers_only": J6_ORACLE,
+    "j7_union_acctbal_ledger": J7_ORACLE,
+    "j8_brand_supplier_revenue": J8_ORACLE,
+}

@@ -1,0 +1,169 @@
+"""Serving-layer marts — the stage-3 HBase capability, Spark-native.
+
+The reference ETLs the flat table into two HBase wide-column tables
+(reference: stage3.md:38-67, stage3.ipynb cells 2-3):
+  1. `game_profile`  — point-lookup rows, RowKey = reverse(AppID)
+     against RegionServer hotspotting (reference: stage3.md:46-47).
+  2. `dev_analytics` — pre-aggregated KPIs + an inverted index
+     (one column per AppID) so lookups need no join
+     (reference: stage3.md:56-67).
+
+Engine mapping (SURVEY.md §1.2): Parquet marts.  The reversed-key
+column is kept verbatim (`F.reverse`), the inverted index becomes a
+`MapType` column via map_from_entries(collect_list(struct(...))), and
+an oracle-checkable string twin (sorted concat) proves the same content.
+
+Scale notes: collect_list per group is bounded by group size — fine for
+per-nation/per-developer indexes; a genuinely unbounded group would
+need a bucketed layout instead (documented limitation, not hit here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table, write_parquet
+
+
+# --------------------------------------------------------------------------
+# Profile mart: reversed-rowkey point-lookup projection
+# (reference: stage3.ipynb:156 — reverse(AppID) rowkey)
+def mart_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.reverse(F.col("c_custkey").cast("string")).alias("row_key"),
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+MART_PROFILE_ORACLE = """
+SELECT reverse(CAST(c_custkey AS VARCHAR)) AS row_key,
+       c_custkey, c_name, c_mktsegment,
+       ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Summary mart: pre-aggregated KPIs per entity (reference:
+# stage3.ipynb:160-163 — game_count / total_owners / round(avg_price,2))
+def mart_supplier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.count("l_orderkey").alias("item_count"),
+            F.round(F.sum("l_quantity"), 2).alias("total_quantity"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+        .withColumn("row_key", F.regexp_replace("s_name", " ", "_"))
+        .select("row_key", "s_name", "item_count", "total_quantity", "avg_price")
+        .orderBy("s_name")
+    )
+
+
+MART_SUMMARY_ORACLE = """
+SELECT replace(s_name, ' ', '_') AS row_key,
+       s_name,
+       COUNT(l_orderkey) AS item_count,
+       ROUND(SUM(l_quantity), 2) AS total_quantity,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverted index mart — oracle-checkable string form (sorted member
+# concat proves identical content to the HBase one-column-per-AppID row)
+def mart_nation_customer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_name")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("member_count"),
+            F.concat_ws("|", F.sort_array(F.collect_list("c_name"))).alias("members"),
+        )
+        .orderBy("n_name")
+    )
+
+
+MART_INDEX_ORACLE = """
+SELECT n_name,
+       COUNT(*) AS member_count,
+       string_agg(c_name, '|' ORDER BY c_name) AS members
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverted index mart — the real MapType form (reference capability
+# A16: one wide row per dev, qualifier=AppID, value=Name —
+# stage3.ipynb:245).  Rows-only checked: DuckDB hash compare over MAP
+# columns is not part of the oracle contract.
+def mart_nation_customer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_name")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("c_custkey").cast("string"), F.col("c_name"))
+                    )
+                )
+            ).alias("member_map")
+        )
+        .orderBy("n_name")
+    )
+
+
+def build_marts(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
+    """Stage-3 pipeline: build all marts and persist as Parquet
+    (replaces the reference's generated `hbase shell` put scripts —
+    stage3.ipynb cell 3).  Returns name → path."""
+    marts = {
+        "customer_profile": mart_customer_profile(spark, sf_dir),
+        "supplier_summary": mart_supplier_summary(spark, sf_dir),
+        "nation_customer_index": mart_nation_customer_map(spark, sf_dir),
+    }
+    out = {}
+    for name, df in marts.items():
+        path = os.path.join(out_dir, name)
+        write_parquet(df, path)
+        out[name] = path
+    return out
+
+
+QUERIES = {
+    "mart_customer_profile": mart_customer_profile,
+    "mart_supplier_summary": mart_supplier_summary,
+    "mart_nation_customer_index": mart_nation_customer_index,
+    "mart_nation_customer_map": mart_nation_customer_map,
+}
+
+ORACLE = {
+    "mart_customer_profile": MART_PROFILE_ORACLE,
+    "mart_supplier_summary": MART_SUMMARY_ORACLE,
+    "mart_nation_customer_index": MART_INDEX_ORACLE,
+    # mart_nation_customer_map: rows-only (MapType output)
+}

@@ -1,0 +1,147 @@
+"""SQL-string surface — the reference's Task 2 pattern (SURVEY.md §3.2).
+
+The reference registers a cleaned DataFrame as a temp view and runs SQL
+text with GROUP BY / HAVING / ORDER BY / LIMIT and a derived-table
+subquery (reference: spark_eda.py:243-292).  The engine keeps this dual
+surface: same semantics reachable via DataFrame API and via SQL over
+temp views — exactly what the DuckDB oracle exercises.
+
+Views are registered with a per-query suffix so concurrent queries in
+one session can't clobber each other's temp views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import table
+
+
+# --------------------------------------------------------------------------
+# A6: SQL stats with HAVING + exact median over an exploded column
+# (reference: spark_eda.py:245-259 — genre price stats with
+# PERCENTILE_APPROX; exact `percentile` used for oracle parity,
+# SURVEY.md §7 risk register)
+def sql_word_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_v_a6")
+    return spark.sql(
+        """
+        SELECT word,
+               COUNT(*) AS part_count,
+               ROUND(AVG(p_retailprice), 2) AS avg_price,
+               ROUND(percentile(p_retailprice, 0.5), 2) AS median_price,
+               ROUND(MIN(p_retailprice), 2) AS min_price,
+               ROUND(MAX(p_retailprice), 2) AS max_price
+        FROM (
+          SELECT explode(split(p_name, ' ')) AS word, p_retailprice
+          FROM part_v_a6
+        )
+        WHERE word IS NOT NULL AND word <> ''
+        GROUP BY word
+        HAVING COUNT(*) >= 10
+        ORDER BY avg_price DESC, word
+        """
+    )
+
+
+SQL_A6_ORACLE = """
+SELECT word,
+       COUNT(*) AS part_count,
+       ROUND(AVG(p_retailprice), 2) AS avg_price,
+       ROUND(quantile_cont(p_retailprice, 0.5), 2) AS median_price,
+       ROUND(MIN(p_retailprice), 2) AS min_price,
+       ROUND(MAX(p_retailprice), 2) AS max_price
+FROM (
+  SELECT UNNEST(string_split(p_name, ' ')) AS word, p_retailprice
+  FROM part
+)
+WHERE word IS NOT NULL AND word <> ''
+GROUP BY word
+HAVING COUNT(*) >= 10
+ORDER BY avg_price DESC, word
+"""
+
+
+# --------------------------------------------------------------------------
+# A7: SQL with derived-table subquery + HAVING (reference:
+# spark_eda.py:273-292 — developer distribution from a cleanup subquery)
+def sql_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v_a7")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v_a7")
+    return spark.sql(
+        """
+        SELECT s_name,
+               COUNT(*) AS item_count,
+               CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
+               ROUND(AVG(revenue), 2) AS avg_revenue
+        FROM (
+          SELECT trim(s.s_name) AS s_name,
+                 l.l_extendedprice * (1 - l.l_discount) AS revenue
+          FROM lineitem_v_a7 l
+          JOIN supplier_v_a7 s ON l.l_suppkey = s.s_suppkey
+          WHERE s.s_name IS NOT NULL AND s.s_name <> ''
+        )
+        GROUP BY s_name
+        HAVING COUNT(*) >= 3
+        ORDER BY total_revenue DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+SQL_A7_ORACLE = """
+SELECT s_name,
+       COUNT(*) AS item_count,
+       CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
+       ROUND(AVG(revenue), 2) AS avg_revenue
+FROM (
+  SELECT trim(s.s_name) AS s_name,
+         l.l_extendedprice * (1 - l.l_discount) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_name IS NOT NULL AND s.s_name <> ''
+)
+GROUP BY s_name
+HAVING COUNT(*) >= 3
+ORDER BY total_revenue DESC, s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON extraction over the events props column (semi-structured
+# capability; north-star surface — SURVEY.md §2.3 note)
+def sql_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_v_json")
+    return spark.sql(
+        """
+        SELECT CAST(get_json_object(props, '$.k') AS INT) AS k,
+               COUNT(*) AS event_count,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events_v_json
+        GROUP BY k
+        ORDER BY k
+        """
+    )
+
+
+SQL_JSON_ORACLE = """
+SELECT CAST(props->>'k' AS INTEGER) AS k,
+       COUNT(*) AS event_count,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY k
+ORDER BY k
+"""
+
+QUERIES = {
+    "sql_word_price_stats": sql_word_price_stats,
+    "sql_supplier_distribution": sql_supplier_distribution,
+    "sql_json_props_stats": sql_json_props_stats,
+}
+
+ORACLE = {
+    "sql_word_price_stats": SQL_A6_ORACLE,
+    "sql_supplier_distribution": SQL_A7_ORACLE,
+    "sql_json_props_stats": SQL_JSON_ORACLE,
+}

@@ -1,0 +1,196 @@
+"""Text analysis over `documents` — language-ID heuristic, quality
+scoring, token counting, document fingerprinting (north-star surface,
+BASELINE.json).
+
+Everything is built-in string/array higher-order functions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path.  Per-document outputs
+are wide scans with zero shuffle; rollups shuffle only tiny group
+cardinalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+# tokens: split on single space, drop empties (both engines agree).
+_TOKS = "filter(split(text, ' '), t -> t <> '')"
+_TOKS_DUCK = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_LIST = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics (token counting capability)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.expr(f"size({_TOKS})").alias("token_count"),
+            F.expr(f"size(array_distinct({_TOKS}))").alias("distinct_tokens"),
+            F.length("text").alias("char_count"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_DUCK}) AS INTEGER) AS token_count,
+       CAST(len(list_distinct({_TOKS_DUCK})) AS INTEGER) AS distinct_tokens,
+       CAST(length(text) AS INTEGER) AS char_count,
+       n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(F.expr(f"size({_TOKS})")), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_LANG_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS doc_count,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       ROUND(AVG(len({_TOKS_DUCK})), 2) AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + lexical-diversity heuristic
+    (reference CASE-bin pattern — spark_eda.py:161-166 — applied to the
+    training-data quality-filter use case)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(f"size({_TOKS})")
+    distinct = F.expr(f"size(array_distinct({_TOKS}))")
+    ratio = distinct * F.lit(1.0) / toks
+    bucket = (
+        F.when((toks >= 200) & (ratio >= 0.1), "high")
+        .when(toks >= 50, "medium")
+        .otherwise("low")
+    )
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("token_count"),
+            F.round(ratio, 4).alias("distinct_ratio"),
+            bucket.alias("quality_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_DUCK}) AS INTEGER) AS token_count,
+       ROUND(len(list_distinct({_TOKS_DUCK})) * 1.0 / len({_TOKS_DUCK}), 4)
+         AS distinct_ratio,
+       CASE
+         WHEN len({_TOKS_DUCK}) >= 200
+              AND len(list_distinct({_TOKS_DUCK})) * 1.0 / len({_TOKS_DUCK}) >= 0.1
+           THEN 'high'
+         WHEN len({_TOKS_DUCK}) >= 50 THEN 'medium'
+         ELSE 'low'
+       END AS quality_bucket
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword hits (n-gram/stopword-vote
+    heuristic; real corpora would carry per-language stopword sets —
+    deterministic and engine-portable here)."""
+    d = table(spark, sf_dir, "documents")
+    hits = F.expr(f"size(filter({_TOKS}, t -> t IN ({_STOP_LIST})))")
+    predicted = (
+        F.when(hits >= 3, "en").when(hits >= 1, "en-maybe").otherwise("unknown")
+    )
+    return (
+        d.select(
+            "doc_id",
+            hits.alias("en_stopword_hits"),
+            predicted.alias("predicted_lang"),
+            "lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LANGID_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(list_filter({_TOKS_DUCK}, t -> t IN ({_STOP_LIST}))) AS INTEGER)
+         AS en_stopword_hits,
+       CASE
+         WHEN len(list_filter({_TOKS_DUCK}, t -> t IN ({_STOP_LIST}))) >= 3 THEN 'en'
+         WHEN len(list_filter({_TOKS_DUCK}, t -> t IN ({_STOP_LIST}))) >= 1 THEN 'en-maybe'
+         ELSE 'unknown'
+       END AS predicted_lang,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional polynomial fingerprint (rolling-hash family): a
+    64-bit-safe deterministic digest computed identically by both
+    engines — Σ_i i · (31·len(tok_i) + ascii(tok_i[0]))."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.expr(
+        f"""aggregate(
+              zip_with(sequence(1, size({_TOKS})), {_TOKS},
+                       (i, t) -> CAST(i AS BIGINT) * (31 * length(t) + coalesce(ascii(t), 0))),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+TEXT_FP_ORACLE = f"""
+SELECT doc_id,
+       CAST(COALESCE(list_sum(
+         list_transform(range(1, len({_TOKS_DUCK}) + 1),
+           i -> i * (31 * length({_TOKS_DUCK}[i]) + COALESCE(ascii({_TOKS_DUCK}[i]), 0)))
+       ), 0) AS BIGINT) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_lang_rollup": text_lang_rollup,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE = {
+    "text_stats": TEXT_STATS_ORACLE,
+    "text_lang_rollup": TEXT_LANG_ORACLE,
+    "text_quality": TEXT_QUALITY_ORACLE,
+    "text_langid": TEXT_LANGID_ORACLE,
+    "text_fingerprint": TEXT_FP_ORACLE,
+}

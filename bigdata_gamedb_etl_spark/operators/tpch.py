@@ -1,0 +1,121 @@
+"""Flagship analytical queries (TPC-H-shaped) over the star schema.
+
+The reference's workload is aggregate-scan-sort over one flat table
+(SURVEY.md §2.4); the engine's flagship re-expresses that capability on
+the driver's star schema at TPC-H shape.  Q1 is the headline: pure
+scan → partial/final hash aggregate → tiny sort, the plan profile that
+dominates a 100 TB batch workload.
+
+Scale notes:
+- Q1 filter is pushed into the Parquet scan (PushedFilters on
+  l_shipdate), grouping cardinality is tiny (R/F × O/F) so the shuffle
+  after partial aggregation moves a handful of rows per partition.
+- Q3 joins orders→lineitem on the join key both sides shuffle on; the
+  customer side broadcasts (DIMENSION-sized at any SF where customers
+  fit; at true 100 TB customer becomes a shuffle join and AQE decides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+SHIP_CUTOFF = "2000-09-02"
+Q3_DATE = "1998-01-01"
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (capability: multi-aggregate groupBy —
+    reference: spark_eda.py:78-83,105-111 pattern, widened)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum((_rev() * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+  ROUND(AVG(l_quantity), 2) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 2) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped-revenue orders (join + agg + top-k; Spark plans
+    the final orderBy+limit as TakeOrderedAndProject — SURVEY.md §2.5 O4)."""
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = f"""
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+QUERIES = {
+    "tpch_q1_pricing_summary": q1_pricing_summary,
+    "tpch_q3_top_revenue_orders": q3_top_revenue_orders,
+}
+
+ORACLE = {
+    "tpch_q1_pricing_summary": Q1_ORACLE,
+    "tpch_q3_top_revenue_orders": Q3_ORACLE,
+}

@@ -1,0 +1,231 @@
+"""Window-function operators.
+
+The reference *claims* window functions (reference: stage2_report.md:226)
+but ships none; its driver-side Pareto cumulative share
+(reference: spark_eda.py:568-578) and two-step "top game of top dev"
+(reference: spark_eda.py:206-224) are the idiomatic use cases.  The
+engine implements them as real window functions (SURVEY.md §2.6, §2.7 D1).
+
+Scale notes:
+- Partitioned windows (per-user, per-nation) shuffle once on the
+  partition key and sort within partitions — linear scalability as long
+  as no single key is huge (events per user is bounded).
+- The one global window (Pareto over suppliers) runs on an
+  already-aggregated input that is dimension-sized by construction;
+  never put a global window over a fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+# --------------------------------------------------------------------------
+# D1: Pareto cumulative revenue share (reference: spark_eda.py:568-578,
+# computed driver-side there; real window frame here)
+def w1_pareto_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_sup = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum(_rev().cast("decimal(18,6)")).alias("rev"))
+    )
+    order = Window.orderBy(F.col("rev").desc(), F.col("s_name"))
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy()  # global frame over the tiny aggregate
+    return per_sup.select(
+        "s_name",
+        F.round("rev", 2).cast("double").alias("total_revenue"),
+        # share on doubles: decimal÷decimal rescaling differs across
+        # engines, double division doesn't (cumsum order is pinned).
+        F.round(
+            F.sum(F.col("rev").cast("double")).over(cum)
+            / F.sum(F.col("rev").cast("double")).over(total),
+            6,
+        ).alias("cum_share"),
+    ).orderBy(F.col("total_revenue").desc(), F.col("s_name"))
+
+
+W1_ORACLE = f"""
+WITH per_sup AS (
+  SELECT s_name, SUM(CAST({_REV_SQL} AS DECIMAL(18,6))) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_name
+)
+SELECT s_name,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS total_revenue,
+       ROUND(SUM(CAST(rev AS DOUBLE)) OVER (ORDER BY rev DESC, s_name
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / SUM(CAST(rev AS DOUBLE)) OVER (), 6) AS cum_share
+FROM per_sup
+ORDER BY total_revenue DESC, s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-group top-k via row_number (idiomatic form of reference's
+# spark_eda.py:214-224 two-step top-game-of-top-dev)
+def w2_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .where(F.col("rank_in_nation") <= 3)
+        .select("n_name", "rank_in_nation", "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("n_name", "rank_in_nation")
+    )
+
+
+W2_ORACLE = """
+SELECT n_name, rank_in_nation, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rank_in_nation <= 3
+ORDER BY n_name, rank_in_nation
+"""
+
+
+# --------------------------------------------------------------------------
+# Moving average over an event stream (batch time-series capability —
+# SURVEY.md §2.6 streaming row)
+def w3_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 4).alias("moving_avg_4"),
+        )
+        .orderBy("event_id")
+    )
+
+
+W3_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg_4
+FROM events
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Tumbling daily windows (batch twin of the streaming windowed agg;
+# reference's per-month histogram generalized — spark_eda.py:465-472)
+def w4_daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+W4_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS event_count,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# lag/lead deltas per user (sessionized-delta capability)
+def w5_value_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        )
+        .orderBy("event_id")
+    )
+
+
+W5_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+         AS value_delta
+FROM events
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking family: rank / dense_rank / percent_rank
+def w6_customer_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).alias("bal_rank"),
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+            F.round(F.percent_rank().over(w), 6).alias("bal_percentile"),
+        )
+        .orderBy("c_mktsegment", "bal_rank", "c_custkey")
+    )
+
+
+W6_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       RANK() OVER w AS bal_rank,
+       DENSE_RANK() OVER w AS bal_dense_rank,
+       ROUND(PERCENT_RANK() OVER w, 6) AS bal_percentile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, bal_rank, c_custkey
+"""
+
+QUERIES = {
+    "w1_pareto_supplier_share": w1_pareto_supplier_share,
+    "w2_top_customers_per_nation": w2_top_customers_per_nation,
+    "w3_moving_avg_events": w3_moving_avg_events,
+    "w4_daily_event_rollup": w4_daily_event_rollup,
+    "w5_value_delta_per_user": w5_value_delta_per_user,
+    "w6_customer_rank_in_segment": w6_customer_rank_in_segment,
+}
+
+ORACLE = {
+    "w1_pareto_supplier_share": W1_ORACLE,
+    "w2_top_customers_per_nation": W2_ORACLE,
+    "w3_moving_avg_events": W3_ORACLE,
+    "w4_daily_event_rollup": W4_ORACLE,
+    "w5_value_delta_per_user": W5_ORACLE,
+    "w6_customer_rank_in_segment": W6_ORACLE,
+}

@@ -1,0 +1,39 @@
+"""Central query registry — merges every operator module's QUERIES and
+ORACLE dicts into the driver contract surface (__spark_entry__.py).
+
+Each operator module exports:
+  QUERIES: dict[name, (spark, sf_dir) -> DataFrame]
+  ORACLE:  dict[name, ANSI SQL string runnable by DuckDB]
+A name present in QUERIES but absent from ORACLE is a declared
+rows-only check (non-SQL-expressible or approximate by design).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import core, dedup, joins, marts, multimodal, similarity, sqlqueries, textops, tpch, windows
+
+MODULES = [tpch, core, sqlqueries, windows, joins, marts, dedup, similarity, textops, multimodal]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names from {m.__name__}: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracle() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in MODULES:
+        out.update(m.ORACLE)
+    unknown = out.keys() - all_queries().keys()
+    if unknown:
+        raise ValueError(f"oracle entries without queries: {unknown}")
+    return out

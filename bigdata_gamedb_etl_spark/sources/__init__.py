@@ -1,0 +1,11 @@
+from .catalog import (  # noqa: F401
+    DIMENSION_TABLES,
+    TABLE_NAMES,
+    TABLE_SCHEMAS,
+    load_all,
+    read_csv,
+    read_json,
+    register_views,
+    table,
+    write_parquet,
+)
