@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Execution is forced with a `noop` sink (full computation, no
+driver-side result transfer), so timings measure scan+shuffle+agg —
+the things that matter at 100 TB — not Py4J serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_gamedb_etl_spark.registry import all_queries
+from bigdata_gamedb_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline mix: scan-agg (q1, a1), star join (j1), window (w4),
+#: SQL surface (a6), near-dup exact + LSH, vector search, text scan,
+#: Arrow-batched Python path (mm).
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "a1_word_revenue",
+    "j1_region_revenue",
+    "w4_daily_event_rollup",
+    "sql_word_price_stats",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "text_stats",
+    "mm_feature_extract",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    queries = all_queries()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once so per-query timings aren't
+    # dominated by first-action startup cost.
+    _force(queries["tpch_q1_pricing_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall clock (noop sink), sum of 10 queries",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

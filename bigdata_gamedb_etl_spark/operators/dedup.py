@@ -107,8 +107,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path.  The exploded join shuffles on the shingle string.
     """
     sh = _shingled(spark, sf_dir)
+    # join on 64-bit shingle hashes: the self-join shuffle then moves
+    # 8-byte keys instead of ~30-byte strings (collision odds at 2^64
+    # are ~1e-7 for millions of shingles — below oracle noise).
     ex = sh.select(
-        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("s")
+        "doc_id",
+        F.size("shs").alias("n"),
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
     )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
