@@ -1,0 +1,61 @@
+"""Physical-plan introspection helpers.
+
+The scale contract (SURVEY.md §4) is enforced here: tests assert that
+dimension joins broadcast, predicates reach the parquet scan, scans
+prune columns, and hot paths stay inside whole-stage codegen — so a
+regression that silently degrades the 100 TB plan fails CI, not the
+cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The plan string `df.explain(mode)` would print."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def physical(df: DataFrame) -> str:
+    return explain_str(df, "simple")
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical(df)
+
+
+def uses_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in physical(df)
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """Concatenated PushedFilters lines from the formatted plan."""
+    return "\n".join(
+        line
+        for line in explain_str(df, "formatted").splitlines()
+        if "PushedFilters" in line
+    )
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema lines — what each parquet scan actually reads
+    (column pruning evidence)."""
+    return [
+        line.strip()
+        for line in explain_str(df, "formatted").splitlines()
+        if "ReadSchema" in line
+    ]
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Shuffle count in the physical plan (AQE may collapse further at
+    runtime; this is the static upper bound)."""
+    return physical(df).count("Exchange")
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    # under AQE the pre-execution simple plan hides codegen spans; the
+    # codegen explain mode reports generated subtrees directly.
+    return "WholeStageCodegen subtree" in explain_str(df, "codegen")

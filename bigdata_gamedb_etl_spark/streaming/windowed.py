@@ -1,0 +1,134 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §2.6); its time-series surface
+is per-year/month batch aggregation.  The engine adds the streaming
+twins the north star asks for: watermarked tumbling-window rollups and
+an arbitrary-stateful operator (running per-user totals via
+applyInPandasWithState).
+
+Design for scale: the file source here is a stand-in for Kafka/object
+storage; the same query graph (readStream → watermark → window agg →
+sink) is what runs continuously on a cluster.  Watermark = 1 day:
+late events older than a day are dropped instead of keeping unbounded
+state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema for streaming reads of events.parquet.  ts is TIMESTAMP(NANOS)
+#: in the file, which Spark only reads as long (catalog.py note) — the
+#: stream declares it as LongType and converts.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a DIRECTORY of events parquet files
+    (Spark's file stream source rejects single-file paths; stage files
+    or symlinks into a directory — new arrivals become micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def daily_rollup_stream(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of
+    operators.windows.w4_daily_event_rollup."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.to_date(F.col("win.start")).alias("day"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def _running_totals(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update fn: per-user running count/sum."""
+    count, total = state.get() if state.exists else (0, 0.0)
+    for pdf in batches:
+        count += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((count, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "event_count": [count], "total_value": [round(total, 2)]}
+    )
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful streaming: per-user running totals via
+    applyInPandasWithState (Arrow-batched, state in the state store —
+    the 100 TB path for custom stateful logic)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_count", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("count", LongType()), StructField("total", DoubleType())]
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream into an in-memory table with the available-now
+    trigger (test/verification harness; a deployment would use a
+    durable sink + checkpoint)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,56 @@
+"""Scale-contract tests: the physical plans must be the ones we'd want
+at 100 TB — broadcast dimension joins, predicate pushdown into the
+parquet scan, column pruning, whole-stage codegen on hot paths.
+"""
+
+from __future__ import annotations
+
+from bigdata_gamedb_etl_spark import plans
+from bigdata_gamedb_etl_spark.operators import core, dedup, joins, tpch
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = tpch.q1_pricing_summary(spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed!r}"
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = tpch.q1_pricing_summary(spark, sf_dir)
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_a1_part_scan_prunes_columns(spark, sf_dir):
+    df = core.a1_word_revenue(spark, sf_dir)
+    schemas = "".join(plans.read_schemas(df))
+    # part scan must read only join key + name, never the whole table
+    assert "p_name" in schemas
+    assert "p_retailprice" not in schemas
+    assert "p_type" not in schemas
+    # lineitem scan must not read quantities for a revenue query
+    assert "l_quantity" not in schemas
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for q in (core.a1_word_revenue, core.a2_supplier_metrics, joins.j8_brand_supplier_revenue):
+        df = q(spark, sf_dir)
+        assert plans.uses_broadcast_join(df), f"{q.__name__} lost its broadcast"
+        assert not plans.uses_sort_merge_join(df), f"{q.__name__} sort-merge-joins a dim"
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    semi = joins.j2_customers_with_orders(spark, sf_dir)
+    anti = joins.j3_customers_without_orders(spark, sf_dir)
+    assert "LeftSemi" in plans.physical(semi)
+    assert "LeftAnti" in plans.physical(anti)
+
+
+def test_q3_orderby_limit_is_topk(spark, sf_dir):
+    df = tpch.q3_top_revenue_orders(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.physical(df)
+
+
+def test_jaccard_join_shuffles_hashed_keys(spark, sf_dir):
+    # the self-join key must be the xxhash64 long, not the shingle string
+    df = dedup.dedup_ngram_jaccard_pairs(spark, sf_dir)
+    assert "xxhash64" in plans.physical(df)

@@ -1,0 +1,71 @@
+"""Streaming verified against its batch twin: the same daily rollup
+computed by Structured Streaming (file source, available-now trigger)
+must equal the batch window query on the same data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bigdata_gamedb_etl_spark import streaming
+from bigdata_gamedb_etl_spark.operators.windows import w4_daily_event_rollup
+from bigdata_gamedb_etl_spark.sources.catalog import table
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def events_dir(sf_dir, tmp_path):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_daily_rollup_matches_batch(spark, sf_dir, events_dir):
+    events = streaming.read_events_stream(spark, events_dir)
+    assert events.isStreaming
+    rollup = streaming.daily_rollup_stream(events)
+    streaming.run_stream_to_memory(rollup, "daily_rollup_t", "complete")
+
+    got = {
+        (r["day"], r["event_type"]): (r["event_count"], r["total_value"])
+        for r in spark.table("daily_rollup_t").collect()
+    }
+    want = {
+        (r["day"], r["event_type"]): (r["event_count"], r["total_value"])
+        for r in w4_daily_event_rollup(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_totals(spark, sf_dir, events_dir):
+    events = streaming.read_events_stream(spark, events_dir)
+    totals = streaming.user_running_totals_stream(events)
+    streaming.run_stream_to_memory(totals, "user_totals_t", "update")
+
+    # update-mode memory sink keeps every emitted row; the final state
+    # per user is the last emission — with a single available-now batch
+    # over one file there is exactly one emission per user.
+    got = {
+        r["user_id"]: (r["event_count"], r["total_value"])
+        for r in spark.table("user_totals_t").collect()
+    }
+    want = {
+        r["user_id"]: (r["event_count"], pytest.approx(r["total_value"], abs=0.011))
+        for r in (
+            table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert got[uid][1] == want[uid][1]
