@@ -1,0 +1,243 @@
+"""Extended relational surface: multi-dimensional aggregation
+(rollup/cube), gap-based sessionization, additional window functions,
+and the scalar date/string function families.
+
+The reference uses none of these (SURVEY.md §2.6 marks grouping sets
+absent), but they round out "a user could switch engines" coverage and
+are pure Catalyst — no custom execution anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+SESSION_GAP_MINUTES = 30
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: region → nation subtotals + grand total
+def ga1_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").alias("customer_count"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+GA1_ORACLE = """
+SELECT r_name, n_name,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal,
+       COUNT(*) AS customer_count
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE: all subtotal combinations of (segment, priority)
+def ga2_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+GA2_ORACLE = """
+SELECT c_mktsegment, o_orderpriority,
+       COUNT(*) AS order_count,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization: new session when the per-user gap exceeds
+# 30 minutes (lag → flag → running sum — one shuffle on user_id).
+def sess1_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_flag = (
+        F.col("us") - F.lag("us").over(order) > SESSION_GAP_MINUTES * 60 * 1_000_000
+    ).cast("int")
+    with_session = e.withColumn(
+        "session_id",
+        F.sum(F.coalesce(gap_flag, F.lit(0))).over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            ((F.max("us") - F.min("us")) / F.lit(1_000_000)).cast("bigint").alias(
+                "duration_sec"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESS1_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MINUTES} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessioned AS (
+  SELECT user_id, event_id, us, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       COUNT(*) AS event_count,
+       ROUND(SUM(value), 2) AS session_value,
+       CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# ntile + first_value/last_value window family
+def w7_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.ntile(4).over(w).alias("bal_quartile"),
+            F.first_value("c_name").over(w).alias("segment_top_customer"),
+        )
+        .orderBy("c_mktsegment", "bal_quartile", "c_custkey")
+    )
+
+
+W7_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       NTILE(4) OVER w AS bal_quartile,
+       FIRST_VALUE(c_name) OVER w AS segment_top_customer
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, bal_quartile, c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Date-part function family (quarter / iso weekday / day-of-month /
+# truncations) — engine-portable variants chosen deliberately:
+# Spark weekday() is Monday=0, DuckDB isodow is Monday=1.
+def f1_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.quarter("o_orderdate").alias("o_quarter"),
+            (F.weekday("o_orderdate") + 1).alias("o_isodow"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_quarter", "o_isodow")
+    )
+
+
+F1_ORACLE = """
+SELECT CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+       CAST(isodow(o_orderdate) AS INTEGER) AS o_isodow,
+       COUNT(*) AS order_count,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY o_quarter, o_isodow
+ORDER BY o_quarter, o_isodow
+"""
+
+
+# --------------------------------------------------------------------------
+# String scalar family: case mapping, substring, padding, replacement,
+# concat — grouped to keep the output small and hashable.
+def f2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.upper(F.substring("p_name", 1, 1)).alias("initial"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("-", F.lower("p_brand"), F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))).alias("tag"),
+        )
+        .groupBy("initial")
+        .agg(
+            F.count("*").alias("part_count"),
+            F.round(F.avg("name_len"), 2).alias("avg_name_len"),
+            F.count_distinct(F.col("tag")).alias("distinct_tags"),
+        )
+        .orderBy("initial")
+    )
+
+
+F2_ORACLE = """
+SELECT upper(substring(p_name, 1, 1)) AS initial,
+       COUNT(*) AS part_count,
+       ROUND(AVG(length(p_name)), 2) AS avg_name_len,
+       COUNT(DISTINCT lower(p_brand) || '-' || replace(p_type, ' ', '_')) AS distinct_tags
+FROM part
+GROUP BY initial
+ORDER BY initial
+"""
+
+QUERIES = {
+    "ga1_rollup_region_nation": ga1_rollup_region_nation,
+    "ga2_cube_segment_priority": ga2_cube_segment_priority,
+    "sess1_user_sessions": sess1_user_sessions,
+    "w7_ntile_quartiles": w7_ntile_quartiles,
+    "f1_date_parts": f1_date_parts,
+    "f2_string_funcs": f2_string_funcs,
+}
+
+ORACLE = {
+    "ga1_rollup_region_nation": GA1_ORACLE,
+    "ga2_cube_segment_priority": GA2_ORACLE,
+    "sess1_user_sessions": SESS1_ORACLE,
+    "w7_ntile_quartiles": W7_ORACLE,
+    "f1_date_parts": F1_ORACLE,
+    "f2_string_funcs": F2_ORACLE,
+}

@@ -14,9 +14,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import core, dedup, joins, marts, multimodal, similarity, sqlqueries, textops, tpch, windows
+from .operators import (
+    core,
+    dedup,
+    extended,
+    joins,
+    marts,
+    multimodal,
+    similarity,
+    sqlqueries,
+    textops,
+    tpch,
+    windows,
+)
 
-MODULES = [tpch, core, sqlqueries, windows, joins, marts, dedup, similarity, textops, multimodal]
+MODULES = [
+    tpch, core, sqlqueries, windows, joins, marts,
+    extended, dedup, similarity, textops, multimodal,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,75 @@
+"""Source/sink round-trips: CSV with embedded quotes (the reference's
+escape='\"' case — spark_eda.py:42), JSON, partitioned parquet with
+partition pruning, and the stage-3 mart pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_gamedb_etl_spark import plans
+from bigdata_gamedb_etl_spark.functions.cleaning import GAMES_SCHEMA
+from bigdata_gamedb_etl_spark.operators.marts import build_marts
+from bigdata_gamedb_etl_spark.sources.catalog import read_csv, read_json, table, write_parquet
+
+
+def test_csv_roundtrip_with_quotes(spark, tmp_path):
+    # name with an embedded quote and a comma — the reference's
+    # 'Art of War: Red Tides' class of rows (SURVEY.md §5)
+    csv = tmp_path / "games.csv"
+    csv.write_text(
+        "AppID,Name,release_date,clean_price,avg_owners,Developers,Genres\n"
+        '1,"Art of ""War"": Red, Tides",2017-01-01,0.0,1000,"\'Dev A\'","\'Action\'"\n'
+        "2,Plain,2020-05-05,9.99,5,\"'Dev B'\",\"'Indie'\"\n"
+    )
+    df = read_csv(spark, str(csv), GAMES_SCHEMA)
+    rows = {r["AppID"]: r for r in df.collect()}
+    assert rows[1]["Name"] == 'Art of "War": Red, Tides'
+    assert rows[2]["clean_price"] == pytest.approx(9.99)  # FloatType column
+
+
+def test_json_roundtrip(spark, tmp_path):
+    j = tmp_path / "games.jsonl"
+    j.write_text(
+        '{"AppID": 7, "Name": "J", "release_date": "2021-02-03", "clean_price": 1.5,'
+        ' "avg_owners": 10, "Developers": "\'D\'", "Genres": "\'Action\'"}\n'
+    )
+    df = read_json(spark, str(j), GAMES_SCHEMA)
+    assert df.count() == 1
+    assert df.first()["Name"] == "J"
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_year")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_parquet(o, out, partition_by=["o_year"])
+    # physical layout: one directory per year
+    years = sorted(d for d in os.listdir(out) if d.startswith("o_year="))
+    assert len(years) >= 5
+
+    back = spark.read.parquet(out)
+    one_year = back.where(F.col("o_year") == 1997)
+    # partition pruning: the scan's partition filter carries o_year
+    plan = plans.explain_str(one_year, "formatted")
+    assert "PartitionFilters" in plan and "o_year" in plan
+    want = o.where(F.col("o_year") == 1997).count()
+    assert one_year.count() == want
+
+
+def test_build_marts_end_to_end(spark, sf_dir, tmp_path):
+    out = build_marts(spark, sf_dir, str(tmp_path / "marts"))
+    assert set(out) == {"customer_profile", "supplier_summary", "nation_customer_index"}
+    profile = spark.read.parquet(out["customer_profile"])
+    # scan-back verification replaces the reference's HBase get/scan
+    # spot check (stage3.md:107-114)
+    n_cust = table(spark, sf_dir, "customer").count()
+    assert profile.count() == n_cust
+    assert set(profile.columns) == {"row_key", "c_custkey", "c_name", "c_mktsegment", "acctbal"}
+    idx = spark.read.parquet(out["nation_customer_index"])
+    row = idx.orderBy("n_name").first()
+    assert isinstance(row["member_map"], dict) and len(row["member_map"]) >= 1
