@@ -18,6 +18,11 @@ no Python UDFs anywhere in the hot path.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -264,12 +269,48 @@ GROUP BY doc_freq
 ORDER BY doc_freq
 """
 
+
+# --------------------------------------------------------------------------
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF
+    (numpy bit-vote over md5-derived token hashes).  Rows-only checked:
+    the bit-level fold is not SQL-expressible in the oracle.
+
+    Scale: pure narrow map over documents — no shuffle; near-dup
+    retrieval then buckets signatures by Hamming bands exactly like
+    MinHash LSH."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in set((t or "").split()):
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            sig = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    sig |= 1 << i
+            # wrap to signed 64-bit for LongType
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="int64")
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash")).orderBy("doc_id")
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
     "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_shingle_docfreq_hist": dedup_token_jaccard_stats,
+    "dedup_simhash_signatures": dedup_simhash_signatures,
 }
 
 ORACLE = {

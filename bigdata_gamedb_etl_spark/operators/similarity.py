@@ -169,14 +169,87 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
 
 
+
+# --------------------------------------------------------------------------
+def sim_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-NN self-join: every vector's nearest neighbor by cosine
+    (pairwise scores → per-vector top-1 window).  The exact tier of
+    similarity search; at 100 TB the same output comes from LSH/IVF
+    candidate generation feeding the identical verification/rank stage.
+
+    Pairwise compute is O(n²·d) but embarrassingly parallel: the right
+    side broadcasts in chunks (here whole, dimension-table-sized) and
+    nothing shuffles except the final per-vector top-1."""
+    emb = _emb_double(spark, sf_dir)
+    n = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("nrm").alias("a_nrm")
+    )
+    b = n.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                _dot(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_nrm") * F.col("b_nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("b_id").alias("nn_id"),
+            F.round("cos", 4).alias("nn_cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SIM_KNN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT a_id, b_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+  FROM pairs
+)
+SELECT a_id AS vec_id, b_id AS nn_id, ROUND(cos, 4) AS nn_cosine
+FROM ranked WHERE rn = 1
+ORDER BY vec_id
+"""
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_knn_top1": sim_knn_top1,
 }
 
 ORACLE = {
     "sim_cosine_topk": SIM_TOPK_ORACLE,
     "sim_label_centroid_norms": SIM_CENTROID_ORACLE,
+    "sim_knn_top1": SIM_KNN_ORACLE,
     # sim_ann_lsh_topk: rows-only (approximate recall by design)
 }
