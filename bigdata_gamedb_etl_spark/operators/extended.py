@@ -224,6 +224,98 @@ GROUP BY initial
 ORDER BY initial
 """
 
+
+# --------------------------------------------------------------------------
+# PIVOT: long → wide (per-day event-type counts).  The oracle twin uses
+# portable conditional aggregation (FILTER) — identical output.
+def p1_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+        .orderBy("day")
+    )
+
+
+P1_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT: wide → long (lineitem charge components to EAV rows)
+def p2_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "charge_kind",
+        "charge_value",
+    )
+    return (
+        long.groupBy("charge_kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("charge_value"), 2).alias("total"),
+        )
+        .orderBy("charge_kind")
+    )
+
+
+P2_ORACLE = """
+SELECT charge_kind, COUNT(*) AS n, ROUND(SUM(charge_value), 2) AS total
+FROM (
+  SELECT l_extendedprice AS charge_value, 'l_extendedprice' AS charge_kind FROM lineitem
+  UNION ALL
+  SELECT l_discount, 'l_discount' FROM lineitem
+  UNION ALL
+  SELECT l_tax, 'l_tax' FROM lineitem
+)
+GROUP BY charge_kind
+ORDER BY charge_kind
+"""
+
+
+# --------------------------------------------------------------------------
+# Arg-max / latest-record (SCD-style): each user's most recent event —
+# the dedup-to-latest pattern every incremental pipeline needs.
+def p3_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type",
+                F.round("value", 2).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+P3_ORACLE = """
+SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -231,6 +323,9 @@ QUERIES = {
     "w7_ntile_quartiles": w7_ntile_quartiles,
     "f1_date_parts": f1_date_parts,
     "f2_string_funcs": f2_string_funcs,
+    "p1_pivot_event_counts": p1_pivot_event_counts,
+    "p2_unpivot_charges": p2_unpivot_charges,
+    "p3_latest_event_per_user": p3_latest_event_per_user,
 }
 
 ORACLE = {
@@ -240,4 +335,7 @@ ORACLE = {
     "w7_ntile_quartiles": W7_ORACLE,
     "f1_date_parts": F1_ORACLE,
     "f2_string_funcs": F2_ORACLE,
+    "p1_pivot_event_counts": P1_ORACLE,
+    "p2_unpivot_charges": P2_ORACLE,
+    "p3_latest_event_per_user": P3_ORACLE,
 }
