@@ -180,17 +180,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size; only candidates pay the verification join.
     """
     sh = _shingled(spark, sf_dir)
-    sig = sh.select(
+    # One string hash per shingle (exploded to rows), then the 32
+    # permutations are min-aggregates of xxhash64 over the 8-byte long.
+    # The explode→groupBy shape materializes the base hash exactly once;
+    # an array-of-lambdas formulation gets projection-collapsed by
+    # Catalyst into 32 recomputations of the string hash (measured 4×
+    # slower).  The groupBy shuffle is map-side-combined to one row per
+    # (doc, partition) before exchange.
+    ex = sh.select(
         "doc_id",
-        "shs",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform("shs", lambda s, k=k: F.xxhash64(F.lit(k), s))
-                )
-                for k in range(MINHASH_PERMS)
-            ]
-        ).alias("sig"),
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("h"),
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
+            for k in range(MINHASH_PERMS)
+        ]
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sig.select(
@@ -198,7 +203,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                    F.hash(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
                     for b in range(LSH_BANDS)
                 ]
             )
