@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk",
+    "sim_knn_top1",
+    "sess1_user_sessions",
     "text_stats",
     "mm_feature_extract",
 ]
@@ -69,7 +71,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-query wall clock (noop sink), sum of 10 queries",
+                "metric": "headline-query wall clock (noop sink), sum of 12 queries",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

@@ -287,3 +287,27 @@ def dev_analytics_mart(games: DataFrame) -> DataFrame:
         .withColumn("row_key", F.regexp_replace("developer", " ", "_"))
         .orderBy(F.col("total_owners").desc_nulls_last(), F.col("developer"))
     )
+
+
+# --- Orchestration ----------------------------------------------------------
+def run_reference_workload(spark: SparkSession, games: DataFrame) -> dict[str, DataFrame]:
+    """The reference's complete stage-2 + stage-3 run as one call
+    (spark_eda.py main + stage3.ipynb cells, minus matplotlib/HBase):
+    every analysis as a named lazy DataFrame.  Callers collect/write
+    at the presentation edge."""
+    return {
+        "genre_revenue": genre_revenue(games),
+        "developer_metrics": developer_metrics(games),
+        "year_trend": year_trend(games),
+        "price_bin_owner_stats": price_bin_owner_stats(games),
+        "top_developer_top_game": top_developer_top_game(games),
+        "multi_genre_stats": multi_genre_stats(games),
+        "month_distribution": month_distribution(games),
+        "owners_histogram": owners_histogram(games),
+        "genre_combo_revenue": genre_combo_revenue(games),
+        "pareto_dev_share": pareto_dev_share(games),
+        "genre_price_stats": genre_price_stats_sql(spark, games),
+        "dev_distribution": dev_distribution_sql(spark, games),
+        "game_profile": game_profile_mart(games),
+        "dev_analytics": dev_analytics_mart(games),
+    }

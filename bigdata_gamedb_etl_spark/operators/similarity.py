@@ -25,6 +25,8 @@ from ..sources.catalog import table
 QUERY_VEC_ID = 0
 TOP_K = 20
 LSH_PLANES = 12
+IVF_CELLS = 16
+IVF_NPROBE = 4
 
 
 def _dot(a, b):
@@ -177,45 +179,64 @@ def sim_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity search; at 100 TB the same output comes from LSH/IVF
     candidate generation feeding the identical verification/rank stage.
 
-    Pairwise compute is O(n²·d) but embarrassingly parallel: the right
-    side broadcasts in chunks (here whole, dimension-table-sized) and
-    nothing shuffles except the final per-vector top-1."""
-    emb = _emb_double(spark, sf_dir)
-    n = emb.select(
-        "vec_id",
-        "emb",
-        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
-    )
-    a = n.select(
-        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("nrm").alias("a_nrm")
-    )
-    b = n.select(
-        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), F.col("nrm").alias("b_nrm")
-    )
-    from pyspark.sql import Window
+    Engineering: the corpus matrix is dimension-table-sized, so it
+    broadcasts whole (at larger corpora: chunk the broadcast or switch
+    to the LSH/IVF candidate path); each Arrow batch of query rows then
+    runs one BLAS GEMM against it inside mapInPandas.  A pure
+    zip_with/aggregate pairwise join computes the same thing ~30×
+    slower: higher-order-function lambdas evaluate interpreted
+    per-element and projection collapse recomputes norms per pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    pairs = (
-        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            (
-                _dot(F.col("a_emb"), F.col("b_emb"))
-                / (F.col("a_nrm") * F.col("b_nrm"))
-            ).alias("cos"),
-        )
+    emb = _emb_double(spark, sf_dir)
+    corpus = sorted(
+        ((r["vec_id"], r["emb"]) for r in emb.select("vec_id", "emb").collect()),
+        key=lambda t: t[0],
     )
-    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("a_id").alias("vec_id"),
-            F.col("b_id").alias("nn_id"),
-            F.round("cos", 4).alias("nn_cosine"),
-        )
-        .orderBy("vec_id")
+    ids = np.array([t[0] for t in corpus], dtype=np.int64)
+    M = np.array([t[1] for t in corpus], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sc = spark.sparkContext
+    b_ids, b_m = sc.broadcast(ids), sc.broadcast(Mn)
+
+    def _round_half_away(x: np.ndarray, nd: int) -> np.ndarray:
+        # numpy rounds half-to-even; SQL ROUND is half-away-from-zero
+        p = 10.0**nd
+        return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("nn_id", LongType()),
+            StructField("nn_cosine", DoubleType()),
+        ]
     )
+
+    def nn_batches(batches):
+        ids_, Mn_ = b_ids.value, b_m.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["emb"]), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            S = An @ Mn_.T
+            aid = pdf["vec_id"].to_numpy()
+            for i, v in enumerate(aid):
+                S[i, ids_ == v] = -np.inf  # exclude self
+            # ids_ ascending ⇒ argmax's first-occurrence tie-break
+            # matches ORDER BY cos DESC, nn_id
+            best = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": aid,
+                    "nn_id": ids_[best],
+                    "nn_cosine": _round_half_away(S[np.arange(len(aid)), best], 4),
+                }
+            )
+
+    return emb.select("vec_id", "emb").mapInPandas(nn_batches, out_schema).orderBy("vec_id")
 
 
 SIM_KNN_ORACLE = """
@@ -240,11 +261,67 @@ FROM ranked WHERE rn = 1
 ORDER BY vec_id
 """
 
+
+# --------------------------------------------------------------------------
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer (Spark ML, fixed seed)
+    partitions the corpus into cells; the query scores exact cosine only
+    inside the `IVF_NPROBE` cells nearest its own centroid.  Rows-only
+    checked (approximate recall; KMeans assignment is not
+    SQL-expressible in the oracle).
+
+    Scale: train on a sample, assign with one narrow map (the model
+    broadcasts), then the search scans |corpus| * nprobe/k rows.  Cell
+    ids can also become a partition column for physical pruning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _emb_double(spark, sf_dir)
+    vecs = emb.withColumn("features", array_to_vector("emb"))
+    model = KMeans(k=IVF_CELLS, seed=42, maxIter=20, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+
+    centers = model.clusterCenters()
+    qrow = assigned.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qv"), F.col("cell").alias("qcell")
+    )
+    qcell, qv = qrow.first()["qcell"], qrow.first()["qv"]
+    # nprobe nearest cells to the query vector (tiny driver-side math on
+    # k centroids — the model itself, not data)
+    import math as _math
+
+    def _cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = _math.sqrt(sum(a * a for a in u)) or 1.0
+        nv = _math.sqrt(sum(a * a for a in v)) or 1.0
+        return d / (nu * nv)
+
+    probe = sorted(range(len(centers)), key=lambda c: -_cos(qv, centers[c]))[:IVF_NPROBE]
+
+    scored = (
+        assigned.where(F.col("cell").isin(probe))
+        .crossJoin(F.broadcast(qrow.select("qv")))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                _dot(F.col("emb"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_knn_top1": sim_knn_top1,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 ORACLE = {

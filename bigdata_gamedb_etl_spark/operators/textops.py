@@ -179,12 +179,53 @@ FROM documents
 ORDER BY doc_id
 """
 
+
+# --------------------------------------------------------------------------
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word-bigram frequencies, top 50 (n-gram extraction
+    capability; explode → hash-agg with map-side combine, grouping
+    cardinality = vocabulary², tiny relative to corpus)."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                """CASE WHEN size(split(text, ' ')) >= 2 THEN
+                     transform(sequence(1, size(split(text, ' ')) - 1),
+                               i -> concat_ws(' ', split(text, ' ')[i-1],
+                                              split(text, ' ')[i]))
+                   ELSE array() END"""
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+TEXT_BIGRAM_ORACLE = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT UNNEST(list_transform(range(1, greatest(len(ws), 1)),
+                i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM w WHERE len(ws) >= 2
+)
+SELECT bigram, COUNT(*) AS occurrences
+FROM b
+GROUP BY bigram
+ORDER BY occurrences DESC, bigram
+LIMIT 50
+"""
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_bigram_topk": text_bigram_topk,
 }
 
 ORACLE = {
@@ -193,4 +234,5 @@ ORACLE = {
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_fingerprint": TEXT_FP_ORACLE,
+    "text_bigram_topk": TEXT_BIGRAM_ORACLE,
 }
