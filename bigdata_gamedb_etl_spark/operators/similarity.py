@@ -195,6 +195,16 @@ def sim_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r["vec_id"], r["emb"]) for r in emb.select("vec_id", "emb").collect()),
         key=lambda t: t[0],
     )
+    if not corpus:  # empty corpus → empty result, not a numpy shape error
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType as _S
+        return spark.createDataFrame(
+            [],
+            _S([
+                StructField("vec_id", LongType()),
+                StructField("nn_id", LongType()),
+                StructField("nn_cosine", DoubleType()),
+            ]),
+        )
     ids = np.array([t[0] for t in corpus], dtype=np.int64)
     M = np.array([t[1] for t in corpus], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
