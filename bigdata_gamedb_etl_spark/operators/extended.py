@@ -316,6 +316,90 @@ WHERE rn = 1
 ORDER BY user_id
 """
 
+
+# --------------------------------------------------------------------------
+# Custom grouped aggregation via applyInPandas: per-user median absolute
+# deviation.  Not expressible as a single built-in aggregate (nested
+# medians), so it is the canonical applyInPandas use case — and still
+# oracle-checkable because numpy's median interpolates exactly like
+# SQL quantile_cont.
+def p4_user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("median_value", DoubleType()),
+            StructField("mad_value", DoubleType()),
+        ]
+    )
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        med = float(np.median(v))
+        dev = float(np.median(np.abs(v - med)))
+
+        def r2(x):  # SQL ROUND half-away-from-zero
+            import math as m
+            return m.floor(abs(x) * 100 + 0.5) / 100 * (1 if x >= 0 else -1)
+
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(v)],
+                "median_value": [r2(med)],
+                "mad_value": [r2(dev)],
+            }
+        )
+
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    return e.groupBy("user_id").applyInPandas(mad, schema=out_schema).orderBy("user_id")
+
+
+P4_ORACLE = """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(m.med), 2) AS median_value,
+       ROUND(quantile_cont(abs(e.value - m.med), 0.5), 2) AS mad_value
+FROM events e JOIN med m ON e.user_id = m.user_id
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Column-profile statistics (ANALYZE-style): one pass over lineitem.
+def p5_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("row_count"),
+        F.count_distinct("l_orderkey").alias("distinct_orders"),
+        F.count_distinct("l_partkey").alias("distinct_parts"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("stddev_qty"),
+    )
+
+
+P5_ORACLE = """
+SELECT COUNT(*) AS row_count,
+       COUNT(DISTINCT l_orderkey) AS distinct_orders,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND(AVG(l_discount), 4) AS avg_discount,
+       ROUND(stddev_pop(l_quantity), 4) AS stddev_qty
+FROM lineitem
+"""
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -326,6 +410,8 @@ QUERIES = {
     "p1_pivot_event_counts": p1_pivot_event_counts,
     "p2_unpivot_charges": p2_unpivot_charges,
     "p3_latest_event_per_user": p3_latest_event_per_user,
+    "p4_user_value_mad": p4_user_value_mad,
+    "p5_lineitem_profile": p5_lineitem_profile,
 }
 
 ORACLE = {
@@ -338,4 +424,6 @@ ORACLE = {
     "p1_pivot_event_counts": P1_ORACLE,
     "p2_unpivot_charges": P2_ORACLE,
     "p3_latest_event_per_user": P3_ORACLE,
+    "p4_user_value_mad": P4_ORACLE,
+    "p5_lineitem_profile": P5_ORACLE,
 }

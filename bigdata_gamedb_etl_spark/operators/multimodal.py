@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -120,9 +121,72 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+def fake_resize(payload: bytes, target: tuple[int, int]) -> tuple[int, int, bytes]:
+    """Deterministic stand-in for an image resize: real deployments swap
+    in PIL/opencv; the output contract (dims + recompressed bytes) and
+    the Arrow batch plumbing are what this exercises."""
+    w, h = target
+    digest = hashlib.md5(payload + f"{w}x{h}".encode()).digest()
+    return w, h, digest
+
+
+def mm_resize(spark: SparkSession, sf_dir: str, width: int = 224, height: int = 224) -> DataFrame:
+    """Batch 'image' resize over binary payloads (mapInPandas).
+    Rows-only checked (stubbed codec)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+            StructField("out_bytes", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, data = fake_resize(bytes(payload), (width, height))
+                rows.append((doc_id, w, h, len(data)))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_width", "out_height", "out_bytes"])
+
+    return with_payload(spark, sf_dir).mapInPandas(batches, schema).orderBy("doc_id")
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFrame:
+    """'Video' frame sampling: treat the payload as a frame sequence
+    (16-byte fake frames) and keep every n-th — one output row per kept
+    frame, the exploding-output shape a real video pipeline has.
+    Rows-only checked (stubbed codec)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_md5", StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                frames = [raw[i : i + 16] for i in range(0, len(raw), 16)]
+                for idx in range(0, len(frames), every_n):
+                    rows.append(
+                        (doc_id, idx, hashlib.md5(frames[idx]).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
+
+    return with_payload(spark, sf_dir).mapInPandas(batches, schema).orderBy("doc_id", "frame_idx")
+
 QUERIES = {
     "mm_payload_meta": mm_payload_meta,
     "mm_feature_extract": mm_feature_extract,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLE = {

@@ -1,6 +1,7 @@
 from .windowed import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
     daily_rollup_stream,
+    dedup_stream,
     read_events_stream,
     run_stream_to_memory,
     user_running_totals_stream,

@@ -132,3 +132,11 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(events: DataFrame, key: str = "event_id") -> DataFrame:
+    """Streaming exactly-once-by-key dedup: watermarked dropDuplicates.
+    State holds one entry per key inside the watermark horizon — the
+    streaming twin of the batch exact-dedup operators (operators/dedup.py).
+    """
+    return events.withWatermark("ts", "1 day").dropDuplicates([key])

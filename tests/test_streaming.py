@@ -69,3 +69,12 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert got[uid][1] == want[uid][1]
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, events_dir):
+    events = streaming.read_events_stream(spark, events_dir)
+    deduped = streaming.dedup_stream(events, "event_id")
+    streaming.run_stream_to_memory(deduped, "dedup_t", "append")
+    got = spark.table("dedup_t").count()
+    want = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got == want
