@@ -219,6 +219,38 @@ ORDER BY occurrences DESC, bigram
 LIMIT 50
 """
 
+
+# --------------------------------------------------------------------------
+def text_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: regex splits words from punctuation/digit
+    runs (the pre-tokenizer shape BPE vocabularies use), counted per
+    document.  Portable regex subset shared with the oracle."""
+    d = table(spark, sf_dir, "documents")
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).alias(
+                "bpe_token_count"
+            ),
+            F.size(
+                F.array_distinct(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+            ).alias("bpe_vocab_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REGEX_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER)
+         AS bpe_token_count,
+       CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS INTEGER)
+         AS bpe_vocab_size
+FROM documents
+ORDER BY doc_id
+"""
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -226,6 +258,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_bigram_topk": text_bigram_topk,
+    "text_regex_token_stats": text_regex_token_stats,
 }
 
 ORACLE = {
@@ -235,4 +268,5 @@ ORACLE = {
     "text_langid": TEXT_LANGID_ORACLE,
     "text_fingerprint": TEXT_FP_ORACLE,
     "text_bigram_topk": TEXT_BIGRAM_ORACLE,
+    "text_regex_token_stats": TEXT_REGEX_ORACLE,
 }
