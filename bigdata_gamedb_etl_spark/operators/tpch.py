@@ -110,12 +110,88 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
 
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue by nation where supplier and customer share the
+    nation (the co-location predicate joins two dimension paths of the
+    same fact row).  Dimension sides broadcast; lineitem⋈orders is the
+    only big shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
+            F.count("*").alias("item_count"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS item_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure filter + global aggregate — the canonical
+    pushdown benchmark (every predicate reaches the parquet scan)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("item_count"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS item_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 25
+"""
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "tpch_q3_top_revenue_orders": q3_top_revenue_orders,
+    "tpch_q5_local_supplier_volume": q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": q6_forecast_revenue,
 }
 
 ORACLE = {
     "tpch_q1_pricing_summary": Q1_ORACLE,
     "tpch_q3_top_revenue_orders": Q3_ORACLE,
+    "tpch_q5_local_supplier_volume": Q5_ORACLE,
+    "tpch_q6_forecast_revenue": Q6_ORACLE,
 }

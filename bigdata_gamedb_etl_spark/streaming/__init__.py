@@ -2,6 +2,7 @@ from .windowed import (  # noqa: F401
     EVENTS_STREAM_SCHEMA,
     daily_rollup_stream,
     dedup_stream,
+    enrich_stream_with_static,
     read_events_stream,
     run_stream_to_memory,
     user_running_totals_stream,

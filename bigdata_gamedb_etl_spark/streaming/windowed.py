@@ -140,3 +140,12 @@ def dedup_stream(events: DataFrame, key: str = "event_id") -> DataFrame:
     streaming twin of the batch exact-dedup operators (operators/dedup.py).
     """
     return events.withWatermark("ts", "1 day").dropDuplicates([key])
+
+
+def enrich_stream_with_static(events: DataFrame, user_profile: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against a static
+    (batch) dimension — the standard enrichment pattern.  The static
+    side broadcasts per micro-batch; no streaming state is kept."""
+    return events.join(user_profile, "user_id", "left").select(
+        "event_id", "user_id", "event_type", "value", "user_tier"
+    )

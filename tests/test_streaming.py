@@ -78,3 +78,22 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir, events_dir):
     got = spark.table("dedup_t").count()
     want = table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert got == want
+
+
+def test_stream_static_join(spark, sf_dir, events_dir):
+    # static dim derived from batch: per-user tier by event volume
+    profile = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 100, "heavy").otherwise("light").alias("user_tier"),
+        )
+    )
+    events = streaming.read_events_stream(spark, events_dir)
+    enriched = streaming.enrich_stream_with_static(events, profile)
+    streaming.run_stream_to_memory(enriched, "enriched_t", "append")
+    out = spark.table("enriched_t")
+    assert out.count() == table(spark, sf_dir, "events").count()
+    assert out.where(F.col("user_tier").isNull()).count() == 0
