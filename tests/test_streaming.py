@@ -97,3 +97,36 @@ def test_stream_static_join(spark, sf_dir, events_dir):
     out = spark.table("enriched_t")
     assert out.count() == table(spark, sf_dir, "events").count()
     assert out.where(F.col("user_tier").isNull()).count() == 0
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """Durability: a restarted stream with the same checkpoint resumes
+    from where it left off — the second run ingests only the new file."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    os.symlink("/root/testdata/sf0.001/events.parquet", src / "f1.parquet")
+
+    def run_once():
+        events = streaming.read_events_stream(spark, str(src))
+        q = (
+            events.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 1000  # sf0.001 events
+
+    os.symlink("/root/testdata/sf0.01/events.parquet", src / "f2.parquet")
+    run_once()
+    total = spark.read.parquet(out).count()
+    assert total == 1000 + 10000  # f1 not reprocessed, f2 ingested once
