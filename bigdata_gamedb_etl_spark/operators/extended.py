@@ -400,6 +400,36 @@ SELECT COUNT(*) AS row_count,
 FROM lineitem
 """
 
+
+# --------------------------------------------------------------------------
+# Statistical moments + bivariate stats (corr/covar family)
+def p6_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+            F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+            F.round(F.var_pop("l_discount"), 6).alias("var_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+P6_ORACLE = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       ROUND(skewness(l_extendedprice) * (((COUNT(*)-1.0)/COUNT(*)) ^ 1.5), 4) AS skew_price,
+       ROUND(kurtosis_pop(l_extendedprice), 4) AS kurt_price,
+       ROUND(var_pop(l_discount), 6) AS var_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -412,6 +442,7 @@ QUERIES = {
     "p3_latest_event_per_user": p3_latest_event_per_user,
     "p4_user_value_mad": p4_user_value_mad,
     "p5_lineitem_profile": p5_lineitem_profile,
+    "p6_statistical_moments": p6_statistical_moments,
 }
 
 ORACLE = {
@@ -426,4 +457,5 @@ ORACLE = {
     "p3_latest_event_per_user": P3_ORACLE,
     "p4_user_value_mad": P4_ORACLE,
     "p5_lineitem_profile": P5_ORACLE,
+    "p6_statistical_moments": P6_ORACLE,
 }
