@@ -1,0 +1,100 @@
+"""Property-based checks (hypothesis) for the reference cleaning
+semantics: the Spark expressions must agree with a plain-Python
+reimplementation of the documented rules on arbitrary inputs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import FloatType, IntegerType, StringType, StructField, StructType
+
+from bigdata_gamedb_etl_spark.functions.cleaning import (
+    genres_array,
+    owners_range,
+    price_category,
+    strip_list_syntax,
+)
+
+
+def _py_strip(s: str) -> str:
+    return s.replace("'", "").replace("[", "").replace("]", "")
+
+
+def _py_price_bin(p: float) -> str:
+    if p == 0:
+        return "免费"
+    if p < 5:
+        return "$0-5"
+    if p < 10:
+        return "$5-10"
+    if p < 20:
+        return "$10-20"
+    if p < 40:
+        return "$20-40"
+    return "$40+"
+
+
+def _py_owner_bin(o: int) -> str:
+    for edge, label in [
+        (10_000, "<1万"), (50_000, "1-5万"), (150_000, "5-15万"),
+        (500_000, "15-50万"), (2_000_000, "50-200万"),
+    ]:
+        if o < edge:
+            return label
+    return "200万+"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_strip_and_split_match_python(spark, texts):
+    schema = StructType([StructField("s", StringType())])
+    df = spark.createDataFrame([(t,) for t in texts], schema)
+    got = df.select(
+        strip_list_syntax(F.col("s")).alias("stripped"),
+        genres_array(F.col("s")).alias("arr"),
+    ).collect()
+    for t, row in zip(texts, got):
+        want_stripped = _py_strip(t)
+        assert row["stripped"] == want_stripped
+        # Spark/reference `trim` strips only ASCII space (0x20), not
+        # all Python whitespace
+        assert row["arr"] == [x.strip(" ") for x in want_stripped.split(",")]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False, width=32),
+            st.integers(min_value=0, max_value=10_000_000),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_bins_match_python(spark, rows):
+    schema = StructType(
+        [StructField("p", FloatType()), StructField("o", IntegerType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = df.select(
+        "p", "o",
+        price_category(F.col("p")).alias("pb"),
+        owners_range(F.col("o")).alias("ob"),
+    ).collect()
+    for r in got:
+        # compare against the float32 value Spark actually stored
+        assert r["pb"] == _py_price_bin(r["p"])
+        assert r["ob"] == _py_owner_bin(r["o"])
