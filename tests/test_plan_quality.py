@@ -6,7 +6,7 @@ parquet scan, column pruning, whole-stage codegen on hot paths.
 from __future__ import annotations
 
 from bigdata_gamedb_etl_spark import plans
-from bigdata_gamedb_etl_spark.operators import core, dedup, joins, tpch
+from bigdata_gamedb_etl_spark.operators import core, dedup, joins, textops, tpch
 
 
 def test_q1_filter_pushed_to_scan(spark, sf_dir):
@@ -54,3 +54,31 @@ def test_jaccard_join_shuffles_hashed_keys(spark, sf_dir):
     # the self-join key must be the xxhash64 long, not the shingle string
     df = dedup.dedup_ngram_jaccard_pairs(spark, sf_dir)
     assert "xxhash64" in plans.physical(df)
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    pushed = plans.pushed_filters(tpch.q6_forecast_revenue(spark, sf_dir))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan: {pushed!r}"
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    plan = plans.physical(tpch.q5_local_supplier_volume(spark, sf_dir))
+    # customer, supplier, nation all broadcast; only lineitem⋈orders and
+    # the final aggregation may shuffle
+    assert plan.count("BroadcastExchange") >= 3
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_narrow_scan_query_has_no_hash_shuffle(spark, sf_dir):
+    # per-document stats are a pure map — any hash exchange would mean
+    # an accidental aggregation or join crept in (the orderBy adds only
+    # a range exchange)
+    plan = plans.physical(textops.text_stats(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_global_agg_single_stage_pair(spark, sf_dir):
+    # group-less aggregate: partial → single-partition final, nothing else
+    plan = plans.physical(core.a13_global_totals(spark, sf_dir))
+    assert plan.count("Exchange") == 1
