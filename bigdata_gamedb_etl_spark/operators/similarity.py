@@ -27,6 +27,7 @@ TOP_K = 20
 LSH_PLANES = 12
 IVF_CELLS = 16
 IVF_NPROBE = 4
+DUP_COSINE_THRESHOLD = 0.42
 
 
 def _dot(a, b):
@@ -326,17 +327,94 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
 
+
+# --------------------------------------------------------------------------
+def sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (i<j) with cosine ≥
+    threshold — the embedding-space twin of the n-gram Jaccard dedup.
+    Exact tier (broadcast-corpus GEMM like sim_knn_top1); the LSH/IVF
+    variants are the candidate generators at corpus scales where the
+    broadcast no longer fits."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    emb = _emb_double(spark, sf_dir)
+    corpus = sorted(
+        ((r["vec_id"], r["emb"]) for r in emb.select("vec_id", "emb").collect()),
+        key=lambda t: t[0],
+    )
+    out_schema = StructType(
+        [
+            StructField("v1", LongType()),
+            StructField("v2", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    if not corpus:
+        return spark.createDataFrame([], out_schema)
+    ids = np.array([t[0] for t in corpus], dtype=np.int64)
+    M = np.array([t[1] for t in corpus], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sc = spark.sparkContext
+    b_ids, b_m = sc.broadcast(ids), sc.broadcast(Mn)
+
+    def pair_batches(batches):
+        ids_, Mn_ = b_ids.value, b_m.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["emb"]), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            S = An @ Mn_.T
+            aid = pdf["v"].to_numpy() if "v" in pdf else pdf["vec_id"].to_numpy()
+            rows = {"v1": [], "v2": [], "cosine": []}
+            for i, v in enumerate(aid):
+                # keep only j with id > v (each unordered pair once)
+                mask = (ids_ > v) & (S[i] >= DUP_COSINE_THRESHOLD)
+                for j in np.nonzero(mask)[0]:
+                    c = S[i, j]
+                    rows["v1"].append(v)
+                    rows["v2"].append(ids_[j])
+                    rows["cosine"].append(
+                        np.sign(c) * np.floor(abs(c) * 1e4 + 0.5) / 1e4
+                    )
+            yield pd.DataFrame(rows)
+
+    return (
+        emb.select("vec_id", "emb")
+        .mapInPandas(pair_batches, out_schema)
+        .orderBy("v1", "v2")
+    )
+
+
+SIM_DUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {DUP_COSINE_THRESHOLD}
+ORDER BY v1, v2
+"""
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_knn_top1": sim_knn_top1,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_cosine_dup_pairs": sim_cosine_dup_pairs,
 }
 
 ORACLE = {
     "sim_cosine_topk": SIM_TOPK_ORACLE,
     "sim_label_centroid_norms": SIM_CENTROID_ORACLE,
     "sim_knn_top1": SIM_KNN_ORACLE,
+    "sim_cosine_dup_pairs": SIM_DUP_ORACLE,
     # sim_ann_lsh_topk: rows-only (approximate recall by design)
 }

@@ -134,14 +134,46 @@ GROUP BY k
 ORDER BY k
 """
 
+
+# --------------------------------------------------------------------------
+# Schema-on-read for semi-structured props: from_json into a typed
+# struct (the DataFrame-surface twin of get_json_object).
+def sql_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.from_json("props", "k INT").alias("p"), "value"
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_mod10"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_mod10")
+    )
+
+
+SQL_FROM_JSON_ORACLE = """
+SELECT CAST(CAST(props->>'k' AS INTEGER) % 10 AS INTEGER) AS k_mod10,
+       COUNT(*) AS event_count,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY k_mod10
+ORDER BY k_mod10
+"""
+
 QUERIES = {
     "sql_word_price_stats": sql_word_price_stats,
     "sql_supplier_distribution": sql_supplier_distribution,
     "sql_json_props_stats": sql_json_props_stats,
+    "sql_from_json_struct": sql_from_json_struct,
 }
 
 ORACLE = {
     "sql_word_price_stats": SQL_A6_ORACLE,
     "sql_supplier_distribution": SQL_A7_ORACLE,
     "sql_json_props_stats": SQL_JSON_ORACLE,
+    "sql_from_json_struct": SQL_FROM_JSON_ORACLE,
 }
