@@ -113,7 +113,7 @@ def owners_range(owners: Column) -> Column:
     """Reference owner-count bins, exact edges
     (reference: spark_eda.py:497-503)."""
     return (
-        F.when(owners < 10_000, "<1万")
+        F.when(owners < 10_000, "0-1万")
         .when(owners < 50_000, "1-5万")
         .when(owners < 150_000, "5-15万")
         .when(owners < 500_000, "15-50万")

@@ -41,9 +41,19 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join: semantically identical to
-    facts.join(dim, on, how) but the shuffle spreads each key over
-    n_salts partitions.  `on` is the original join condition; the salt
-    equality is added on top."""
+    facts.join(dim, on, how) for how in {inner, left} — the shuffle
+    spreads each key over n_salts partitions.  `on` is the original join
+    condition; the salt equality is added on top.
+
+    Only inner/left are supported: explode_dim replicates every dim row
+    n_salts times, so a right/full outer join would emit n_salts
+    null-extended duplicates for each unmatched dim row."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated dimension would duplicate unmatched rows "
+            "under right/full outer semantics"
+        )
     f = salt_facts(facts, distinct_col, n_salts)
     d = explode_dim(dim, n_salts)
     joined = f.join(

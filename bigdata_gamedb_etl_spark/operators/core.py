@@ -146,7 +146,8 @@ def a4_price_bin_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales ×SF — no broadcast hint, AQE decides.
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(_price_bin().alias("price_bin"))
         .agg(
             F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),

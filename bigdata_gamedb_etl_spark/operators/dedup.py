@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 from ..sources.catalog import table
 
 JACCARD_THRESHOLD = 0.5
+# Shingles appearing in more than DF_CAP documents are dropped from the
+# inverted index before the self-join: the join cost is Σ df(shingle)²,
+# so one viral shingle at 100 TB makes a quadratic hot key, while a
+# shingle shared by >1000 docs carries ~zero near-dup signal (a true
+# near-dup pair at J≥0.5 shares many LOW-df shingles too — dropping a
+# ubiquitous one only lowers `common`, and the cap is far above any
+# doc-frequency the sf0.01/sf0.1 corpora produce, so the exact oracle
+# still matches; tests assert no qualifying pair is lost).
+# dedup_shingle_docfreq_hist reports the distribution that justifies
+# the value per-corpus.
+SHINGLE_DF_CAP = 1000
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # 4 rows/band → P(candidate | J=0.5) ≈ 1-(1-0.5^4)^8 ≈ 0.40,
 #                P(candidate | J=0.8) ≈ 0.97 — tuned for high-sim recall.
@@ -115,9 +126,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.5 via a shingle
     inverted-index self-join (explode → join on shingle → count common).
 
-    Scale note: cost is Σ df(shingle)² over shingle doc-frequencies —
-    fine while no shingle is ubiquitous; the LSH variant below is the
-    100 TB path.  The exploded join shuffles on the shingle string.
+    Scale note: cost is Σ df(shingle)² over shingle doc-frequencies;
+    shingles with df > SHINGLE_DF_CAP are dropped from the index before
+    the self-join (see the constant's rationale), which bounds the
+    worst per-key cost to DF_CAP² — the LSH variant below is still the
+    100 TB path.  The exploded join shuffles on the shingle hash.
     """
     sh = _shingled(spark, sf_dir)
     # join on 64-bit shingle hashes: the self-join shuffle then moves
@@ -128,6 +141,16 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shs").alias("n"),
         F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
     )
+    # df-cap: one map-side-combinable agg finds hot shingles (a tiny
+    # set by construction), broadcast anti-join drops them.  `n` stays
+    # the FULL shingle-set size, so surviving pairs keep exact Jaccard.
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    ex = ex.join(F.broadcast(hot), "s", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

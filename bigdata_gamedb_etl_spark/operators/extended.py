@@ -55,7 +55,8 @@ ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
 def ga2_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    # customer scales ×SF — no broadcast hint, AQE decides.
+    joined = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     return (
         joined.cube("c_mktsegment", "o_orderpriority")
         .agg(
@@ -100,7 +101,12 @@ def sess1_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_session.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # Sum as DECIMAL then round: double-sum order varies per run,
+            # and raw float sums land on round-2 half-cent boundaries
+            # (same recipe as tpch.py q1 revenue sums).
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
             ((F.max("us") - F.min("us")) / F.lit(1_000_000)).cast("bigint").alias(
                 "duration_sec"
             ),
@@ -127,7 +133,7 @@ sessioned AS (
 )
 SELECT user_id, session_id,
        COUNT(*) AS event_count,
-       ROUND(SUM(value), 2) AS session_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value,
        CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec
 FROM sessioned
 GROUP BY user_id, session_id

@@ -148,8 +148,13 @@ def multi_genre_stats(games: DataFrame) -> DataFrame:
 def month_distribution(games: DataFrame) -> DataFrame:
     """A9: releases per string-month — malformed dates keep their raw
     prefix (month "13" is a real output value, not an error;
-    reference: spark_eda.py:465-472)."""
-    d = games.where(F.col("release_date").isNotNull() & (F.col("release_date") != ""))
+    reference: spark_eda.py:465-472).  The filter is on the DERIVED
+    month, matching the reference: a non-empty date shorter than 6
+    chars (e.g. "2020") yields Month='' and is excluded."""
+    d = games.where(
+        F.col("release_date").isNotNull()
+        & (month_str(F.col("release_date")) != "")
+    )
     return (
         d.groupBy(month_str(F.col("release_date")).alias("Month"))
         .agg(F.count("*").alias("game_count"))

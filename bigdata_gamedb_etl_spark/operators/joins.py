@@ -6,12 +6,12 @@ capability for free; the engine declares the full join surface the
 driver's oracle harness expects (SURVEY.md §2.6).
 
 Scale notes:
-- Dimension sides (region/nation/supplier/part, and customer at small
-  SF) are broadcast — the fact table never shuffles for them.  At a
-  true 100 TB run where customer outgrows the broadcast threshold, the
-  explicit `broadcast()` hint is dropped by AQE-side size checks only
-  for the hinted plan; the un-hinted `j1` chain below leaves the
-  decision to Catalyst+AQE, which is the correct default posture.
+- True dimension sides (region/nation/supplier/part — bounded
+  cardinality, sources/catalog.py DIMENSION_TABLES) carry explicit
+  broadcast hints.  Customer scales with SF, so it is NEVER hinted:
+  an explicit hint overrides AQE's size check and would OOM the build
+  side at 100×; un-hinted, AQE broadcasts it while it fits and falls
+  back to shuffle join when it doesn't.
 - Semi/anti joins use Spark's dedicated left_semi/left_anti plans —
   no row duplication, no post-join distinct.
 """
@@ -41,7 +41,8 @@ def j1_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales ×SF — no hint, AQE decides.
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")

@@ -116,9 +116,11 @@ ORDER BY n_name
 # --------------------------------------------------------------------------
 # Inverted index mart — the real MapType form (reference capability
 # A16: one wide row per dev, qualifier=AppID, value=Name —
-# stage3.ipynb:245).  Rows-only checked: DuckDB hash compare over MAP
-# columns is not part of the oracle contract.
-def mart_nation_customer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+# stage3.ipynb:245).  Library function for build_marts; the REGISTERED
+# driver query is mart_nation_customer_map (below), which serializes the
+# map to JSON because the driver's canonicalizer hashes cell values and
+# a Python dict is unhashable.
+def nation_customer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_name")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
@@ -137,6 +139,26 @@ def mart_nation_customer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mart_nation_customer_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of nation_customer_map: the member map
+    serialized with to_json (entries pre-sorted by key, so the string is
+    deterministic and hash-comparable)."""
+    return nation_customer_map(spark, sf_dir).select(
+        "n_name", F.to_json("member_map").alias("member_map_json")
+    )
+
+
+MART_MAP_ORACLE = """
+SELECT n_name,
+       '{' || string_agg('"' || CAST(c_custkey AS VARCHAR) || '":"' || c_name || '"',
+                         ',' ORDER BY CAST(c_custkey AS VARCHAR)) || '}'
+         AS member_map_json
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def build_marts(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
     """Stage-3 pipeline: build all marts and persist as Parquet
     (replaces the reference's generated `hbase shell` put scripts —
@@ -144,7 +166,7 @@ def build_marts(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str
     marts = {
         "customer_profile": mart_customer_profile(spark, sf_dir),
         "supplier_summary": mart_supplier_summary(spark, sf_dir),
-        "nation_customer_index": mart_nation_customer_map(spark, sf_dir),
+        "nation_customer_index": nation_customer_map(spark, sf_dir),
     }
     out = {}
     for name, df in marts.items():
@@ -165,5 +187,5 @@ ORACLE = {
     "mart_customer_profile": MART_PROFILE_ORACLE,
     "mart_supplier_summary": MART_SUMMARY_ORACLE,
     "mart_nation_customer_index": MART_INDEX_ORACLE,
-    # mart_nation_customer_map: rows-only (MapType output)
+    "mart_nation_customer_map": MART_MAP_ORACLE,
 }

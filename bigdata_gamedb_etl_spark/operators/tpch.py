@@ -11,8 +11,10 @@ Scale notes:
   l_shipdate), grouping cardinality is tiny (R/F × O/F) so the shuffle
   after partial aggregation moves a handful of rows per partition.
 - Q3 joins orders→lineitem on the join key both sides shuffle on; the
-  customer side broadcasts (DIMENSION-sized at any SF where customers
-  fit; at true 100 TB customer becomes a shuffle join and AQE decides).
+  customer side carries NO broadcast hint — customer scales with SF, so
+  AQE picks broadcast when it fits and shuffle join when it doesn't.
+  Explicit hints are reserved for true dimensions (DIMENSION_TABLES in
+  sources/catalog.py).
 """
 
 from __future__ import annotations
@@ -85,7 +87,10 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # no broadcast hint on customer: it scales with the fact side
+        # (×SF), so the join strategy is AQE's call — a hint would
+        # override AQE's size check and OOM the build side at 100×.
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -123,7 +128,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales ×SF — AQE decides (see q3 note); supplier and
+        # nation are true dimensions, safe to hint.
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -55,6 +55,14 @@ def num_exchanges(df: DataFrame) -> int:
     return physical(df).count("Exchange")
 
 
+def num_broadcast_hints(df: DataFrame) -> int:
+    """Explicit broadcast hints in the analyzed logical plan.  A hint
+    overrides AQE's size check, so the scale contract allows them ONLY
+    on true dimension tables (sources.catalog.DIMENSION_TABLES) —
+    fact-side-scaling tables (customer, orders) must be AQE-decided."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     # under AQE the pre-execution simple plan hides codegen spans; the
     # codegen explain mode reports generated subtrees directly.

@@ -28,9 +28,16 @@ from .operators import (
     windows,
 )
 
+# Order matters: the driver's correctness gate checks a bounded prefix of
+# this registry (r1 stopped at 50 entries), so the modules whose queries
+# most need fresh hard evidence come first — the LLM-pipeline surface
+# (dedup/similarity/textops/multimodal, unchecked in r1), then extended
+# (sess1 rounding fix, p4-p6 unchecked) and marts (MapType fix), then the
+# star-schema families already proven green in CORRECTNESS_r01.json.
 MODULES = [
-    tpch, core, sqlqueries, windows, joins, marts,
-    extended, dedup, similarity, textops, multimodal,
+    dedup, similarity, textops, multimodal,
+    extended, marts, tpch,
+    core, sqlqueries, windows, joins,
 ]
 
 

@@ -135,11 +135,16 @@ def run_stream_to_memory(
 
 
 def dedup_stream(events: DataFrame, key: str = "event_id") -> DataFrame:
-    """Streaming exactly-once-by-key dedup: watermarked dropDuplicates.
-    State holds one entry per key inside the watermark horizon — the
-    streaming twin of the batch exact-dedup operators (operators/dedup.py).
+    """Streaming dedup by key: dropDuplicatesWithinWatermark evicts a
+    key's state once the watermark passes its event time, so state is
+    bounded to keys seen inside the watermark horizon — the streaming
+    twin of the batch exact-dedup operators (operators/dedup.py).
+
+    Plain dropDuplicates([key]) would NOT work here: without the
+    event-time column in the subset the watermark never evicts dedup
+    state and it grows without bound in a continuous deployment.
     """
-    return events.withWatermark("ts", "1 day").dropDuplicates([key])
+    return events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark([key])
 
 
 def enrich_stream_with_static(events: DataFrame, user_profile: DataFrame) -> DataFrame:

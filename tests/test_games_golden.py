@@ -103,10 +103,22 @@ def test_month_distribution_keeps_malformed(games_df):
     assert rows["01"] == 2  # 1999 and 2025 rows are NOT year-filtered here
 
 
+def test_month_distribution_drops_short_dates(spark):
+    # reference filters the DERIVED Month != '' (spark_eda.py:467): a
+    # non-empty date shorter than 6 chars has Month='' and is excluded
+    short = spark.createDataFrame(
+        [(1, "G1", "2020", 1.0, 10, "'D'", "'Action'"),
+         (2, "G2", "2020-05-05", 1.0, 10, "'D'", "'Action'")],
+        schema=GAMES_SCHEMA,
+    )
+    rows = {r["Month"]: r["game_count"] for r in G.month_distribution(short).collect()}
+    assert rows == {"05": 1}
+
+
 def test_owners_histogram_bins(games_df):
     rows = {r["owners_range"]: r["game_count"] for r in G.owners_histogram(games_df).collect()}
     assert rows == {
-        "<1万": 6, "1-5万": 2, "5-15万": 2, "15-50万": 1, "200万+": 2,
+        "0-1万": 6, "1-5万": 2, "5-15万": 2, "15-50万": 1, "200万+": 2,
     }
 
 

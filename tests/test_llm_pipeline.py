@@ -1,0 +1,80 @@
+"""LLM-data-pipeline quality gates: ANN recall vs the exact baseline,
+MinHash-LSH recall vs exact Jaccard, df-cap harmlessness at test SF,
+and the no-driver-collect contract on registered query paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_gamedb_etl_spark.operators import dedup, similarity
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_ann_lsh_recall_vs_exact(spark, sf):
+    exact = [r["vec_id"] for r in similarity.sim_cosine_topk(spark, sf).collect()]
+    ann = {r["vec_id"] for r in similarity.sim_ann_lsh_topk(spark, sf).collect()}
+    recall = len(ann & set(exact)) / len(exact)
+    assert recall >= 0.9, f"ANN LSH recall {recall} < 0.9 at {sf}"
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf):
+    exact = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard_pairs(spark, sf).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.dedup_minhash_lsh_pairs(spark, sf).collect()
+    }
+    assert exact, f"no exact near-dup pairs at {sf} — fixture regressed"
+    hit = [p for p in exact if p in lsh]
+    recall = len(hit) / len(exact)
+    assert recall >= 0.9, f"MinHash LSH recall {recall} < 0.9 at {sf}"
+    # the verify stage is exact: every surfaced pair carries the true
+    # Jaccard, and precision is 1.0 by construction (J ≥ threshold)
+    for p in hit:
+        assert lsh[p] == pytest.approx(exact[p], abs=1e-4)
+    assert all(j >= dedup.JACCARD_THRESHOLD for j in lsh.values())
+
+
+def test_shingle_df_cap_is_inactive_at_test_sf(spark, duck, sf_dir):
+    # the cap exists for the 100 TB hot-shingle case; at test SF every
+    # doc-frequency must sit far below it, so the exact oracle match in
+    # test_oracle_parity proves no qualifying pair is lost
+    hist = dedup.dedup_token_jaccard_stats(spark, sf_dir).collect()
+    max_df = max(r["doc_freq"] for r in hist)
+    assert max_df <= dedup.SHINGLE_DF_CAP, (
+        f"max shingle df {max_df} exceeds cap — the capped exact tier "
+        "would drop signal at this SF; raise SHINGLE_DF_CAP or route "
+        "this corpus to the LSH tier"
+    )
+
+
+def test_no_driver_collect_in_registered_query_modules():
+    """README contract: no registered query path collects the corpus to
+    the driver.  (`.first()` on a one-row query lookup is allowed —
+    that's model/plan-sized traffic, not data-sized.)"""
+    import inspect
+
+    from bigdata_gamedb_etl_spark.operators import (
+        core,
+        extended,
+        joins,
+        marts,
+        multimodal,
+        sqlqueries,
+        textops,
+        tpch,
+        windows,
+    )
+
+    for mod in (
+        dedup, similarity, core, extended, joins, marts,
+        multimodal, sqlqueries, textops, tpch, windows,
+    ):
+        src = inspect.getsource(mod)
+        assert ".collect()" not in src, f"{mod.__name__} collects to the driver"

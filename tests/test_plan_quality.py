@@ -63,11 +63,34 @@ def test_q6_pushes_every_predicate(spark, sf_dir):
 
 
 def test_q5_broadcasts_all_dimensions(spark, sf_dir):
-    plan = plans.physical(tpch.q5_local_supplier_volume(spark, sf_dir))
-    # customer, supplier, nation all broadcast; only lineitem⋈orders and
-    # the final aggregation may shuffle
-    assert plan.count("BroadcastExchange") >= 3
+    df = tpch.q5_local_supplier_volume(spark, sf_dir)
+    plan = plans.physical(df)
+    # supplier + nation broadcast (customer may too, but by AQE/size
+    # estimate, never by hint); only lineitem⋈orders and the final
+    # aggregation may shuffle
+    assert plan.count("BroadcastExchange") >= 2
     assert plan.count("Exchange hashpartitioning") <= 3
+    # exactly the two true-dim hints (supplier, nation) — customer must
+    # be AQE-decided
+    assert plans.num_broadcast_hints(df) == 2
+
+
+def test_customer_joins_are_aqe_decided(spark, sf_dir):
+    """Customer/orders scale with the fact side (×SF): an explicit
+    broadcast hint would override AQE's size check and OOM the build
+    side at 100×.  These queries must carry zero hints."""
+    from bigdata_gamedb_etl_spark.operators import extended
+
+    for q in (
+        tpch.q3_top_revenue_orders,   # li⋈orders⋈customer
+        core.a4_price_bin_acctbal,    # orders⋈customer
+        extended.ga2_cube_segment_priority,  # orders⋈customer cube
+    ):
+        assert plans.num_broadcast_hints(q(spark, sf_dir)) == 0, (
+            f"{q.__name__} hint-forces a fact-scaling table"
+        )
+    # j1 keeps hints only on nation+region; customer un-hinted
+    assert plans.num_broadcast_hints(joins.j1_region_revenue(spark, sf_dir)) == 2
 
 
 def test_narrow_scan_query_has_no_hash_shuffle(spark, sf_dir):

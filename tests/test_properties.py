@@ -39,7 +39,7 @@ def _py_price_bin(p: float) -> str:
 
 def _py_owner_bin(o: int) -> str:
     for edge, label in [
-        (10_000, "<1万"), (50_000, "1-5万"), (150_000, "5-15万"),
+        (10_000, "0-1万"), (50_000, "1-5万"), (150_000, "5-15万"),
         (500_000, "15-50万"), (2_000_000, "50-200万"),
     ]:
         if o < edge:
