@@ -25,11 +25,13 @@ from bigdata_gamedb_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: headline mix: scan-agg (q1, a1), star join (j1), window (w4),
-#: SQL surface (a6), near-dup exact + LSH, vector search, text scan,
-#: Arrow-batched Python path (mm).
+#: headline mix: scan-agg (q1, a1), star join (j1), aggregate-then-join
+#: (q18), window (w4), SQL surface (a6), near-dup exact + LSH, vector
+#: search (exact scan + blocked-GEMM 1-NN), sessionization, as-of and
+#: banded interval joins, text scan, Arrow-batched Python path (mm).
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume",
     "a1_word_revenue",
     "j1_region_revenue",
     "w4_daily_event_rollup",
@@ -39,6 +41,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_knn_top1",
     "sess1_user_sessions",
+    "asof_purchase_click",
+    "interval_error_click_burst",
     "text_stats",
     "mm_feature_extract",
 ]
@@ -71,7 +75,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-query wall clock (noop sink), sum of 12 queries",
+                "metric": "headline-query wall clock (noop sink), sum of 15 queries",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

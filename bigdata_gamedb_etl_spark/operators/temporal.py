@@ -1,0 +1,219 @@
+"""Temporal join operators over the `events` table — the time-series
+surface a training-data/telemetry pipeline needs beyond plain windows:
+as-of join, interval (range) join, and hypertable-style multi-grain
+rollup.  The reference's only time handling is string year/month
+slicing (spark_eda.py:128-132,465-472); these declare the full
+capability on real timestamps.
+
+Scale notes:
+- The as-of join is the union-merge formulation: tag both sides, one
+  shuffle on user_id, one ordered window pass carrying the last left
+  timestamp forward.  NO range-join explosion, no per-row probe —
+  this is the shape that survives 100 TB (cost = sort of the union).
+- The interval join is BANDED: intervals explode into the fixed-width
+  time buckets they overlap (≤2 for window ≤ bucket), the point side
+  gets its single bucket, and the join is a plain equi-join on
+  (user, bucket) with an exact range filter after.  A naive
+  inequality join would be a per-user cross product.
+- The rollup computes every granularity in ONE shuffle (partial aggs
+  combine map-side for all grouping sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "click"
+INTERVAL_SEC = 600  # 10-minute window after each error event
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+
+
+# --------------------------------------------------------------------------
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click of the
+    same user at-or-before it (DuckDB `ASOF LEFT JOIN` semantics —
+    the oracle literally uses it).
+
+    Implementation is the union-merge as-of: union tagged sides,
+    window per user ordered by (ts, side) — side=0 (clicks) sorts
+    before side=1 (purchases) at equal timestamps, making the match
+    inclusive — and carry max(click ts) forward.  One shuffle, no
+    range explosion."""
+    e = _events_us(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "user_id", "us", F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = e.where(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "user_id", "us", F.lit(1).alias("side"), "event_id", "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "click_us", F.max(F.when(F.col("side") == 0, F.col("us"))).over(w)
+    )
+    return (
+        merged.where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            "click_us",
+            ((F.col("us") - F.col("click_us")) / F.lit(1_000_000))
+            .cast("bigint")
+            .alias("gap_sec"),
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS pus, value
+  FROM events WHERE event_type = '{ASOF_LEFT_TYPE}'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+)
+SELECT p.event_id, p.user_id, p.pus AS purchase_us, c.cus AS click_us,
+       CAST((p.pus - c.cus) // 1000000 AS BIGINT) AS gap_sec, p.value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pus >= c.cus
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+def interval_error_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for each error event, the clicks of the same user
+    inside [error_ts, error_ts + 10 min) — errors with no such click
+    are omitted (inner semantics).
+
+    Banded plan: the click's bucket floor(ts/W) is unique, the error
+    probes the ≤2 buckets its window overlaps, so the equi-join on
+    (user, bucket) finds every qualifying pair exactly once — no
+    dedup stage, no inequality-join cross product."""
+    e = _events_us(spark, sf_dir)
+    w_us = INTERVAL_SEC * 1_000_000
+    errors = (
+        e.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("us").alias("eus"),
+            # integer `div`, not float division: a double quotient can
+            # round UP across a bucket boundary for us within ~1e3 of it
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"us div {w_us}"),
+                        F.expr(f"(us + {w_us}) div {w_us}"),
+                    )
+                )
+            ).alias("bucket"),
+        )
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("us").alias("cus"),
+        F.col("value").alias("cvalue"),
+        F.expr(f"us div {w_us}").alias("bucket"),
+    )
+    return (
+        errors.join(clicks, ["user_id", "bucket"])
+        .where((F.col("cus") >= F.col("eus")) & (F.col("cus") < F.col("eus") + w_us))
+        .groupBy("error_id", "user_id")
+        .agg(
+            F.count("*").alias("clicks_10m"),
+            F.round(F.sum(F.col("cvalue").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("click_value_sum"),
+        )
+        .orderBy("error_id")
+    )
+
+
+INTERVAL_ORACLE = f"""
+SELECT e.event_id AS error_id, e.user_id,
+       COUNT(*) AS clicks_10m,
+       CAST(ROUND(SUM(CAST(c.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS click_value_sum
+FROM events e
+JOIN events c
+  ON e.user_id = c.user_id
+ AND e.event_type = 'error' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(e.ts)
+ AND epoch_us(c.ts) <  epoch_us(e.ts) + {INTERVAL_SEC} * 1000000
+GROUP BY e.event_id, e.user_id
+ORDER BY error_id
+"""
+
+
+# --------------------------------------------------------------------------
+def rollup_event_time_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: (day, hour, type) →
+    (day, hour) → (day) → grand total, in one shuffle via ROLLUP.
+    The continuous-aggregate shape: coarser grains are exact merges of
+    finer partials."""
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("DAY", "ts").alias("day"),
+        F.date_trunc("HOUR", "ts").alias("hour"),
+        "event_type",
+        "value",
+    )
+    return (
+        e.rollup("day", "hour", "event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy(
+            F.col("day").asc_nulls_first(),
+            F.col("hour").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_GRAIN_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       date_trunc('hour', ts) AS hour,
+       event_type,
+       COUNT(*) AS event_count,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST, event_type ASC NULLS FIRST
+"""
+
+
+QUERIES = {
+    "asof_purchase_click": asof_purchase_click,
+    "interval_error_click_burst": interval_error_click_burst,
+    "rollup_event_time_grain": rollup_event_time_grain,
+}
+
+ORACLE = {
+    "asof_purchase_click": ASOF_ORACLE,
+    "interval_error_click_burst": INTERVAL_ORACLE,
+    "rollup_event_time_grain": ROLLUP_GRAIN_ORACLE,
+}

@@ -1,0 +1,243 @@
+"""Second TPC-H wave: the join/semi-join/disjunction shapes the first
+wave (operators/tpch.py) doesn't cover, adapted to the driver schema
+(no l_shipmode/commitdate/receiptdate columns — Q4/Q12's lateness
+predicate becomes a returned-flag predicate with the same plan shape).
+
+Capability mapping (reference has zero joins; these declare the analytic
+join surface SURVEY.md §2.6 expects at TPC-H shape):
+- Q4: EXISTS → left-semi join + count by priority.
+- Q10: fact⋈fact⋈dim ranking with top-k (TakeOrderedAndProject).
+- Q14: conditional aggregate ratio (CASE inside SUM), month slice.
+- Q18: HAVING on a fact-side aggregate feeding a second join
+  (aggregate-then-join keeps the big side small before the shuffle).
+- Q19: disjunctive multi-column predicate — Catalyst pushes the
+  OR-of-ANDs partially into the part/lineitem scans and prunes with
+  the common sub-predicates.
+
+Money sums use the DECIMAL(18,6)-then-round recipe (see tpch.py Q1) so
+run-order float noise can't flip round-2 boundaries.
+Scale notes: orders/customer are never hint-broadcast (they grow ×SF;
+AQE decides); aggregates sit fact-side before joins where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+Q4_START, Q4_END = "1996-01-01", "1996-04-01"
+Q14_START, Q14_END = "1996-01-01", "1996-02-01"
+Q18_MIN_QTY = 300
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1 - l_discount)"
+_DEC_REV = f"CAST(ROUND(SUM(CAST({_REV_SQL} AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+
+def _sum_rev(alias: str):
+    return (
+        F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias(alias)
+    )
+
+
+# --------------------------------------------------------------------------
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders in a quarter having ≥1 returned lineitem,
+    counted per priority.  EXISTS compiles to a left-semi join — the
+    lineitem side is filtered before the shuffle and no order row
+    duplicates."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    returned = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_START} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q4_END} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter.  lineitem filters on the return flag before the join;
+    nation broadcasts; final top-k is TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_sum_rev("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_DEC_REV} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q4_START} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q4_END} 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share for one month — conditional SUM
+    ratio.  Both sums are exact decimals cast to double before the
+    division, so the ratio is bit-identical across engines."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0)).cast(
+            "decimal(18,6)"
+        )
+    )
+    total = F.sum(_rev().cast("decimal(18,6)"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / total.cast("double"), 4
+        ).alias("promo_revenue_pct"),
+        F.round(total, 2).cast("double").alias("total_revenue"),
+    )
+
+
+Q14_ORACLE = f"""
+SELECT
+  ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0.0 END
+                            AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST({_REV_SQL} AS DECIMAL(18,6))) AS DOUBLE), 4)
+    AS promo_revenue_pct,
+  {_DEC_REV} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q14_END} 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold, with
+    their customer.  The aggregate runs FACT-SIDE FIRST (groupBy
+    lineitem → HAVING) so only qualifying orderkeys reach the joins —
+    at 100 TB that turns a fact⋈fact join into a small⋈fact join."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+
+
+Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING ROUND(SUM(l_quantity), 2) > {Q18_MIN_QTY}
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue under an OR of (brand, size-range, qty-range)
+    conjunctions — the disjunctive-pushdown benchmark.  The part side
+    broadcasts with its brand/size predicates pushed; the residual OR
+    evaluates post-join inside codegen."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    return joined.where(cond).agg(
+        _sum_rev("revenue"), F.count("*").alias("item_count")
+    )
+
+
+Q19_ORACLE = f"""
+SELECT {_DEC_REV} AS revenue, COUNT(*) AS item_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+QUERIES = {
+    "tpch_q4_order_priority": q4_order_priority,
+    "tpch_q10_returned_revenue": q10_returned_revenue,
+    "tpch_q14_promo_revenue": q14_promo_revenue,
+    "tpch_q18_large_volume": q18_large_volume_customers,
+    "tpch_q19_disjunctive": q19_disjunctive_revenue,
+}
+
+ORACLE = {
+    "tpch_q4_order_priority": Q4_ORACLE,
+    "tpch_q10_returned_revenue": Q10_ORACLE,
+    "tpch_q14_promo_revenue": Q14_ORACLE,
+    "tpch_q18_large_volume": Q18_ORACLE,
+    "tpch_q19_disjunctive": Q19_ORACLE,
+}

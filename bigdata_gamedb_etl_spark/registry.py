@@ -22,9 +22,12 @@ from .operators import (
     marts,
     multimodal,
     similarity,
+    sketches,
     sqlqueries,
+    temporal,
     textops,
     tpch,
+    tpch2,
     windows,
 )
 
@@ -32,11 +35,14 @@ from .operators import (
 # this registry (r1 stopped at 50 entries), so the modules whose queries
 # most need fresh hard evidence come first — the LLM-pipeline surface
 # (dedup/similarity/textops/multimodal, unchecked in r1), then extended
-# (sess1 rounding fix, p4-p6 unchecked) and marts (MapType fix), then the
-# star-schema families already proven green in CORRECTNESS_r01.json.
+# (sess1 rounding fix, p4-p6 unchecked), marts (MapType fix), tpch
+# (broadcast-hint change) and the round-2 additions (temporal, tpch2,
+# sketches) — ahead of the star-schema families already proven green in
+# CORRECTNESS_r01.json, which rotate back into the window in later
+# rounds.
 MODULES = [
     dedup, similarity, textops, multimodal,
-    extended, marts, tpch,
+    extended, marts, temporal, tpch2, sketches, tpch,
     core, sqlqueries, windows, joins,
 ]
 

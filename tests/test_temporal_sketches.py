@@ -1,0 +1,76 @@
+"""Temporal-join plan contracts and sketch accuracy bounds (the
+correctness of oracle-backed temporal queries is covered by
+test_oracle_parity; these assert the SHAPE and the approximation
+quality that the oracle can't see)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_gamedb_etl_spark import plans
+from bigdata_gamedb_etl_spark.operators import sketches, temporal
+from bigdata_gamedb_etl_spark.sources.catalog import table
+
+
+def test_asof_join_is_single_shuffle_no_range_explosion(spark, sf_dir):
+    df = temporal.asof_purchase_click(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union-merge as-of: exactly one hash shuffle (user_id for the
+    # window); the final orderBy adds only a range exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_interval_join_is_banded_equi_join(spark, sf_dir):
+    df = temporal.interval_error_click_burst(spark, sf_dir)
+    plan = plans.physical(df)
+    # the (user, bucket) band turns the range join into an equi-join —
+    # a naive inequality join plans as BNLJ/cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_boundary_semantics(spark, sf_dir):
+    # a click exactly at error_ts is included; at error_ts + window it
+    # is not (half-open interval) — checked via the oracle at SF too,
+    # but the banded path must not lose boundary rows to bucket math
+    rows = temporal.interval_error_click_burst(spark, sf_dir).collect()
+    assert all(r["clicks_10m"] >= 1 for r in rows)
+
+
+def test_hll_sketch_accuracy_vs_exact(spark, sf_dir):
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in sketches.sketch_users_per_type(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in (
+            table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        )
+    }
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        assert got[t] == pytest.approx(n, rel=0.05), (t, got[t], n)
+
+
+def test_hll_two_level_merge_matches_direct_sketch(spark, sf_dir):
+    merged = sketches.sketch_daily_merge_total(spark, sf_dir).first()
+    direct = (
+        table(spark, sf_dir, "events")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(sketches.HLL_LGK))
+            ).alias("n")
+        )
+        .first()["n"]
+    )
+    # union of same-lgK partials merges registers losslessly: the
+    # two-level estimate must EQUAL the one-pass estimate
+    assert merged["approx_total_users"] == direct
+    assert merged["days_merged"] >= 1
