@@ -367,6 +367,85 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", simhash64("text").alias("simhash")).orderBy("doc_id")
 
+# --------------------------------------------------------------------------
+CLUSTER_MAX_ITERS = 20
+
+
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    ≥1 Jaccard pair gets a cluster_id = the smallest doc_id reachable
+    through pairs — the final dedup step (keep one doc per component,
+    not per pair, so A~B, B~C collapses to one keeper even when A~C
+    was never emitted).
+
+    Iterative min-label propagation (the Pregel/GraphX shape): each
+    round every node takes the min of its own and its neighbors'
+    labels; converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so a handful.  The driver loop carries only
+    a scalar convergence count and each iteration localCheckpoints to
+    cut lineage; all data stays distributed.  Oracle: DuckDB recursive
+    CTE computing reachability (exponential-ish, fine at oracle SF)."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).toDF("src", "nbr")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["nbr"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# reachability closure over the symmetric pair graph; component id =
+# min reachable node (including self)
+DEDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+base_pairs AS ({DEDUP_JACCARD_ORACLE}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM base_pairs
+  UNION
+  SELECT d2, d1 FROM base_pairs
+),
+walk (node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON w.r = e.a
+)
+SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+FROM walk
+GROUP BY node
+ORDER BY doc_id
+"""
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
@@ -374,6 +453,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_shingle_docfreq_hist": dedup_token_jaccard_stats,
     "dedup_simhash_signatures": dedup_simhash_signatures,
+    "dedup_cluster_assign": dedup_cluster_assign,
 }
 
 ORACLE = {
@@ -381,5 +461,6 @@ ORACLE = {
     "dedup_exact_md5": DEDUP_MD5_ORACLE,
     "dedup_ngram_jaccard_pairs": DEDUP_JACCARD_ORACLE,
     "dedup_shingle_docfreq_hist": DEDUP_DF_ORACLE,
+    "dedup_cluster_assign": DEDUP_CLUSTER_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }

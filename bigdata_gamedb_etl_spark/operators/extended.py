@@ -142,6 +142,65 @@ ORDER BY user_id, session_id
 
 
 # --------------------------------------------------------------------------
+# Native session_window twin of sess1: Spark's built-in gap-session
+# operator (also the streaming sessionization primitive).  Semantics:
+# a new session starts when the gap REACHES the threshold (>=), versus
+# sess1's strict >; identical on data without exact-boundary gaps.
+def sess2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .select(
+            "user_id",
+            "start_us",
+            "event_count",
+            "session_value",
+            ((F.col("end_us") - F.col("start_us")) / F.lit(1_000_000))
+            .cast("bigint")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+SESS2_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   >= {SESSION_GAP_MINUTES} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+sessioned AS (
+  SELECT user_id, us, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(us) AS start_us,
+       COUNT(*) AS event_count,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value,
+       CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, start_us
+"""
+
+
+# --------------------------------------------------------------------------
 # ntile + first_value/last_value window family
 def w7_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
@@ -440,6 +499,7 @@ QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
     "sess1_user_sessions": sess1_user_sessions,
+    "sess2_session_window": sess2_session_window,
     "w7_ntile_quartiles": w7_ntile_quartiles,
     "f1_date_parts": f1_date_parts,
     "f2_string_funcs": f2_string_funcs,
@@ -455,6 +515,7 @@ ORACLE = {
     "ga1_rollup_region_nation": GA1_ORACLE,
     "ga2_cube_segment_priority": GA2_ORACLE,
     "sess1_user_sessions": SESS1_ORACLE,
+    "sess2_session_window": SESS2_ORACLE,
     "w7_ntile_quartiles": W7_ORACLE,
     "f1_date_parts": F1_ORACLE,
     "f2_string_funcs": F2_ORACLE,

@@ -5,5 +5,7 @@ from .windowed import (  # noqa: F401
     enrich_stream_with_static,
     read_events_stream,
     run_stream_to_memory,
+    session_window_stream,
+    stream_stream_error_click_join,
     user_running_totals_stream,
 )

@@ -154,3 +154,67 @@ def enrich_stream_with_static(events: DataFrame, user_profile: DataFrame) -> Dat
     return events.join(user_profile, "user_id", "left").select(
         "event_id", "user_id", "event_type", "value", "user_tier"
     )
+
+
+def session_window_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming gap sessionization: the native session_window operator
+    under a watermark — the streaming twin of the batch
+    sess2_session_window (operators/extended.py).  State holds one open
+    session per user; the watermark closes and emits sessions whose gap
+    horizon has passed."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", f"{gap_minutes} minutes"), "user_id")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            "event_count",
+            "session_value",
+        )
+    )
+
+
+def stream_stream_error_click_join(
+    errors: DataFrame, clicks: DataFrame, window_sec: int = 600
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: clicks
+    within `window_sec` AFTER an error by the same user — the streaming
+    twin of the batch banded interval join
+    (operators/temporal.py::interval_error_click_burst).
+
+    Both sides carry watermarks, and the range condition bounds how
+    long each side's state is retained (Spark derives the state
+    horizon from watermark + time bounds — without the range bound the
+    join state would grow forever)."""
+    e = (
+        errors.withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    return e.join(
+        c,
+        F.expr(
+            f"""
+            e_user = c_user AND
+            c_ts >= e_ts AND
+            c_ts < e_ts + INTERVAL {window_sec} SECONDS
+            """
+        ),
+    ).select("error_id", F.col("e_user").alias("user_id"), "c_ts", "click_value")

@@ -130,3 +130,48 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
     run_once()
     total = spark.read.parquet(out).count()
     assert total == 1000 + 10000  # f1 not reprocessed, f2 ingested once
+
+
+def test_streaming_session_window_subset_of_batch(spark, sf_dir, events_dir):
+    from bigdata_gamedb_etl_spark.operators.extended import sess2_session_window
+
+    events = streaming.read_events_stream(spark, events_dir)
+    sessions = streaming.session_window_stream(events)
+    streaming.run_stream_to_memory(sessions, "sessions_t", "append")
+
+    got = {
+        (r["user_id"], r["start_us"]): (r["event_count"], r["session_value"])
+        for r in spark.table("sessions_t").collect()
+    }
+    want = {
+        (r["user_id"], r["start_us"]): (r["event_count"], r["session_value"])
+        for r in sess2_session_window(spark, sf_dir).collect()
+    }
+    # append mode emits only watermark-closed sessions: everything
+    # emitted must match the batch twin exactly, and most sessions
+    # (all but the final day inside the watermark horizon) must emit
+    assert got, "no sessions emitted"
+    assert set(got) <= set(want)
+    for k in got:
+        assert got[k] == want[k]
+    assert len(got) >= len(want) // 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    from bigdata_gamedb_etl_spark.operators.temporal import (
+        interval_error_click_burst,
+    )
+
+    ev = streaming.read_events_stream(spark, events_dir)
+    errors = ev.where(F.col("event_type") == "error")
+    clicks = ev.where(F.col("event_type") == "click")
+    joined = streaming.stream_stream_error_click_join(errors, clicks)
+    streaming.run_stream_to_memory(joined, "ss_join_t", "append")
+
+    got_pairs = spark.table("ss_join_t").count()
+    want_pairs = (
+        interval_error_click_burst(spark, sf_dir)
+        .agg(F.sum("clicks_10m").alias("n"))
+        .first()["n"]
+    ) or 0
+    assert got_pairs == want_pairs

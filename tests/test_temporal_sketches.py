@@ -40,6 +40,33 @@ def test_interval_join_boundary_semantics(spark, sf_dir):
     assert all(r["clicks_10m"] >= 1 for r in rows)
 
 
+def test_tpch2_plan_shapes(spark, sf_dir):
+    from bigdata_gamedb_etl_spark.operators import tpch2
+
+    # Q4: EXISTS compiles to left-semi, one fact shuffle
+    p4 = plans.physical(tpch2.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in p4
+    assert p4.count("Exchange hashpartitioning") <= 1
+    # Q10: final top-k is TakeOrderedAndProject, not global sort
+    assert "TakeOrderedAndProject" in plans.physical(
+        tpch2.q10_returned_revenue(spark, sf_dir)
+    )
+    # Q14/Q19: broadcast dim + global agg — zero hash shuffles
+    for q in (tpch2.q14_promo_revenue, tpch2.q19_disjunctive_revenue):
+        assert plans.physical(q(spark, sf_dir)).count("Exchange hashpartitioning") == 0
+    # Q19 pushes parts of the disjunction into both scans
+    assert "p_brand" in plans.pushed_filters(tpch2.q19_disjunctive_revenue(spark, sf_dir))
+    # Q18: aggregate-then-join — exactly the one aggregation shuffle
+    assert plans.physical(
+        tpch2.q18_large_volume_customers(spark, sf_dir)
+    ).count("Exchange hashpartitioning") <= 1
+
+
+def test_rollup_single_shuffle(spark, sf_dir):
+    p = plans.physical(temporal.rollup_event_time_grain(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
 def test_hll_sketch_accuracy_vs_exact(spark, sf_dir):
     got = {
         r["event_type"]: r["approx_users"]
