@@ -299,7 +299,31 @@ def run_reference_workload(spark: SparkSession, games: DataFrame) -> dict[str, D
     """The reference's complete stage-2 + stage-3 run as one call
     (spark_eda.py main + stage3.ipynb cells, minus matplotlib/HBase):
     every analysis as a named lazy DataFrame.  Callers collect/write
-    at the presentation edge."""
+    at the presentation edge.
+
+    Figure → input-DataFrame mapping (S9, reference figs/*.png — the
+    panels plot exactly these returned DataFrames, so a caller can
+    regenerate every figure from this dict):
+      task1_rdd_analysis.png (spark_eda.py:335-390): genre_revenue
+        (top-10 bar), developer_metrics (top-10 bar), year_trend
+        (count+revenue twin axis), price_bin_owner_stats (bin vs
+        avg_owners)
+      task2_dataframe_sql_analysis.png (spark_eda.py:396-457):
+        top_developer_top_game (top dev's hits), genre_price_stats
+        (per-genre pricing), dev_distribution (devs by game count),
+        multi_genre_stats (multi-genre revenue)
+      market_depth_analysis.png (spark_eda.py:523-560):
+        month_distribution, price_bin_owner_stats (game_count),
+        owners_histogram, game_profile (revenue-vs-price scatter)
+      developer_genre_depth_analysis.png (spark_eda.py:624-657):
+        pareto_dev_share, genre_combo_revenue (top-10),
+        developer_metrics (avg revenue vs count), genre_revenue
+        (top-10 share)
+      time_series_trend_analysis.png (spark_eda.py:703-739):
+        year_trend (count, total revenue, avg price =
+        total_price/game_count; the avg-owners panel recomputes the
+        same groupBy over with_derived, as the reference does inline)
+    """
     return {
         "genre_revenue": genre_revenue(games),
         "developer_metrics": developer_metrics(games),

@@ -5,7 +5,10 @@ from .catalog import (  # noqa: F401
     load_all,
     read_csv,
     read_json,
+    read_orc,
+    read_text,
     register_views,
     table,
+    write_orc,
     write_parquet,
 )

@@ -167,6 +167,22 @@ def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.json(path, schema=schema)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema self-describing, predicate pushdown like
+    parquet) — for interop with Hive-era warehouses."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source (one `value` column) — raw-corpus
+    ingestion; pair with functions in operators/textops.py."""
+    return spark.read.text(path)
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:
