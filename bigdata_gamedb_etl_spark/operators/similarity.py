@@ -282,7 +282,14 @@ def _packed_blocks(emb: DataFrame, n_blocks_hint: int | None = None) -> DataFram
 def _block_pairs(packed: DataFrame) -> DataFrame:
     """All B² ordered (A-block, B-block) combinations.  Each unordered
     doc pair (i<j) appears in exactly one combination when the GEMM
-    masks to id_b > id_a, so no dedup stage is needed."""
+    masks to id_b > id_a, so no dedup stage is needed.
+
+    The packed blocks are localCheckpoint-ed first: both crossJoin
+    branches reference the same pack, and without materialization the
+    corpus scan + groupBy + pack would execute twice — at 100 TB that
+    doubles the dominant cost.  Checkpoint storage is executor-local
+    (the normalized corpus, same order of size as the input)."""
+    packed = packed.localCheckpoint(eager=True)
     a = packed.select(
         F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a")
     )

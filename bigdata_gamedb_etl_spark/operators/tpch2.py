@@ -226,12 +226,177 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15  AND l_quantity BETWEEN 
 """
 
 
+# --------------------------------------------------------------------------
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (min-per-group + join back, adapted: no partsupp table —
+    unit price observed on lineitem stands in for supplycost): for each
+    size-1 part, the supplier with the lowest average unit price.
+    The per-group argmin is a window rank over the aggregated
+    (part, supplier) grain — aggregate first, window second, so the
+    window sorts grouped rows, not raw lineitems."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    p = table(spark, sf_dir, "part").where(F.col("p_size") == 1).select(
+        "p_partkey", "p_name"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    from pyspark.sql import Window
+
+    per_ps = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(
+                    (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("avg_unit_price")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("avg_unit_price", "l_suppkey")
+    return (
+        per_ps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "avg_unit_price")
+        .orderBy("p_partkey")
+    )
+
+
+Q2_ORACLE = """
+WITH per_ps AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         CAST(ROUND(AVG(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS avg_unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 1 AND l_quantity > 0
+  GROUP BY p_partkey, p_name, l_suppkey
+)
+SELECT p_partkey, p_name, s_name, avg_unit_price
+FROM per_ps JOIN supplier ON l_suppkey = s_suppkey
+QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey
+                           ORDER BY avg_unit_price, l_suppkey) = 1
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) whose quarterly revenue equals the max —
+    aggregate → global-max scalar → equality filter.  The max arrives
+    via a 1-row broadcast join (a window over an unpartitioned frame
+    would funnel every group through one task)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q4_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q4_END).cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(_sum_rev("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_DEC_REV} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q4_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q4_END} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+def q16_supplier_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute group —
+    COUNT(DISTINCT) over a join, descending-count report."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") != "PROMO").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers with above-average positive balance and NO
+    orders, counted per market segment — scalar subquery (1-row
+    broadcast) + anti join (adapted: mktsegment stands in for the
+    phone country code)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "tpch_q4_order_priority": q4_order_priority,
     "tpch_q10_returned_revenue": q10_returned_revenue,
     "tpch_q14_promo_revenue": q14_promo_revenue,
     "tpch_q18_large_volume": q18_large_volume_customers,
     "tpch_q19_disjunctive": q19_disjunctive_revenue,
+    "tpch_q2_min_cost_supplier": q2_min_cost_supplier,
+    "tpch_q15_top_supplier": q15_top_supplier,
+    "tpch_q16_supplier_cardinality": q16_supplier_cardinality,
+    "tpch_q22_dormant_rich": q22_dormant_rich_customers,
 }
 
 ORACLE = {
@@ -240,4 +405,8 @@ ORACLE = {
     "tpch_q14_promo_revenue": Q14_ORACLE,
     "tpch_q18_large_volume": Q18_ORACLE,
     "tpch_q19_disjunctive": Q19_ORACLE,
+    "tpch_q2_min_cost_supplier": Q2_ORACLE,
+    "tpch_q15_top_supplier": Q15_ORACLE,
+    "tpch_q16_supplier_cardinality": Q16_ORACLE,
+    "tpch_q22_dormant_rich": Q22_ORACLE,
 }

@@ -21,6 +21,7 @@ from .operators import (
     joins,
     marts,
     multimodal,
+    pipeline,
     similarity,
     sketches,
     sqlqueries,
@@ -43,7 +44,7 @@ from .operators import (
 MODULES = [
     dedup, similarity, textops, multimodal,
     extended, marts, temporal, tpch2, sketches, tpch,
-    core, sqlqueries, windows, joins,
+    pipeline, core, sqlqueries, windows, joins,
 ]
 
 
