@@ -387,6 +387,256 @@ ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: revenue flowing between a nation pair per ship-year —
+    the widest join in the suite (lineitem ⋈ orders ⋈ customer ⋈ n1,
+    lineitem ⋈ supplier ⋈ n2) with a symmetric pair predicate.  Both
+    nation joins broadcast (true dims); supplier broadcasts under AQE's
+    size check; orders/customer stay shuffle joins on the fact grain."""
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.where(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_sum_rev("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, {_DEC_REV} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+    AND n2.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (no l_shipmode column — l_linestatus carries the
+    grouping): per line status in a ship-year, CASE-split counts of
+    urgent vs non-urgent orders.  The conditional aggregate runs
+    map-side; orders joins on the fact key without a broadcast hint."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: two-level aggregation over a LEFT join — orders per
+    customer (zero-order customers kept by the outer join), then the
+    distribution of customers by that count.  The second groupBy keys on
+    a tiny domain (distinct order counts), so the second shuffle is
+    negligible; the first is the customer-grain shuffle Q13 requires."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-part average — revenue from lineitems
+    whose quantity is below 20% of their part's average quantity, for
+    one brand.  The correlated scalar subquery becomes aggregate-then-
+    join: per-part averages are computed once on the brand-filtered
+    fact slice and joined back (both sides pre-filtered by the same
+    broadcast part dim, so the per-part agg is small and broadcasts
+    under AQE)."""
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+Q17_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE)
+         AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (no commit/receipt dates — the 'late' predicate becomes
+    the returned flag): suppliers who returned a line on a finished
+    multi-supplier order where NO other supplier returned one — a semi
+    join and an anti join against the same fact table under different
+    correlated predicates, the hardest subquery shape in TPC-H.  Both
+    probe sides reduce to distinct (orderkey, suppkey) pairs before the
+    joins, so the shuffles carry two longs per row."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+        .distinct()
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_ORACLE = """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM orders
+                WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "tpch_q4_order_priority": q4_order_priority,
     "tpch_q10_returned_revenue": q10_returned_revenue,
@@ -397,6 +647,11 @@ QUERIES = {
     "tpch_q15_top_supplier": q15_top_supplier,
     "tpch_q16_supplier_cardinality": q16_supplier_cardinality,
     "tpch_q22_dormant_rich": q22_dormant_rich_customers,
+    "tpch_q7_volume_shipping": q7_volume_shipping,
+    "tpch_q12_priority_by_status": q12_priority_by_status,
+    "tpch_q13_customer_distribution": q13_customer_distribution,
+    "tpch_q17_small_quantity": q17_small_quantity_revenue,
+    "tpch_q21_sole_returned": q21_sole_returned_supplier,
 }
 
 ORACLE = {
@@ -409,4 +664,9 @@ ORACLE = {
     "tpch_q15_top_supplier": Q15_ORACLE,
     "tpch_q16_supplier_cardinality": Q16_ORACLE,
     "tpch_q22_dormant_rich": Q22_ORACLE,
+    "tpch_q7_volume_shipping": Q7_ORACLE,
+    "tpch_q12_priority_by_status": Q12_ORACLE,
+    "tpch_q13_customer_distribution": Q13_ORACLE,
+    "tpch_q17_small_quantity": Q17_ORACLE,
+    "tpch_q21_sole_returned": Q21_ORACLE,
 }

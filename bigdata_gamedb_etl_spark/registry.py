@@ -70,10 +70,9 @@ PRIORITY = [
     "tpch_q16_supplier_cardinality", "tpch_q22_dormant_rich",
     "sketch_users_per_type", "sketch_daily_merge_total",
     "pipeline_clean_corpus",
-    # plan changed this round (forced-broadcast removal) + headline control
-    "tpch_q3_top_revenue_orders", "tpch_q5_local_supplier_volume",
-    "a4_price_bin_acctbal", "ga2_cube_segment_priority",
-    "tpch_q1_pricing_summary",
+    "tpch_q7_volume_shipping", "tpch_q12_priority_by_status",
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity",
+    "tpch_q21_sole_returned",
 ]
 
 
