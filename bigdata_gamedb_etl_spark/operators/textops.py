@@ -251,6 +251,99 @@ FROM documents
 ORDER BY doc_id
 """
 
+# --------------------------------------------------------------------------
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (the filter
+    battery large-corpus pipelines run before training): duplicate-token
+    ratio, most-frequent-token share, duplicate-bigram ratio, mean word
+    length, symbol-to-char ratio, and a keep/drop verdict.
+
+    Two pieces, both shuffle-light: the array signals are per-row HOFs
+    (zero shuffle); the top-token share needs real term frequencies, so
+    tokens explode into a (doc_id, token) partial-aggregated count —
+    map-side combine collapses each partition to its distinct tokens
+    before the doc_id shuffle, and the re-join is on the same doc_id
+    key."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    n = F.size(toks)
+    bigrams = F.expr(
+        f"zip_with(slice({_TOKS}, 1, size({_TOKS}) - 1),"
+        f" slice({_TOKS}, 2, size({_TOKS}) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    row_sig = d.select(
+        "doc_id",
+        n.alias("token_count"),
+        F.round(1 - F.size(F.array_distinct(toks)) / n, 4).alias("dup_token_ratio"),
+        F.round(
+            1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4
+        ).alias("dup_bigram_ratio"),
+        F.round(
+            F.expr(f"aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t))") / n, 4
+        ).alias("mean_word_len"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) / F.length("text"),
+            4,
+        ).alias("symbol_ratio"),
+    )
+    top_share = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg((F.max("cnt") / F.sum("cnt")).alias("raw_share"))
+        .select("doc_id", F.round("raw_share", 4).alias("top_token_share"))
+    )
+    return (
+        row_sig.join(top_share, "doc_id")
+        .withColumn(
+            "keep",
+            (F.col("dup_token_ratio") <= 0.5)
+            & (F.col("dup_bigram_ratio") <= 0.3)
+            & (F.col("top_token_share") <= 0.2)
+            & F.col("mean_word_len").between(2, 12)
+            & (F.col("symbol_ratio") <= 0.25),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_GOPHER_ORACLE = f"""
+WITH row_sig AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_DUCK}) AS INTEGER) AS token_count,
+         ROUND(1 - len(list_distinct({_TOKS_DUCK})) * 1.0 / len({_TOKS_DUCK}), 4)
+           AS dup_token_ratio,
+         ROUND(1 - len(list_distinct(
+                 list_transform(range(1, len({_TOKS_DUCK})),
+                   i -> {_TOKS_DUCK}[i] || ' ' || {_TOKS_DUCK}[i + 1]))) * 1.0
+               / (len({_TOKS_DUCK}) - 1), 4) AS dup_bigram_ratio,
+         ROUND(list_sum(list_transform({_TOKS_DUCK}, t -> length(t))) * 1.0
+               / len({_TOKS_DUCK}), 4) AS mean_word_len,
+         ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / length(text), 4) AS symbol_ratio
+  FROM documents
+),
+top_share AS (
+  SELECT doc_id, ROUND(MAX(cnt) * 1.0 / SUM(cnt), 4) AS top_token_share
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+)
+SELECT r.doc_id, r.token_count, r.dup_token_ratio, r.dup_bigram_ratio,
+       r.mean_word_len, r.symbol_ratio, t.top_token_share,
+       (r.dup_token_ratio <= 0.5 AND r.dup_bigram_ratio <= 0.3
+        AND t.top_token_share <= 0.2 AND r.mean_word_len BETWEEN 2 AND 12
+        AND r.symbol_ratio <= 0.25) AS keep
+FROM row_sig r JOIN top_share t USING (doc_id)
+ORDER BY r.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -259,6 +352,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_bigram_topk": text_bigram_topk,
     "text_regex_token_stats": text_regex_token_stats,
+    "text_gopher_quality": text_gopher_quality,
 }
 
 ORACLE = {
@@ -269,4 +363,5 @@ ORACLE = {
     "text_fingerprint": TEXT_FP_ORACLE,
     "text_bigram_topk": TEXT_BIGRAM_ORACLE,
     "text_regex_token_stats": TEXT_REGEX_ORACLE,
+    "text_gopher_quality": TEXT_GOPHER_ORACLE,
 }
