@@ -7,5 +7,6 @@ from .windowed import (  # noqa: F401
     run_stream_to_memory,
     session_window_stream,
     stream_stream_error_click_join,
+    upsert_stream_to_parquet,
     user_running_totals_stream,
 )

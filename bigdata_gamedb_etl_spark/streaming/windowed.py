@@ -218,3 +218,49 @@ def stream_stream_error_click_join(
             """
         ),
     ).select("error_id", F.col("e_user").alias("user_id"), "c_ts", "click_value")
+
+
+def upsert_stream_to_parquet(
+    per_user: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    keys: list[str] = ["user_id"],
+    order_col: str = "last_us",
+):
+    """foreachBatch sink: maintain a latest-wins parquet mart from a
+    streaming aggregate.  Each micro-batch merges into the target with
+    functions/merge.py::upsert_latest — the streaming analogue of a
+    MERGE INTO target USING batch sink.
+
+    Plain parquet has no transactional MERGE, so the batch function
+    rewrites the mart (read → upsert → overwrite to a temp-then-swap
+    is the table format's job; Delta/Iceberg would do this in-place).
+    The pattern under test is the composition: streaming aggregate →
+    foreachBatch → deterministic merge, restart-safe via the
+    checkpoint (a replayed batch re-merges idempotently because
+    latest-wins is idempotent on (key, order_col)).
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from ..functions.merge import upsert_latest
+
+    spark = per_user.sparkSession
+    schema = per_user.schema
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            current = s.read.parquet(target_path)
+        except Exception:
+            current = s.createDataFrame([], schema)
+        merged = upsert_latest(current, batch, keys=keys, order_col=order_col)
+        # materialize before overwrite: the plan reads target_path
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        per_user.writeStream.outputMode("update")
+        .foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -175,3 +175,69 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
         .first()["n"]
     ) or 0
     assert got_pairs == want_pairs
+
+
+def _per_user_totals(events):
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("event_count"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
+def _batch_totals(spark, events_dir):
+    batch = (
+        spark.read.schema(streaming.EVENTS_STREAM_SCHEMA)
+        .parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    return {
+        r["user_id"]: (r["event_count"], r["total_value"], r["last_us"])
+        for r in _per_user_totals(batch).collect()
+    }
+
+
+def test_foreach_batch_upsert_mart(spark, sf_dir, events_dir, tmp_path):
+    mart = str(tmp_path / "user_mart")
+    ckpt = str(tmp_path / "ckpt_upsert")
+
+    def run():
+        events = streaming.read_events_stream(spark, events_dir)
+        q = streaming.upsert_stream_to_parquet(
+            _per_user_totals(events), mart, ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        r["user_id"]: (r["event_count"], r["total_value"], r["last_us"])
+        for r in spark.read.parquet(mart).collect()
+    }
+    assert got == _batch_totals(spark, events_dir)
+
+    # a late-arriving second file updates only the touched users via the
+    # same checkpoint (incremental MERGE semantics)
+    first = (
+        spark.read.schema(streaming.EVENTS_STREAM_SCHEMA)
+        .parquet(events_dir)
+        .orderBy("event_id")
+        .limit(100)
+    )
+    (
+        first.withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("ts", F.col("ts") + F.lit(86_400_000_000_000))
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "late"))
+    )
+    late = spark.read.parquet(str(tmp_path / "late"))
+    late.write.mode("append").parquet(events_dir)
+
+    run()
+    got2 = {
+        r["user_id"]: (r["event_count"], r["total_value"], r["last_us"])
+        for r in spark.read.parquet(mart).collect()
+    }
+    assert got2 == _batch_totals(spark, events_dir)
+    assert got2 != got
