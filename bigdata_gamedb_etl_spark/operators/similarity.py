@@ -502,6 +502,76 @@ WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {DUP_COSINE_THRESHOLD}
 ORDER BY v1, v2
 """
 
+# --------------------------------------------------------------------------
+SQ8_LEVELS = 127
+
+
+def _sq8(unit_col):
+    """Symmetric int8 quantization of a UNIT vector: floor(127·x + 0.5)
+    per dimension (floor, not round — floor has identical semantics in
+    Spark and DuckDB, so the oracle reproduces the codes bit-exactly)."""
+    return F.transform(
+        unit_col, lambda x: F.floor(SQ8_LEVELS * x + F.lit(0.5)).cast("int")
+    )
+
+
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8-range) cosine top-k: normalize, quantize
+    each dimension to [-127, 127], score with an INTEGER dot product.
+
+    The scale path this demonstrates: the quantized corpus is 4× (vs
+    float32; 8× vs float64) smaller on disk and in memory, so the
+    brute-force scan reads a quarter of the bytes and a broadcast
+    corpus fits 4× more vectors — the standard first rung of ANN
+    compression (SQ8 in FAISS terms) before IVF/PQ.  Same plan shape
+    as sim_cosine_topk: broadcast 1-row query, distributed scan,
+    TakeOrderedAndProject top-k; the dot product runs in integer
+    arithmetic."""
+    emb = _emb_double(spark, sf_dir)
+    unit = F.transform(
+        F.col("emb"), lambda x: x / F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    quant = emb.select("vec_id", _sq8(unit).alias("qcode"))
+    q = quant.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qcode").alias("qv")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("qv"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = quant.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(idot / F.lit(SQ8_LEVELS * SQ8_LEVELS), 4).alias("approx_cosine"),
+    )
+    return scored.orderBy(
+        F.col("approx_cosine").desc(), F.col("vec_id")
+    ).limit(TOP_K)
+
+
+SIM_SQ8_ORACLE = f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 y -> y * y)))) AS u
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(u, x -> CAST(floor({SQ8_LEVELS} * x + 0.5) AS INTEGER)) AS qcode
+  FROM unit
+)
+SELECT a.vec_id,
+       ROUND(list_sum(list_transform(range(1, len(a.qcode) + 1),
+               i -> CAST(a.qcode[i] AS BIGINT) * q.qcode[i]))
+             * 1.0 / {SQ8_LEVELS * SQ8_LEVELS}, 4) AS approx_cosine
+FROM quant a, (SELECT qcode FROM quant WHERE vec_id = {QUERY_VEC_ID}) q
+ORDER BY approx_cosine DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
@@ -509,6 +579,7 @@ QUERIES = {
     "sim_knn_top1": sim_knn_top1,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_cosine_dup_pairs": sim_cosine_dup_pairs,
+    "sim_sq8_topk": sim_sq8_topk,
 }
 
 ORACLE = {
@@ -516,5 +587,6 @@ ORACLE = {
     "sim_label_centroid_norms": SIM_CENTROID_ORACLE,
     "sim_knn_top1": SIM_KNN_ORACLE,
     "sim_cosine_dup_pairs": SIM_DUP_ORACLE,
+    "sim_sq8_topk": SIM_SQ8_ORACLE,
     # sim_ann_lsh_topk, sim_ivf_topk: rows-only (approximate recall by design)
 }

@@ -78,3 +78,11 @@ def test_no_driver_collect_in_registered_query_modules():
     ):
         src = inspect.getsource(mod)
         assert ".collect()" not in src, f"{mod.__name__} collects to the driver"
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_sq8_recall_vs_exact(spark, sf):
+    exact = [r["vec_id"] for r in similarity.sim_cosine_topk(spark, sf).collect()]
+    sq8 = {r["vec_id"] for r in similarity.sim_sq8_topk(spark, sf).collect()}
+    recall = len(sq8 & set(exact)) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall {recall} < 0.9 at {sf}"
