@@ -444,6 +444,78 @@ GROUP BY node
 ORDER BY doc_id
 """
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination: eval-set membership is doc_id % DECON_MOD
+# == 0 — a deterministic stand-in for a real benchmark table (the query
+# shape is identical when the eval side is its own source).
+DECON_MOD = 97
+DECON_FLAG_RATIO = 0.1
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination report: for each training doc, the fraction
+    of its 3-gram shingles that appear anywhere in the benchmark set —
+    the n-gram-overlap decontamination check training pipelines run
+    before a corpus ships.  Only overlapping docs are reported, with a
+    drop flag at ≥ 10% overlap.
+
+    Scale: the benchmark side collapses to DISTINCT 8-byte shingle
+    hashes — eval suites are tiny relative to a 100 TB corpus, so the
+    hash set broadcasts and the corpus side never shuffles; per-doc
+    overlap counting is a map-side aggregate on doc_id after a
+    broadcast-hash-join probe."""
+    sh = _shingled(spark, sf_dir)
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    corpus = sh.where(~is_bench).select(
+        "doc_id",
+        F.size("shs").alias("n"),
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    bench = (
+        sh.where(is_bench)
+        .select(F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"))
+        .distinct()
+    )
+    ratio = F.col("overlap") / F.col("n")
+    return (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap"), F.first("n").alias("n"))
+        .select(
+            "doc_id",
+            "overlap",
+            F.col("n").alias("total_shingles"),
+            F.round(ratio, 4).alias("contamination_ratio"),
+            (ratio >= DECON_FLAG_RATIO).alias("drop_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_DECON_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+nonempty AS (SELECT * FROM sh WHERE len(shs) >= 1),
+corpus AS (
+  SELECT doc_id, len(shs) AS n, UNNEST(shs) AS s
+  FROM nonempty WHERE doc_id % {DECON_MOD} <> 0
+),
+bench AS (
+  SELECT DISTINCT UNNEST(shs) AS s FROM nonempty WHERE doc_id % {DECON_MOD} = 0
+)
+SELECT doc_id,
+       COUNT(*) AS overlap,
+       ANY_VALUE(n) AS total_shingles,
+       ROUND(COUNT(*) * 1.0 / ANY_VALUE(n), 4) AS contamination_ratio,
+       COUNT(*) * 1.0 / ANY_VALUE(n) >= {DECON_FLAG_RATIO} AS drop_doc
+FROM corpus JOIN bench USING (s)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
@@ -452,6 +524,7 @@ QUERIES = {
     "dedup_shingle_docfreq_hist": dedup_token_jaccard_stats,
     "dedup_simhash_signatures": dedup_simhash_signatures,
     "dedup_cluster_assign": dedup_cluster_assign,
+    "dedup_decontaminate": dedup_decontaminate,
 }
 
 ORACLE = {
@@ -460,5 +533,6 @@ ORACLE = {
     "dedup_ngram_jaccard_pairs": DEDUP_JACCARD_ORACLE,
     "dedup_shingle_docfreq_hist": DEDUP_DF_ORACLE,
     "dedup_cluster_assign": DEDUP_CLUSTER_ORACLE,
+    "dedup_decontaminate": DEDUP_DECON_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }
