@@ -86,5 +86,115 @@ GROUP BY s.lang, raw.raw_docs
 ORDER BY s.lang
 """
 
-QUERIES = {"pipeline_clean_corpus": pipeline_clean_corpus}
-ORACLE = {"pipeline_clean_corpus": PIPELINE_ORACLE}
+def pipeline_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example manifest: quality-filtered deduped documents
+    joined 1:1 to their embedding row (doc_id = vec_id) — the assembly
+    step that pairs text with its vector for a multimodal training
+    shard.
+
+    Scale: this is the canonical co-partitioned fact-fact join — both
+    sides are corpus-sized and keyed by the same id, so at 100 TB the
+    tables should be bucketed/partitioned on the id at write time
+    (sources/bucketing.py) and the join needs no shuffle at all; here
+    Spark picks the join strategy by size."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    toks = F.expr(f"size({_TOKS})")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        d.withColumn("token_count", toks)
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("token_count") >= MIN_TOKENS))
+    )
+    emb_norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        kept.join(e, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            "lang",
+            "token_count",
+            "label",
+            F.round(emb_norm, 4).alias("emb_norm"),
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRAINING_EXAMPLES_ORACLE = f"""
+WITH kept AS (
+  SELECT doc_id, lang, len({_TOKS_DUCK}) AS token_count, md5(text) AS text_md5
+  FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang, token_count, label,
+       ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 4) AS emb_norm,
+       text_md5
+FROM kept JOIN embeddings ON doc_id = vec_id
+WHERE token_count >= {MIN_TOKENS}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-language sampling rates (percent kept): the training-mix recipe.
+SAMPLE_RATES = {"en": 80, "zh": 50, "de": 30}
+SAMPLE_DEFAULT_RATE = 10
+SAMPLE_SEED = 42
+
+
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling — the data-mixing step of a
+    training pipeline: each language keeps a configured percentage of
+    documents, selected by a DETERMINISTIC hash of (seed, doc_id)
+    rather than an RNG, so every engine and every rerun draws the same
+    sample (md5 here: engine-portable; the point is hash-gated
+    sampling, not the hash).  Narrow map + filter, no shuffle, no RNG
+    state — at 100 TB each task samples its partition independently."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(SAMPLE_SEED), "doc_id")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .where(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(SAMPLE_RATES.items())
+) + f" ELSE {SAMPLE_DEFAULT_RATE} END"
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(concat('0x', substring(md5({SAMPLE_SEED} || '_' || doc_id), 1, 4)) AS INTEGER) % 100
+      < {_RATE_SQL}
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "pipeline_clean_corpus": pipeline_clean_corpus,
+    "pipeline_training_examples": pipeline_training_examples,
+    "pipeline_stratified_sample": pipeline_stratified_sample,
+}
+ORACLE = {
+    "pipeline_clean_corpus": PIPELINE_ORACLE,
+    "pipeline_training_examples": TRAINING_EXAMPLES_ORACLE,
+    "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+}
