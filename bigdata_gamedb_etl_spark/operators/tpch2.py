@@ -637,6 +637,210 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+Q8_TARGET_NATION = "NATION_3"
+Q8_REGION = "ASIA"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of revenue among a region's
+    customers, per order-year — a conditional-aggregate ratio
+    (CASE-sum / sum) on top of a 6-table join.  nation/region broadcast
+    as true dims; the supplier join carries the numerator flag so the
+    share needs no second pass."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    n_c = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n_s = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    flagged = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        flagged.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == Q8_TARGET_NATION, rev).otherwise(F.lit(0).cast("decimal(18,6)")))
+                / F.sum(rev),
+                4,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = f"""
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(ROUND(
+         SUM(CASE WHEN n2.n_name = '{Q8_TARGET_NATION}'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END)
+         / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{Q8_REGION}'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per supplier-nation per year over parts whose
+    name contains a substring (no partsupp/supplycost column — cost is
+    modeled as 50% of the part's retail price per unit).  The part
+    filter broadcasts and prunes lineitem before the orders join."""
+    p = table(spark, sf_dir, "part").where(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.5 * p_retailprice * l_quantity
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+Q11_FRACTION = 0.0007
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose shipped value exceeds a FRACTION of the
+    global total (no partsupp — shipped lineitem value stands in for
+    stock value).  Aggregate once, derive the global threshold from the
+    same aggregate via a 1-row broadcast, filter — the aggregate is
+    computed one time, not once per row as the literal SQL subquery
+    implies."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(_sum_rev("part_value"))
+    total = per_part.agg(
+        (F.sum("part_value") * Q11_FRACTION).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey, {_DEC_REV} AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT SUM(part_value) * {Q11_FRACTION} FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+Q20_SHARE = 0.12
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who shipped more than a SHARE of a part's total
+    volume, for parts of one brand — nested aggregate (per-part total →
+    per-(part,supplier) share) feeding a semi join on supplier.  Both
+    aggregates sit on the same (partkey[, suppkey]) grain, so the
+    second reuses the first's shuffle partitioning."""
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2").select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("ps_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("ps_qty").alias("part_qty"))
+    heavy = (
+        per_ps.join(per_part, "l_partkey")
+        .where(F.col("ps_qty") > Q20_SHARE * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS ps_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#2'
+  GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+  SELECT l_partkey, SUM(ps_qty) AS part_qty FROM per_ps GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
+  WHERE ps_qty > {Q20_SHARE} * part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "tpch_q4_order_priority": q4_order_priority,
     "tpch_q10_returned_revenue": q10_returned_revenue,
@@ -652,6 +856,10 @@ QUERIES = {
     "tpch_q13_customer_distribution": q13_customer_distribution,
     "tpch_q17_small_quantity": q17_small_quantity_revenue,
     "tpch_q21_sole_returned": q21_sole_returned_supplier,
+    "tpch_q8_market_share": q8_market_share,
+    "tpch_q9_product_profit": q9_product_profit,
+    "tpch_q11_important_stock": q11_important_stock,
+    "tpch_q20_excess_shippers": q20_excess_shippers,
 }
 
 ORACLE = {
@@ -669,4 +877,8 @@ ORACLE = {
     "tpch_q13_customer_distribution": Q13_ORACLE,
     "tpch_q17_small_quantity": Q17_ORACLE,
     "tpch_q21_sole_returned": Q21_ORACLE,
+    "tpch_q8_market_share": Q8_ORACLE,
+    "tpch_q9_product_profit": Q9_ORACLE,
+    "tpch_q11_important_stock": Q11_ORACLE,
+    "tpch_q20_excess_shippers": Q20_ORACLE,
 }

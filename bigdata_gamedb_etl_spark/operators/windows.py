@@ -212,6 +212,47 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 ORDER BY c_mktsegment, bal_rank, c_custkey
 """
 
+# --------------------------------------------------------------------------
+# Time-RANGE window frame (vs w3's row frame): per user, the rolling
+# 1-hour sum — the frame includes every event within the trailing
+# interval, however many rows that is.  Spark range frames need a
+# numeric order column, so the frame is expressed over epoch
+# microseconds; ties (same us) are all included by RANGE semantics in
+# both engines.
+RANGE_FRAME_US = 3_600_000_000  # 1 hour
+
+
+def w8_range_frame_hourly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+            .cast("double")
+            .alias("trailing_1h_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+W8_ORACLE = f"""
+SELECT event_id, user_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS trailing_1h_value
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "w1_pareto_supplier_share": w1_pareto_supplier_share,
     "w2_top_customers_per_nation": w2_top_customers_per_nation,
@@ -219,6 +260,7 @@ QUERIES = {
     "w4_daily_event_rollup": w4_daily_event_rollup,
     "w5_value_delta_per_user": w5_value_delta_per_user,
     "w6_customer_rank_in_segment": w6_customer_rank_in_segment,
+    "w8_range_frame_hourly": w8_range_frame_hourly_sum,
 }
 
 ORACLE = {
@@ -228,4 +270,5 @@ ORACLE = {
     "w4_daily_event_rollup": W4_ORACLE,
     "w5_value_delta_per_user": W5_ORACLE,
     "w6_customer_rank_in_segment": W6_ORACLE,
+    "w8_range_frame_hourly": W8_ORACLE,
 }
