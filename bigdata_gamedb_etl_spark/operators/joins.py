@@ -226,6 +226,49 @@ GROUP BY p_brand, s_name
 ORDER BY p_brand, s_name
 """
 
+# --------------------------------------------------------------------------
+# Skew-resistant join: the salted-join utility surfaced as a driver
+# query.  Semantically identical to the plain orders ⋈ customer join —
+# the oracle IS the plain join — but the physical shuffle key is
+# (custkey, salt), spreading any hot customer over 8 reducers.
+def j9_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order value per market segment via functions.skew.salted_join.
+
+    Scale: AQE's skew-join splits oversized post-shuffle partitions,
+    but only at stage boundaries it can see; salting handles the
+    pathological single-hot-key case deterministically (no rand()),
+    and this query proves the rewrite is result-identical to the
+    un-salted join under the driver's hash gate."""
+    from ..functions.skew import salted_join
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        o, c, F.col("o_custkey") == F.col("c_custkey"), distinct_col="o_totalprice"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("segment_value"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+J9_ORACLE = """
+SELECT c_mktsegment,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS segment_value,
+       COUNT(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "j1_region_revenue": j1_region_revenue,
     "j2_customers_with_orders": j2_customers_with_orders,
@@ -235,6 +278,7 @@ QUERIES = {
     "j6_nations_customers_only": j6_nations_customers_only,
     "j7_union_acctbal_ledger": j7_union_acctbal_ledger,
     "j8_brand_supplier_revenue": j8_brand_supplier_revenue,
+    "j9_salted_segment_revenue": j9_salted_segment_revenue,
 }
 
 ORACLE = {
@@ -246,4 +290,5 @@ ORACLE = {
     "j6_nations_customers_only": J6_ORACLE,
     "j7_union_acctbal_ledger": J7_ORACLE,
     "j8_brand_supplier_revenue": J8_ORACLE,
+    "j9_salted_segment_revenue": J9_ORACLE,
 }

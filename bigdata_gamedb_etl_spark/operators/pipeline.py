@@ -188,13 +188,98 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk): the standard LLM pretraining
+# layout — documents are concatenated in a deterministic order and the
+# token stream is cut into fixed-length sequences; a document may
+# straddle a chunk boundary.
+PACK_SEQ_LEN = 512
+PACK_N_SHARDS = 8
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing manifest: for every document, its shard, token offset in
+    the shard's concatenated stream, and the [chunk_first, chunk_last]
+    span of PACK_SEQ_LEN-token training sequences it lands in.
+
+    Scale: a single global concatenation order would funnel the cumsum
+    window through one partition — the classic unpartitioned-window
+    bottleneck.  Real pipelines pack per output shard, so the stream is
+    sharded by pmod(doc_id, N) first and the running offset is a window
+    cumsum WITHIN each shard: N independent sorted partitions, fully
+    parallel, deterministic across engines and reruns.  At 100 TB the
+    shard count scales with output file count, keeping every window
+    partition bounded."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(f"size({_TOKS})")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(PACK_N_SHARDS)).alias("shard"),
+            toks.cast("long").alias("token_count"),
+        )
+        .where(F.col("token_count") > 0)
+        .withColumn(
+            "t_offset", F.coalesce(F.sum("token_count").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "chunk_first",
+            F.floor(F.col("t_offset") / PACK_SEQ_LEN).cast("long"),
+        )
+        .withColumn(
+            "chunk_last",
+            F.floor((F.col("t_offset") + F.col("token_count") - 1) / PACK_SEQ_LEN).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "n_chunks", (F.col("chunk_last") - F.col("chunk_first") + 1).cast("long")
+        )
+        .orderBy("shard", "doc_id")
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % {PACK_N_SHARDS} AS shard,
+         CAST(len({_TOKS_DUCK}) AS BIGINT) AS token_count
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, shard, token_count,
+         CAST(COALESCE(SUM(token_count) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS t_offset
+  FROM toks
+  WHERE token_count > 0
+)
+SELECT doc_id, shard, token_count, t_offset,
+       CAST(FLOOR(t_offset / {PACK_SEQ_LEN}.0) AS BIGINT) AS chunk_first,
+       CAST(FLOOR((t_offset + token_count - 1) / {PACK_SEQ_LEN}.0) AS BIGINT)
+         AS chunk_last,
+       CAST(FLOOR((t_offset + token_count - 1) / {PACK_SEQ_LEN}.0)
+            - FLOOR(t_offset / {PACK_SEQ_LEN}.0) + 1 AS BIGINT) AS n_chunks
+FROM pos
+ORDER BY shard, doc_id
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_examples": pipeline_training_examples,
     "pipeline_stratified_sample": pipeline_stratified_sample,
+    "pipeline_pack_sequences": pipeline_pack_sequences,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
     "pipeline_training_examples": TRAINING_EXAMPLES_ORACLE,
     "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+    "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,
 }

@@ -344,6 +344,89 @@ ORDER BY r.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing: regex redaction of emails / phone numbers / long
+# numeric ids — a standard pre-training cleanup pass.  The synthetic
+# corpus contains no digits at all, so the query first APPENDS
+# deterministic PII spans derived from doc_id (identically in both
+# engines) and then scrubs them: the operator under test is the
+# scrub + count, the synthesis is just a portable fixture.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_LONGID = r"\b\d{6,}\b"
+
+# identical text expression in Spark SQL and DuckDB dialects.
+_PII_AUG_SPARK = (
+    "concat(text, ' Contact user', cast(doc_id as string), "
+    "'@example.com or call 555-', "
+    "lpad(cast(pmod(doc_id, 10000) as string), 4, '0'), "
+    "', ref ', cast(doc_id + 100000 as string), '.')"
+)
+_PII_AUG_DUCK = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com or call 555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ', ref ' || CAST(doc_id + 100000 AS VARCHAR) || '.'"
+)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII redaction report: counts of each PII class
+    found and the md5 of the scrubbed text (emails → [EMAIL], phones →
+    [PHONE], 6+-digit ids → [ID], applied in that order so an email's
+    local-part digits are gone before the id pass).
+
+    Scale: narrow per-row map — regexes run JVM-side inside
+    whole-stage codegen, no shuffle, no Python.  At 100 TB this is a
+    pure scan whose cost is bounded by the regex engine, the shape a
+    scrub pass must have."""
+    d = table(spark, sf_dir, "documents")
+    aug = F.expr(_PII_AUG_SPARK)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(_PII_PHONE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(_PII_LONGID),
+        F.lit("[ID]"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+            F.regexp_count(
+                F.regexp_replace(aug, F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+                F.lit(_PII_PHONE),
+            )
+            .cast("long")
+            .alias("n_phone"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, lang, {_PII_AUG_DUCK} AS t FROM documents
+),
+step AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id, lang, n_email,
+       CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(t1, '{_PII_PHONE}', '[PHONE]', 'g'),
+                          '{_PII_LONGID}', '[ID]', 'g')) AS clean_md5
+FROM step
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -353,6 +436,7 @@ QUERIES = {
     "text_bigram_topk": text_bigram_topk,
     "text_regex_token_stats": text_regex_token_stats,
     "text_gopher_quality": text_gopher_quality,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLE = {
@@ -364,4 +448,5 @@ ORACLE = {
     "text_bigram_topk": TEXT_BIGRAM_ORACLE,
     "text_regex_token_stats": TEXT_REGEX_ORACLE,
     "text_gopher_quality": TEXT_GOPHER_ORACLE,
+    "text_pii_scrub": TEXT_PII_ORACLE,
 }
