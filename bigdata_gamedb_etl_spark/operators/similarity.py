@@ -154,22 +154,39 @@ def _hyperplanes(n_planes: int = LSH_TABLES * LSH_BITS) -> list[list[float]]:
     return planes
 
 
-def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus with one integer bucket per LSH table: bucket_t packs
-    LSH_BITS sign bits of hyperplane dots, columns b0..b{L-1}."""
-    emb = _emb_double(spark, sf_dir)
+def _lsh_buckets_of(emb: DataFrame) -> DataFrame:
+    """Bucket index (vec_id, b0..b{L-1}) for any (vec_id, emb) frame:
+    bucket_t packs LSH_BITS sign bits of hyperplane dot products.
+
+    All LSH_TABLES*LSH_BITS dots compute in ONE Arrow-batched numpy
+    GEMM per partition (batch_rows × planes^T) — the interpreted HOF
+    form ran 96 aggregate lambdas per row and was ~5x slower at sf0.1.
+    Output is the narrow index only (no embedding payload), so the
+    Arrow return path carries L longs per row.  Taking the input as a
+    DataFrame lets callers pre-filter (e.g. to the single query row)
+    BEFORE the GEMM — a filter placed after mapInPandas cannot be
+    pushed through it and would re-run the full-corpus GEMM."""
+    emb = emb.select("vec_id", "emb")
     planes = _hyperplanes()
-    cols = []
-    for t in range(LSH_TABLES):
-        bucket = None
-        for i in range(LSH_BITS):
-            plane = planes[t * LSH_BITS + i]
-            bit = (_dot(F.col("emb"), F.array(*[F.lit(v) for v in plane])) >= 0).cast(
-                "long"
-            ) * F.lit(1 << i)
-            bucket = bit if bucket is None else bucket + bit
-        cols.append(bucket.alias(f"b{t}"))
-    return emb.select("vec_id", "label", "emb", *cols)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(planes)  # (tables*bits, dim)
+        weights = 1 << np.arange(LSH_BITS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack(pdf["emb"].to_numpy())
+            bits = (E @ P.T) >= 0  # (rows, tables*bits)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for t in range(LSH_TABLES):
+                out[f"b{t}"] = bits[:, t * LSH_BITS : (t + 1) * LSH_BITS] @ weights
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, " + ", ".join(f"b{t} bigint" for t in range(LSH_TABLES))
+    return emb.mapInPandas(gen, schema)
 
 
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,19 +202,17 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching buckets — the (table, bucket) index is also the natural
     physical partition key for scan pruning.  No full-corpus scoring
     scan, no driver traffic beyond the plan."""
-    bucketed = _lsh_bucketed(spark, sf_dir)
-    index = bucketed.select(
+    emb = _emb_double(spark, sf_dir)
+    index = _lsh_buckets_of(emb).select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"b{t}") for t in range(LSH_TABLES)])).alias(
             "tbl", "bucket"
         ),
     )
-    qprobes = (
-        bucketed.where(F.col("vec_id") == QUERY_VEC_ID)
-        .select(
-            F.posexplode(
-                F.array(*[F.col(f"b{t}") for t in range(LSH_TABLES)])
-            ).alias("tbl", "bucket")
+    # buckets of the query row only: filter BEFORE the GEMM stage.
+    qprobes = _lsh_buckets_of(emb.where(F.col("vec_id") == QUERY_VEC_ID)).select(
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(LSH_TABLES)])).alias(
+            "tbl", "bucket"
         )
     )
     candidates = (
@@ -205,12 +220,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .distinct()
     )
-    qv = (
-        bucketed.where(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("emb").alias("qv"))
-    )
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qv"))
     scored = (
-        bucketed.join(candidates, "vec_id")
+        emb.join(candidates, "vec_id")
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
