@@ -186,13 +186,17 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     capability; explode → hash-agg with map-side combine, grouping
     cardinality = vocabulary², tiny relative to corpus)."""
     d = table(spark, sf_dir, "documents")
+    # zip_with over two slice()s of the token array: each element pairs
+    # adjacent tokens without indexed lookups — the indexed-transform
+    # form re-evaluated split(text) per index (projection collapse,
+    # same pitfall as the shingle scan in operators/dedup.py).
     bigrams = d.select(
         F.explode(
             F.expr(
                 """CASE WHEN size(split(text, ' ')) >= 2 THEN
-                     transform(sequence(1, size(split(text, ' ')) - 1),
-                               i -> concat_ws(' ', split(text, ' ')[i-1],
-                                              split(text, ' ')[i]))
+                     zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                              slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+                              (a, b) -> concat_ws(' ', a, b))
                    ELSE array() END"""
             )
         ).alias("bigram")
