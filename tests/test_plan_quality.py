@@ -105,3 +105,41 @@ def test_global_agg_single_stage_pair(spark, sf_dir):
     # group-less aggregate: partial → single-partition final, nothing else
     plan = plans.physical(core.a13_global_totals(spark, sf_dir))
     assert plan.count("Exchange") == 1
+
+
+def test_q21_aggregation_shape_no_fact_broadcast(spark, sf_dir):
+    """Q21 must run as the per-order aggregation tree, never the
+    correlated-subquery form that broadcasts distinct lineitem pairs
+    (a fact-side broadcast that OOMs at 100x)."""
+    import re
+
+    from bigdata_gamedb_etl_spark.operators import tpch2
+
+    plan = plans.physical(tpch2.q21_sole_returned_supplier(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one shuffle at (orderkey, suppkey) grain + one at orderkey grain;
+    # anything more means the old three-distinct shape came back
+    assert len(re.findall(r"hashpartitioning\(l_orderkey", plan)) <= 2
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """The packing cumsum must be partitioned by shard — an
+    unpartitioned window funnels the whole corpus through one task."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    plan = plans.physical(pipeline.pipeline_pack_sequences(spark, sf_dir))
+    assert "windowspecdefinition(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pii_scrub_is_pure_map(spark, sf_dir):
+    # regex scrub is a narrow per-row pass: no hash exchange allowed
+    plan = plans.physical(textops.text_pii_scrub(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_salted_join_carries_salt_key(spark, sf_dir):
+    # the physical join condition must include the salt column — that's
+    # the whole point: the hot key spreads over (key, salt) buckets
+    plan = plans.physical(joins.j9_salted_segment_revenue(spark, sf_dir))
+    assert "__salt" in plan
