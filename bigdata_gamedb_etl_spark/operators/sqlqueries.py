@@ -13,6 +13,7 @@ one session can't clobber each other's temp views.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.catalog import table
 
@@ -164,11 +165,49 @@ GROUP BY k_mod10
 ORDER BY k_mod10
 """
 
+def sql_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-on-read via the VARIANT type (Spark 4):
+    parse_json keeps props as a binary-encoded variant — no schema
+    declared up front — and variant_get extracts typed paths at query
+    time.
+
+    Scale: variant decode is JVM-side and columnar; unlike
+    get_json_object the parse happens once per row regardless of how
+    many paths are extracted, which is the 100-TB reason the type
+    exists.  Oracle: DuckDB JSON path extraction."""
+    e = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "sql_word_price_stats": sql_word_price_stats,
     "sql_supplier_distribution": sql_supplier_distribution,
     "sql_json_props_stats": sql_json_props_stats,
     "sql_from_json_struct": sql_from_json_struct,
+    "sql_variant_props_stats": sql_variant_props_stats,
 }
 
 ORACLE = {
@@ -176,4 +215,5 @@ ORACLE = {
     "sql_supplier_distribution": SQL_A7_ORACLE,
     "sql_json_props_stats": SQL_JSON_ORACLE,
     "sql_from_json_struct": SQL_FROM_JSON_ORACLE,
+    "sql_variant_props_stats": SQL_VARIANT_ORACLE,
 }

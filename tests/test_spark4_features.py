@@ -1,0 +1,59 @@
+"""Spark-4-native surfaces: Python Data Source API, VARIANT type,
+observe()-based write metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_gamedb_etl_spark.functions.observability import write_with_metrics
+from bigdata_gamedb_etl_spark.sources.pydatasource import SyntheticEventsDataSource
+
+
+def _synthetic(spark, parts=4, rows=250):
+    spark.dataSource.register(SyntheticEventsDataSource)
+    return (
+        spark.read.format("synthetic_events")
+        .option("num_partitions", parts)
+        .option("rows_per_partition", rows)
+        .load()
+    )
+
+
+def test_python_datasource_partitioned_scan(spark):
+    df = _synthetic(spark, parts=4, rows=250)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    # deterministic contents: same ids on a rerun, derived fields consistent
+    first = df.orderBy("event_id").limit(3).collect()
+    again = _synthetic(spark, parts=4, rows=250).orderBy("event_id").limit(3).collect()
+    assert first == again
+    r = first[1]
+    assert r.event_id == 1 and r.user_id == 1 and r.event_type == "click"
+
+
+def test_python_datasource_composes_with_engine(spark):
+    # the Python-backed scan is a real DataFrame: aggregation on top
+    df = _synthetic(spark, parts=2, rows=500)
+    agg = df.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+    rows = {r.event_type: r.n for r in agg.collect()}
+    assert sum(rows.values()) == 1000
+    assert set(rows) == {"view", "click", "purchase", "signup", "error"}
+
+
+def test_write_with_metrics_quality_gate(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2.0).alias("v"),
+    )
+    got = write_with_metrics(
+        df,
+        str(tmp_path / "out"),
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum(F.col("v").isNull().cast("long")).alias("null_v"),
+        F.max("id").alias("max_id"),
+    )
+    assert got["rows_written"] == 100
+    assert got["null_v"] == 10
+    assert got["max_id"] == 99
+    # the metrics describe exactly what landed on disk
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 100
