@@ -26,24 +26,29 @@ from bigdata_gamedb_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: headline mix: scan-agg (q1, a1), star join (j1), aggregate-then-join
-#: (q18), window (w4), SQL surface (a6), near-dup exact + LSH, vector
-#: search (exact scan + blocked-GEMM 1-NN), sessionization, as-of and
-#: banded interval joins, text scan, Arrow-batched Python path (mm).
+#: (q18), the hardest TPC-H subquery shape (q21), window (w4), SQL
+#: surface (a6), near-dup exact + LSH + iterative connected components,
+#: vector search (exact scan + blocked-GEMM 1-NN), sessionization,
+#: as-of and banded interval joins, text scan, sequence packing,
+#: Arrow-batched Python path (mm).
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume",
+    "tpch_q21_sole_returned",
     "a1_word_revenue",
     "j1_region_revenue",
     "w4_daily_event_rollup",
     "sql_word_price_stats",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
+    "dedup_cluster_assign",
     "sim_cosine_topk",
     "sim_knn_top1",
     "sess1_user_sessions",
     "asof_purchase_click",
     "interval_error_click_burst",
     "text_stats",
+    "pipeline_pack_sequences",
     "mm_feature_extract",
 ]
 
@@ -83,7 +88,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-query wall clock (noop sink, best of 2 runs), sum of 15 queries",
+                "metric": f"headline-query wall clock (noop sink, best of 2 runs), sum of {len(HEADLINE)} queries",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
