@@ -1,0 +1,153 @@
+"""User-behavior analytics over the events stream: funnel conversion
+and cohort retention — the two queries every game-analytics deployment
+of the reference's domain (game telemetry) runs daily.
+
+Scale notes: both queries shuffle events exactly once on user_id and
+reuse that grain for every later aggregate (AQE coalesces the
+co-partitioned joins); cohort output cardinality is weeks², funnel
+output is one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+
+_HOURS_US = 3_600_000_000.0  # microseconds per hour
+
+
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged funnel view → click → purchase: a user converts a stage
+    only with an event strictly AFTER their previous stage's first
+    event (ordered funnel, not mere event presence).  Returns one row
+    of stage counts plus the mean view→purchase latency in hours.
+
+    The latency mean follows the engine's decimal recipe (sum as
+    DECIMAL(18,6), divide, round) — float-sum order would otherwise
+    flip the rounded value between runs."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    first_click = (
+        e.where(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    first_purchase = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .where(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    funnel = (
+        first_view.join(first_click, "user_id", "left")
+        .join(first_purchase, "user_id", "left")
+    )
+    hours = (
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view")) / _HOURS_US
+    ).cast("decimal(18,6)")
+    return funnel.agg(
+        F.count("*").alias("viewers"),
+        F.count("first_click").alias("clickers"),
+        F.count("first_purchase").alias("purchasers"),
+        F.round(F.sum(hours) / F.count("first_purchase"), 2)
+        .cast("double")
+        .alias("avg_hours_to_purchase"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+fc AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND e.ts > fv.first_view
+  GROUP BY e.user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS viewers,
+       COUNT(fc.first_click) AS clickers,
+       COUNT(fp.first_purchase) AS purchasers,
+       CAST(ROUND(SUM(CAST((epoch_us(fp.first_purchase) - epoch_us(fv.first_view))
+                           / 3600000000.0 AS DECIMAL(18,6)))
+                  / COUNT(fp.first_purchase), 2) AS DOUBLE)
+         AS avg_hours_to_purchase
+FROM fv
+LEFT JOIN fc ON fv.user_id = fc.user_id
+LEFT JOIN fp ON fv.user_id = fp.user_id
+"""
+
+
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the Monday-truncated
+    week of their first event; each later active week counts toward
+    (cohort_week, week_offset).  Week offsets are exact day-diffs / 7
+    since both ends are week-truncated."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_ORACLE = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(datediff('day', f.cohort_week,
+                       CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+           AS week_offset
+  FROM events e JOIN first f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, COUNT(*) AS active_users
+FROM act
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+QUERIES = {
+    "funnel_user_conversion": funnel_user_conversion,
+    "cohort_weekly_retention": cohort_weekly_retention,
+}
+ORACLE = {
+    "funnel_user_conversion": FUNNEL_ORACLE,
+    "cohort_weekly_retention": COHORT_ORACLE,
+}

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    behavior,
     core,
     dedup,
     extended,
@@ -35,7 +36,7 @@ from .operators import (
 MODULES = [
     dedup, similarity, textops, multimodal,
     extended, marts, temporal, tpch2, sketches, tpch,
-    pipeline, core, sqlqueries, windows, joins,
+    pipeline, behavior, core, sqlqueries, windows, joins,
 ]
 
 # Order matters: the driver's correctness gate checks a bounded prefix of
