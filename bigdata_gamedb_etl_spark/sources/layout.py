@@ -44,3 +44,66 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Read back a partitioned dataset; filters on partition columns
     prune directories (visible as PartitionFilters in the scan plan)."""
     return spark.read.parquet(path)
+
+
+def zvalue(x, y, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative int columns
+    (each clamped to `bits` bits): sorting by the z-value clusters BOTH
+    dimensions, so min/max file stats prune filters on either column —
+    a single-column sort only prunes its own column.
+
+    Pure bitwise column expression (JVM-side, codegen'd): bit i of x
+    lands at 2i, bit i of y at 2i+1."""
+    from pyspark.sql import functions as F
+
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    mask = (1 << bits) - 1
+    xs, ys = x.cast("long").bitwiseAND(F.lit(mask)), y.cast("long").bitwiseAND(
+        F.lit(mask)
+    )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xs, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    max_records_per_file: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet globally sorted by the z-value of (col_x, col_y):
+    file-level min/max stats become selective on BOTH columns."""
+    (
+        df.withColumn("__z", zvalue(col_x, col_y))
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
+def compact(spark: SparkSession, path: str, target_files: int) -> None:
+    """Compact a small-file parquet dataset in place: read, coalesce to
+    `target_files`, rewrite through a staging directory (never leaves
+    the dataset half-written on failure).
+
+    The small-file problem is the classic slow-creep scale bug: a
+    streaming or per-batch writer leaves thousands of KB-size files and
+    scan task-scheduling overhead swamps I/O."""
+    import shutil
+
+    staging = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(
+        staging
+    )
+    shutil.rmtree(path)
+    shutil.move(staging, path)

@@ -55,3 +55,84 @@ def test_sorted_layout_round_trips_all_rows(spark, sf_dir, tmp_path):
     plan = plans.physical(got.where(F.col("n_chars") > 300))
     pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
     assert "n_chars" in pushed
+
+
+def _files_intersecting(path, column, lo, hi):
+    """Count parquet files whose [min, max] for `column` intersects
+    [lo, hi] — files a stats-aware reader must open."""
+    import pyarrow.parquet as pq
+
+    total, hit = 0, 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        total += 1
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        mn = min(
+            md.row_group(i).column(_col_idx(md, column)).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        mx = max(
+            md.row_group(i).column(_col_idx(md, column)).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        if mx >= lo and mn <= hi:
+            hit += 1
+    return hit, total
+
+
+def _col_idx(md, name):
+    schema = md.schema
+    for i in range(len(schema)):
+        if schema.column(i).name == name:
+            return i
+    raise KeyError(name)
+
+
+def test_zorder_prunes_second_column(spark, sf_dir, tmp_path):
+    """Z-order's whole point: files become selective on BOTH columns.
+    A layout sorted only by user_id leaves `cents` spanning the full
+    range in every file; the z-ordered layout must let a cents
+    predicate skip some files."""
+    from bigdata_gamedb_etl_spark.sources.layout import write_zordered
+
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", (F.col("value") * 100).cast("long").alias("cents"))
+    )
+    single = str(tmp_path / "by_user")
+    (
+        e.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.option("maxRecordsPerFile", 800)
+        .parquet(single)
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(e, zpath, "user_id", "cents", max_records_per_file=800)
+
+    # same rows in both layouts
+    assert spark.read.parquet(zpath).count() == e.count()
+
+    lo, hi = 100, 700  # narrow cents band
+    hit_single, total_single = _files_intersecting(single, "cents", lo, hi)
+    hit_z, total_z = _files_intersecting(zpath, "cents", lo, hi)
+    assert total_z > 1
+    # user_id-sorted layout cannot skip anything for a cents predicate
+    assert hit_single == total_single
+    # z-ordered layout must skip at least one file
+    assert hit_z < total_z
+
+
+def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
+    from bigdata_gamedb_etl_spark.sources.layout import compact
+
+    path = str(tmp_path / "fragmented")
+    table(spark, sf_dir, "events").repartition(40).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 40
+    rows = spark.read.parquet(path).count()
+
+    compact(spark, path, target_files=4)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_after == 4
+    assert spark.read.parquet(path).count() == rows
