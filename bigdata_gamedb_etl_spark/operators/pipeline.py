@@ -271,15 +271,99 @@ ORDER BY shard, doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Domain-mixture rebalancing: hit an equal-share target mixture over
+# languages by hash-gated downsampling of over-represented strata — the
+# "data mixing" step between cleaning and packing in a pretraining
+# pipeline.  Targets are computed FROM the data (total/n_langs), so the
+# same query adapts to any corpus.
+MIXTURE_SEED = 7
+
+
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture report: raw count, the sampling rate that
+    levels each language to an equal share of the corpus, and the count
+    actually kept by the deterministic md5 gate.
+
+    Scale shape: the per-stratum rate table is a two-level aggregate of
+    the corpus (lang cardinality ~ dozens) cross-joined with its own
+    1-row total — both tiny, both broadcast.  The corpus itself sees
+    one narrow map (hash bucket) + a broadcast join + a low-cardinality
+    re-aggregate: one shuffle of 5 keys end-to-end, no RNG state, and
+    reruns/engines agree bit-for-bit (same md5 gate as
+    pipeline_stratified_sample).  Languages leveled to rate 0 drop from
+    the report (inner join) — by construction the equal-share target
+    never rounds below 1% unless a stratum exceeds 100x its share."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_langs")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(100),
+            F.floor(
+                F.lit(100.0) / F.col("n_langs") * F.col("total") / F.col("n_docs")
+            ),
+        )
+        .cast("int")
+        .alias("rate_pct"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(MIXTURE_SEED), "doc_id")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.select("lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("bucket") < F.col("rate_pct"))
+        .groupBy("lang", "n_docs", "rate_pct")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+DOMAIN_MIXTURE_ORACLE = f"""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_langs FROM c),
+r AS (
+  SELECT lang, n_docs,
+         CAST(LEAST(100, FLOOR(100.0 / n_langs * total / n_docs)) AS INTEGER)
+           AS rate_pct
+  FROM c, t
+),
+s AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN r USING (lang)
+  WHERE CAST(concat('0x', substring(md5({MIXTURE_SEED} || '_' || d.doc_id), 1, 4))
+             AS INTEGER) % 100 < r.rate_pct
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, r.rate_pct, s.n_sampled
+FROM r JOIN s USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_examples": pipeline_training_examples,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_domain_mixture": pipeline_domain_mixture,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
     "pipeline_training_examples": TRAINING_EXAMPLES_ORACLE,
     "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,
+    "pipeline_domain_mixture": DOMAIN_MIXTURE_ORACLE,
 }

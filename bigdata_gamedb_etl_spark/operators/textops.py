@@ -10,7 +10,7 @@ cardinalities.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
@@ -431,6 +431,69 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design table: the top-100 vocabulary entries by corpus
+    frequency with each prefix's cumulative share of all tokens — the
+    curve a BPE/vocab-size decision reads off ("how much of the corpus
+    do the first N entries cover?").
+
+    Scale shape: explode → hash-agg collapses the corpus to VOCABULARY
+    cardinality (bounded by language, not data size — millions of rows
+    at 100 TB, not billions), map-side partial combine does the heavy
+    lifting.  Only then does the unpartitioned cumulative window run —
+    on the vocab-sized aggregate, never on the corpus.  The total-token
+    scalar rides in on a broadcast cross join of a 1-row aggregate.
+    cum_share divides exact longs as doubles — bit-identical across
+    engines, so ROUND is stable.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("occurrences"))
+    )
+    total = counts.agg(F.sum("occurrences").alias("total_tokens"))
+    w = (
+        Window.orderBy(F.col("occurrences").desc(), F.col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("occurrences").desc(), F.col("token")))
+            .alias("rank"),
+            "token",
+            "occurrences",
+            F.round(
+                F.sum("occurrences").over(w) / F.col("total_tokens"), 6
+            ).alias("cum_share"),
+        )
+        .where(F.col("rank") <= 100)
+        .orderBy("rank")
+    )
+
+
+TEXT_VOCAB_ORACLE = f"""
+WITH t AS (SELECT UNNEST({_TOKS_DUCK}) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS occurrences FROM t GROUP BY token),
+w AS (
+  SELECT token, occurrences,
+         CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, token) AS INTEGER) AS rank,
+         SUM(occurrences) OVER (ORDER BY occurrences DESC, token
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(occurrences) OVER () AS total
+  FROM c
+)
+SELECT rank, token, occurrences,
+       ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+FROM w
+WHERE rank <= 100
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -441,6 +504,7 @@ QUERIES = {
     "text_regex_token_stats": text_regex_token_stats,
     "text_gopher_quality": text_gopher_quality,
     "text_pii_scrub": text_pii_scrub,
+    "text_vocab_coverage": text_vocab_coverage,
 }
 
 ORACLE = {
@@ -453,4 +517,5 @@ ORACLE = {
     "text_regex_token_stats": TEXT_REGEX_ORACLE,
     "text_gopher_quality": TEXT_GOPHER_ORACLE,
     "text_pii_scrub": TEXT_PII_ORACLE,
+    "text_vocab_coverage": TEXT_VOCAB_ORACLE,
 }
