@@ -63,6 +63,13 @@ def num_broadcast_hints(df: DataFrame) -> int:
     return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
 
 
+def optimized(df: DataFrame) -> str:
+    """Catalyst-optimized logical plan — where injected runtime filters
+    (bloom_filter_agg / might_contain) are visible before physical
+    planning."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     # under AQE the pre-execution simple plan hides codegen spans; the
     # codegen explain mode reports generated subtrees directly.

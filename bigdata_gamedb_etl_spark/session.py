@@ -36,6 +36,14 @@ ENGINE_CONFS: dict[str, str] = {
     # executor sizings.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Runtime bloom-filter join pruning: when a shuffle join's build side
+    # carries a selective filter, inject bloom_filter_agg(build keys) and
+    # prune the probe-side scan with might_contain BEFORE the shuffle —
+    # at 100 TB this turns "shuffle the whole fact table" into "shuffle
+    # the ~matching fraction".  On by default in Spark 3.5+/4.x; pinned
+    # here so the plan contract (tests/test_plan_quality.py) doesn't
+    # depend on upstream defaults.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

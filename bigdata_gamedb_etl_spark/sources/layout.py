@@ -91,6 +91,44 @@ def write_zordered(
     )
 
 
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    expected_ndv: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write a point-lookup-indexed parquet dataset: `key_cols` plus
+    whatever other columns `df` carries, with split-block bloom filters
+    embedded per row group.
+
+    Min/max row-group stats prune RANGE predicates but are useless for
+    point lookups on high-cardinality unsorted columns (every row group
+    spans most of the value space).  A bloom filter answers "is this
+    key definitely absent from this row group?" — at 100 TB it turns
+    needle-in-haystack `WHERE id = x` scans from full-table reads into
+    a handful of row groups; parquet-mr consults the filter
+    automatically on read.
+
+    Caveat (verified on Spark 4.1 / parquet-java 1.16): the documented
+    per-column `parquet.bloom.filter.enabled#col` writer options are
+    silently dropped by the DataFrame write path — only the GLOBAL
+    options reach the writer, so every column of `df` gets a filter.
+    The function therefore asserts `key_cols` are present and leaves
+    column selection to the caller: project the lookup keys (+ payload)
+    before writing, exactly what a lookup-side index dataset wants
+    anyway.  `expected_ndv` sizes the filter per row group."""
+    missing = set(key_cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"bloom key columns not in DataFrame: {sorted(missing)}")
+    (
+        df.write.mode(mode)
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.expected.ndv", str(expected_ndv))
+        .parquet(path)
+    )
+
+
 def compact(spark: SparkSession, path: str, target_files: int) -> None:
     """Compact a small-file parquet dataset in place: read, coalesce to
     `target_files`, rewrite through a staging directory (never leaves

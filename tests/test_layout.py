@@ -136,3 +136,37 @@ def test_compact_rewrites_to_target_file_count(spark, sf_dir, tmp_path):
     n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
     assert n_after == 4
     assert spark.read.parquet(path).count() == rows
+
+
+def test_bloom_filter_write_embeds_filter_and_round_trips(spark, sf_dir, tmp_path):
+    """write_with_bloom must actually embed the filter (pyarrow 16 can't
+    read bloom metadata, so the evidence is the file-size delta of the
+    identical single-file dataset — split-block blooms are kilobytes,
+    never zero) and point lookups on the bloom column must stay exact."""
+    from bigdata_gamedb_etl_spark.sources.layout import write_with_bloom
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .coalesce(1)
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    ev.write.parquet(plain)
+    write_with_bloom(ev, bloomed, ["user_id"], expected_ndv=20_000)
+
+    def one_file_size(p):
+        (f,) = [x for x in os.listdir(p) if x.endswith(".parquet")]
+        return os.path.getsize(os.path.join(p, f))
+
+    assert one_file_size(bloomed) > one_file_size(plain)
+
+    probe = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .orderBy("count")
+        .first()["user_id"]
+    )
+    expect = ev.where(F.col("user_id") == probe).count()
+    got = spark.read.parquet(bloomed).where(F.col("user_id") == probe).count()
+    assert got == expect > 0

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from bigdata_gamedb_etl_spark import plans
 from bigdata_gamedb_etl_spark.operators import core, dedup, joins, textops, tpch
+from bigdata_gamedb_etl_spark.sources.catalog import table
 
 
 def test_q1_filter_pushed_to_scan(spark, sf_dir):
@@ -143,3 +144,38 @@ def test_salted_join_carries_salt_key(spark, sf_dir):
     # the whole point: the hot key spreads over (key, salt) buckets
     plan = plans.physical(joins.j9_salted_segment_revenue(spark, sf_dir))
     assert "__salt" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_dir):
+    """Scale contract for ENGINE_CONFS' runtime bloom filter: when a
+    shuffle join's build side carries a selective filter, Catalyst must
+    inject bloom_filter_agg over the build keys and gate the probe-side
+    scan with might_contain — so at 100 TB the fact table shuffles only
+    its ~matching fraction.  Locally the 10 GiB probe-side threshold
+    never triggers, so it is lowered for the assertion; broadcast is
+    disabled because a broadcast join needs no runtime filter."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        orders = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        opt = plans.optimized(df)
+        assert "bloom_filter_agg" in opt, "runtime bloom filter not injected"
+        assert "might_contain" in opt, "probe side not gated by might_contain"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
