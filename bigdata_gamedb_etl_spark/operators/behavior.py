@@ -10,7 +10,7 @@ output is one row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
@@ -143,11 +143,86 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type volume anomalies: each day's count scored
+    against its trailing 7 observed days (ROWS window, so calendar gaps
+    simply shorten history — only full windows score).  Flags |z| >= 1.5.
+
+    Determinism across engines: the window aggregates are EXACT integer
+    sums (n, n²); mean/variance/z are then derived with one explicit
+    arithmetic expression evaluated identically by both engines —
+    no engine-specific stddev implementation (Welford vs two-pass) in
+    the path.  Scale: one shuffle to (event_type, day) grain — output
+    cardinality types×days — then a tiny partitioned window."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    mean = F.col("s") / F.lit(7.0)
+    var = (F.col("ss") - F.lit(7.0) * mean * mean) / F.lit(6.0)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            F.count("*").over(w).alias("w_days"),
+            F.sum("n").over(w).alias("s"),
+            F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        )
+        .where(F.col("w_days") == 7)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(mean, 4).alias("trailing_mean"),
+            F.round(z, 4).alias("z"),
+        )
+        .where(var > 0)
+        .where(F.abs(z) >= 1.5)
+        .orderBy("event_type", "day")
+    )
+
+
+ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+win AS (
+  SELECT event_type, day, n,
+         COUNT(*) OVER w AS w_days,
+         CAST(SUM(n) OVER w AS BIGINT) AS s,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       ROUND(s / 7.0, 4) AS trailing_mean,
+       ROUND((n - s / 7.0) / sqrt((ss - 7.0 * (s / 7.0) * (s / 7.0)) / 6.0), 4) AS z
+FROM win
+WHERE w_days = 7
+  AND (ss - 7.0 * (s / 7.0) * (s / 7.0)) / 6.0 > 0
+  AND abs((n - s / 7.0) / sqrt((ss - 7.0 * (s / 7.0) * (s / 7.0)) / 6.0)) >= 1.5
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "funnel_user_conversion": funnel_user_conversion,
     "cohort_weekly_retention": cohort_weekly_retention,
+    "anomaly_daily_zscore": anomaly_daily_zscore,
 }
 ORACLE = {
     "funnel_user_conversion": FUNNEL_ORACLE,
     "cohort_weekly_retention": COHORT_ORACLE,
+    "anomaly_daily_zscore": ANOMALY_ORACLE,
 }

@@ -23,7 +23,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
@@ -550,6 +550,89 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental ingestion dedup: every production corpus grows in batches,
+# and re-running all-pairs dedup over (corpus + batch) per ingest is
+# quadratic over time.  The incremental shape joins ONLY the new batch's
+# shingles against the existing corpus's inverted index.
+INCR_MOD = 5  # doc_id % INCR_MOD == 0 plays the "new batch" role
+
+
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each new-batch document, its best near-dup match (word-3-gram
+    Jaccard >= JACCARD_THRESHOLD, argmax jaccard, ties to lowest
+    existing doc_id) in the existing corpus — the drop list an
+    incremental ingest applies before appending.
+
+    Scale shape: the batch side is exploded fresh (it's small); the
+    corpus side is the SAME (shingle-hash → doc) inverted index the
+    batch-mode dedup builds, so a deployment persists it once
+    (bucketed by hash) and each ingest shuffles only the batch.  The
+    join is batch-shingles × matching postings — cost tracks batch
+    size, not corpus size; the argmax is a tiny window over candidate
+    matches."""
+    sh = _shingled(spark, sf_dir)
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    ex = lambda df: df.select(  # noqa: E731 — local shaping helper
+        "doc_id",
+        F.size("shs").alias("n"),
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    new, old = ex(sh.where(is_new)), ex(sh.where(~is_new))
+    cand = (
+        new.alias("a")
+        .join(old.alias("b"), F.col("a.s") == F.col("b.s"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("match_id")
+        )
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n").alias("n1"),
+            F.first("b.n").alias("n2"),
+        )
+    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id")
+    )
+    return (
+        cand.where(jac >= JACCARD_THRESHOLD)
+        .select("new_id", "match_id", F.round(jac, 4).alias("jaccard"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("new_id")
+    )
+
+
+DEDUP_INCR_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shs FROM w),
+ex AS (SELECT doc_id, len(shs) AS n, UNNEST(shs) AS s FROM sh WHERE len(shs) > 0),
+cand AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS match_id,
+         COUNT(*) AS common, ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s
+  WHERE a.doc_id % {INCR_MOD} = 0 AND b.doc_id % {INCR_MOD} <> 0
+  GROUP BY a.doc_id, b.doc_id
+),
+jacs AS (
+  SELECT new_id, match_id,
+         ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+  FROM cand
+  WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
+),
+scored AS (
+  SELECT new_id, match_id, jaccard,
+         ROW_NUMBER() OVER (
+           PARTITION BY new_id ORDER BY jaccard DESC, match_id
+         ) AS rn
+  FROM jacs
+)
+SELECT new_id, match_id, jaccard FROM scored WHERE rn = 1 ORDER BY new_id
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
@@ -559,6 +642,7 @@ QUERIES = {
     "dedup_simhash_signatures": dedup_simhash_signatures,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_decontaminate": dedup_decontaminate,
+    "dedup_incremental_pairs": dedup_incremental_pairs,
 }
 
 ORACLE = {
@@ -568,5 +652,6 @@ ORACLE = {
     "dedup_shingle_docfreq_hist": DEDUP_DF_ORACLE,
     "dedup_cluster_assign": DEDUP_CLUSTER_ORACLE,
     "dedup_decontaminate": DEDUP_DECON_ORACLE,
+    "dedup_incremental_pairs": DEDUP_INCR_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }

@@ -494,6 +494,68 @@ ORDER BY rank
 """
 
 
+# --------------------------------------------------------------------------
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality scoring: each document's mean unigram
+    log-probability under the corpus's own unigram language model (the
+    KenLM-style perplexity filter, reduced to its order-1 core) — low
+    scores mean rare-token-heavy documents, the standard signal for
+    gibberish or boilerplate.
+
+    Scale shape: the model IS a vocab-sized frequency table computed
+    from the corpus (self-supervised, no external artifact); the
+    corpus-sized token stream joins to it on token — vocab is bounded,
+    so at 100 TB that's a broadcast-shaped join (AQE decides locally) —
+    and re-aggregates to doc grain.  Determinism: per-token log-probs
+    are cast to DECIMAL(18,9) before summing, so the per-doc sum is
+    exact and partition-order-free; only then one double division."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(F.col("cnt") / F.col("total"))
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("logp").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s").cast("double") / F.col("n_tokens"), 4).alias(
+                "avg_logp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_TOKS_DUCK}) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+scored AS (
+  SELECT doc_id,
+         CAST(ln(CAST(cnt AS DOUBLE) / total) AS DECIMAL(18,9)) AS logp
+  FROM tok JOIN freq USING (token), tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -505,6 +567,7 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "text_pii_scrub": text_pii_scrub,
     "text_vocab_coverage": text_vocab_coverage,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 ORACLE = {
@@ -518,4 +581,5 @@ ORACLE = {
     "text_gopher_quality": TEXT_GOPHER_ORACLE,
     "text_pii_scrub": TEXT_PII_ORACLE,
     "text_vocab_coverage": TEXT_VOCAB_ORACLE,
+    "text_unigram_logprob": TEXT_UNIGRAM_ORACLE,
 }
