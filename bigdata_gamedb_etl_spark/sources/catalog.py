@@ -177,6 +177,18 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema (columns added over
+    time): mergeSchema unions the file schemas and older files surface
+    the newer columns as nulls.
+
+    At 100 TB a dataset is never rewritten when a column is added — new
+    partitions just carry the wider schema.  mergeSchema pays a footer
+    read per file at planning time, so production pins the merged schema
+    in a catalog; this helper is the discovery path."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """Line-oriented text source (one `value` column) — raw-corpus
     ingestion; pair with functions in operators/textops.py."""

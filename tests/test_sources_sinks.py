@@ -103,3 +103,30 @@ def test_text_source_feeds_textops(spark, sf_dir, tmp_path):
         F.size(F.split("value", " ")).alias("n_tokens")
     ).agg(F.sum("n_tokens").alias("total"))
     assert stats.first()["total"] > 0
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """A dataset that gained a column mid-life must read as one table:
+    merged schema is the union, pre-evolution rows carry nulls, and
+    filters on the new column still push down to the scan."""
+    from bigdata_gamedb_etl_spark.sources.catalog import read_evolving
+
+    docs = table(spark, sf_dir, "documents")
+    root = tmp_path / "evolving"
+    docs.select("doc_id", "lang").write.parquet(str(root / "batch=1"))
+    docs.select(
+        "doc_id", "lang", F.length("text").alias("quality_len")
+    ).write.parquet(str(root / "batch=2"))
+
+    merged = read_evolving(spark, str(root / "batch=1"), str(root / "batch=2"))
+    assert set(merged.columns) >= {"doc_id", "lang", "quality_len"}
+    n = docs.count()
+    assert merged.count() == 2 * n
+    # old files surface the new column as null, new files carry values
+    assert merged.where(F.col("quality_len").isNull()).count() == n
+    assert merged.where(F.col("quality_len").isNotNull()).count() == n
+    # predicate on the evolved column still reaches the scan
+    plan = plans.explain_str(
+        merged.where(F.col("quality_len") > 100), "formatted"
+    )
+    assert "PushedFilters" in plan and "quality_len" in plan
