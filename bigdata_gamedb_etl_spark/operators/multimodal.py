@@ -14,10 +14,12 @@ batch, and nothing is ever collected to the driver.
 from __future__ import annotations
 
 import hashlib
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -31,6 +33,17 @@ from pyspark.sql.types import (
 )
 
 from ..sources.catalog import table
+
+# The mapInPandas fns below reference module-level helpers
+# (fake_decode_features, fake_resize).  Functions in an importable
+# module are cloudpickled BY REFERENCE (module + qualname), so an
+# executor Python worker that doesn't have this repo on sys.path dies
+# with ModuleNotFoundError the moment it unpickles the UDF — exactly
+# the situation when a driver harness imports __spark_entry__ by path
+# from a different cwd.  Registering the module for by-value pickling
+# ships the function bodies inside the serialized task instead; their
+# only foreign deps (hashlib, pandas) exist on every worker.
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 FEATURE_DIM = 4
 

@@ -15,10 +15,12 @@ state.
 
 from __future__ import annotations
 
+import sys
 from typing import Any, Iterator
 
 import pandas as pd
 
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -28,6 +30,12 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# _running_totals (applyInPandasWithState fn) is module-level, so
+# cloudpickle would serialize it by REFERENCE and executor workers
+# without this repo on sys.path fail to unpickle it; by-value
+# registration ships the body with the task (see operators/multimodal.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 #: Schema for streaming reads of events.parquet.  ts is TIMESTAMP(NANOS)
 #: in the file, which Spark only reads as long (catalog.py note) — the

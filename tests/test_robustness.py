@@ -61,3 +61,49 @@ def test_concurrent_queries_one_session(spark, sf_dir):
             )
         )
     assert concurrent == sequential
+
+
+def test_python_udfs_unpickle_without_repo_on_path(tmp_path):
+    """Executor Python workers don't necessarily have this repo on
+    sys.path (a driver harness can import __spark_entry__ by file path
+    from any cwd).  Every Python UDF the engine ships must therefore
+    cloudpickle BY VALUE: this pickles them with pyspark's cloudpickle
+    and unpickles + runs them in a subprocess whose sys.path excludes
+    the repo — the exact failure mode is ModuleNotFoundError at
+    unpickle time."""
+    import subprocess
+    import sys as _sys
+
+    from pyspark import cloudpickle
+
+    from bigdata_gamedb_etl_spark.operators import multimodal
+    from bigdata_gamedb_etl_spark.streaming import windowed
+
+    blobs = {
+        "mm_extract": multimodal._extract_batches,
+        "stream_running_totals": windowed._running_totals,
+    }
+    for name, fn in blobs.items():
+        p = tmp_path / f"{name}.pkl"
+        p.write_bytes(cloudpickle.dumps(fn))
+    driver = tmp_path / "drive.py"
+    driver.write_text(
+        """
+import pickle, sys, pandas as pd
+assert not any("repo" in p for p in sys.path if p), sys.path
+fn = pickle.loads(open(sys.argv[1], "rb").read())
+if "mm_extract" in sys.argv[1]:
+    out = list(fn(iter([pd.DataFrame({"doc_id": [1], "payload": [b"xyz"]})])))
+    assert out[0]["payload_bytes"].iloc[0] == 3
+print("OK")
+"""
+    )
+    for name in blobs:
+        r = subprocess.run(
+            [_sys.executable, str(driver), str(tmp_path / f"{name}.pkl")],
+            capture_output=True,
+            text=True,
+            cwd="/",
+            env={"PATH": os.environ["PATH"], "PYTHONPATH": ""},
+        )
+        assert r.returncode == 0 and "OK" in r.stdout, (name, r.stderr[-2000:])
