@@ -68,6 +68,25 @@ def read_events_stream(
     )
 
 
+def read_rate_stream(
+    spark: SparkSession, rows_per_batch: int = 100, num_partitions: int = 2
+) -> DataFrame:
+    """Deterministic synthetic stream (rate-micro-batch source): batch k
+    carries `rows_per_batch` rows with consecutive `value` longs and
+    timestamps advancing one minute per batch from epoch — the built-in
+    load generator for throughput tests and sink smoke checks, no input
+    files needed.  (The plain `rate` source is wall-clock-driven and
+    never terminates; this variant replays identically every run.)"""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", num_partitions)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60_000)
+        .load()
+    )
+
+
 def daily_rollup_stream(events: DataFrame) -> DataFrame:
     """Watermarked tumbling-window rollup — the streaming twin of
     operators.windows.w4_daily_event_rollup."""

@@ -241,3 +241,25 @@ def test_foreach_batch_upsert_mart(spark, sf_dir, events_dir, tmp_path):
     }
     assert got2 == _batch_totals(spark, events_dir)
     assert got2 != got
+
+
+def test_rate_source_windowed_agg_deterministic(spark):
+    """The rate-micro-batch generator must replay identically: one
+    availableNow pass yields the first batch's 100 rows in the first
+    one-minute window with sum(value) = 0+..+99."""
+    from bigdata_gamedb_etl_spark.streaming.windowed import read_rate_stream
+
+    src = read_rate_stream(spark, rows_per_batch=100)
+    agg = src.groupBy(F.window("timestamp", "1 minute").alias("win")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select n, s from rate_smoke").collect()
+    assert [(r["n"], r["s"]) for r in rows] == [(100, 4950)]
