@@ -633,6 +633,106 @@ SELECT new_id, match_id, jaccard FROM scored WHERE rn = 1 ORDER BY new_id
 """
 
 
+# --------------------------------------------------------------------------
+# Line-level boilerplate removal (the C4/RefinedWeb step BETWEEN exact
+# and near-dup dedup): a "line" occurring verbatim in many documents is
+# navigation/footer boilerplate and is stripped per-document, keeping
+# the document itself.  The synthetic corpus has no newlines, so a line
+# is a fixed LINE_TOKENS-token chunk — the cross-doc-frequency →
+# strip → rebuild shape is identical for real newline-split lines.
+LINE_TOKENS = 8
+BOILER_MIN_DOCS = 2
+
+
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate report: total lines, lines shared
+    verbatim by >= BOILER_MIN_DOCS distinct documents, and the md5 of
+    the document rebuilt from its kept lines in original order.
+
+    Scale shape: explode (doc, pos, line) once; line document-frequency
+    is a hash-agg on the line (distinct-doc count); the strip is a join
+    back on the line and the rebuild re-aggregates to doc grain with an
+    order-restoring sort_array — no window over the corpus, no driver
+    state.  At 100 TB the df table is the dedup-able surface: lines
+    with df == 1 (the overwhelming majority) can be semi-join-pruned
+    before the join-back."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    lines = (
+        d.select("doc_id", toks.alias("ts"))
+        .where(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"""transform(sequence(0, int(ceil(size(ts) / {LINE_TOKENS}.0)) - 1),
+                                  i -> array_join(slice(ts, i * {LINE_TOKENS} + 1, {LINE_TOKENS}), ' '))"""
+                )
+            ).alias("pos", "line"),
+        )
+    )
+    df_tbl = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    marked = lines.join(df_tbl, "line")
+    kept = F.col("line_df") < BOILER_MIN_DOCS
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((~kept).cast("long")).alias("n_boiler"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(sort_array(collect_list(CASE WHEN line_df < "
+                        f"{BOILER_MIN_DOCS} THEN struct(pos, line) END)), x -> x.line)"
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boiler",
+            F.round((F.col("n_lines") - F.col("n_boiler")) / F.col("n_lines"), 4).alias(
+                "kept_ratio"
+            ),
+            "clean_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_BOILER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ts[i * {LINE_TOKENS} + 1 : i * {LINE_TOKENS} + {LINE_TOKENS}], ' ') AS line
+  FROM t, UNNEST(range(CAST(ceil(len(ts) / {LINE_TOKENS}.0) AS BIGINT))) AS u(i)
+  WHERE len(ts) > 0
+),
+dfs AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY line
+),
+marked AS (SELECT l.*, d.line_df FROM lines l JOIN dfs d USING (line))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN line_df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       ROUND((COUNT(*) - SUM(CASE WHEN line_df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END))
+             * 1.0 / COUNT(*), 4) AS kept_ratio,
+       md5(COALESCE(string_agg(CASE WHEN line_df < {BOILER_MIN_DOCS} THEN line END,
+                               ' ' ORDER BY pos), '')) AS clean_md5
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
@@ -643,6 +743,7 @@ QUERIES = {
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_incremental_pairs": dedup_incremental_pairs,
+    "dedup_boilerplate_lines": dedup_boilerplate_lines,
 }
 
 ORACLE = {
@@ -653,5 +754,6 @@ ORACLE = {
     "dedup_cluster_assign": DEDUP_CLUSTER_ORACLE,
     "dedup_decontaminate": DEDUP_DECON_ORACLE,
     "dedup_incremental_pairs": DEDUP_INCR_ORACLE,
+    "dedup_boilerplate_lines": DEDUP_BOILER_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }
