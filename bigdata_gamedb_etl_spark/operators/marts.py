@@ -176,11 +176,65 @@ def build_marts(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str
     return out
 
 
+# --------------------------------------------------------------------------
+# Put-script textual twin (reference capability S8: stage3.ipynb cell 3
+# generates literal HBase `put` shell lines; SURVEY §2.1 allows the
+# parquet marts to replace the sink, this query reproduces the SCRIPT
+# itself).  Unpivot the summary mart to (rowkey, qualifier, value) puts.
+def mart_put_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HBase shell `put` line per (supplier, KPI) cell of the
+    supplier summary mart — the migration-fidelity artifact for a user
+    replaying the reference's stage-3 load.  Numeric cells print via
+    DECIMAL(18,2) so both engines render identical '123.40' strings.
+    Narrow unpivot (stack) over the already-aggregated mart: 3 rows per
+    entity, no extra shuffle beyond the mart's own aggregate."""
+    base = mart_supplier_summary(spark, sf_dir)
+    un = base.selectExpr(
+        "row_key",
+        """stack(3,
+             'avg_price',      CAST(CAST(avg_price      AS DECIMAL(18,2)) AS STRING),
+             'item_count',     CAST(item_count AS STRING),
+             'total_quantity', CAST(CAST(total_quantity AS DECIMAL(18,2)) AS STRING)
+           ) AS (qualifier, val)""",
+    )
+    return (
+        un.select(
+            "row_key",
+            "qualifier",
+            F.format_string(
+                "put 'supplier_summary', '%s', 'kpi:%s', '%s'",
+                F.col("row_key"),
+                F.col("qualifier"),
+                F.col("val"),
+            ).alias("put_line"),
+        )
+        .orderBy("row_key", "qualifier")
+    )
+
+
+MART_PUT_ORACLE = f"""
+WITH s AS ({MART_SUMMARY_ORACLE}),
+u AS (
+  SELECT row_key, 'item_count' AS qualifier, CAST(item_count AS VARCHAR) AS val FROM s
+  UNION ALL
+  SELECT row_key, 'total_quantity', CAST(CAST(total_quantity AS DECIMAL(18,2)) AS VARCHAR) FROM s
+  UNION ALL
+  SELECT row_key, 'avg_price', CAST(CAST(avg_price AS DECIMAL(18,2)) AS VARCHAR) FROM s
+)
+SELECT row_key, qualifier,
+       'put ''supplier_summary'', ''' || row_key || ''', ''kpi:' || qualifier
+         || ''', ''' || val || '''' AS put_line
+FROM u
+ORDER BY row_key, qualifier
+"""
+
+
 QUERIES = {
     "mart_customer_profile": mart_customer_profile,
     "mart_supplier_summary": mart_supplier_summary,
     "mart_nation_customer_index": mart_nation_customer_index,
     "mart_nation_customer_map": mart_nation_customer_map,
+    "mart_put_script": mart_put_script,
 }
 
 ORACLE = {
@@ -188,4 +242,5 @@ ORACLE = {
     "mart_supplier_summary": MART_SUMMARY_ORACLE,
     "mart_nation_customer_index": MART_INDEX_ORACLE,
     "mart_nation_customer_map": MART_MAP_ORACLE,
+    "mart_put_script": MART_PUT_ORACLE,
 }
