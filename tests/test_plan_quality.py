@@ -146,6 +146,24 @@ def test_salted_join_carries_salt_key(spark, sf_dir):
     assert "__salt" in plan
 
 
+def test_incremental_dedup_shuffles_hashed_keys_and_partitioned_window(spark, sf_dir):
+    """The batch-vs-corpus join must key on xxhash64 longs (not shingle
+    strings) and the best-match argmax must window per new_id — never a
+    single global partition."""
+    plan = plans.physical(dedup.dedup_incremental_pairs(spark, sf_dir))
+    assert "xxhash64" in plan
+    assert "windowspecdefinition(new_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_boilerplate_rebuild_has_no_corpus_window(spark, sf_dir):
+    """Line df + strip + rebuild must stay pure joins/aggregates — a
+    window over the corpus (SinglePartition) would serialize the whole
+    dataset through one task at 100 TB."""
+    plan = plans.physical(dedup.dedup_boilerplate_lines(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_dir):
     """Scale contract for ENGINE_CONFS' runtime bloom filter: when a
     shuffle join's build side carries a selective filter, Catalyst must
