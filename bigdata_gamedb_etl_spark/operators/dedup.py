@@ -427,31 +427,27 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence via the label-sum invariant: labels only ever
+    # decrease, so the total is strictly smaller after any change and a
+    # repeated sum means fixpoint — one cheap scalar aggregate per
+    # round instead of an old-vs-new compare join.
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(CLUSTER_MAX_ITERS):
-        nbr_min = (
+        # min over self ∪ neighbor labels in ONE aggregate: the node's
+        # own (node, comp) rows union the neighbor-relabeled edge rows,
+        # replacing the old groupBy + left-join-back round trip.
+        labels = (
             edges.join(labels, edges["nbr"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
+            .select(F.col("src").alias("node"), "comp")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("comp")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")
