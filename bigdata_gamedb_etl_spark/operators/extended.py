@@ -495,6 +495,55 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+# --------------------------------------------------------------------------
+# Data-quality validation profile — the pre-flight every production
+# ingest runs before publishing a table: volume, primary-key
+# uniqueness, null rates on required columns, referential integrity,
+# and value bounds, in one pass + one anti join.
+def dq_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DQ report over orders: row count, duplicate primary
+    keys, null foreign keys, orphaned orders (no matching customer —
+    left-anti probe), and the order-date bounds.
+
+    Scale shape: a single full-scan aggregate (partial-agg friendly)
+    plus one anti join keyed on the FK; the two 1-row results broadcast
+    into a cross join.  All counters are exact longs — no float
+    nondeterminism anywhere."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.min("o_orderdate").alias("order_lo"),
+        F.max("o_orderdate").alias("order_hi"),
+    )
+    orphans = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+        F.count("*").alias("orphan_orders")
+    )
+    return base.crossJoin(F.broadcast(orphans))
+
+
+DQ_ORDERS_ORACLE = """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_custkey,
+         MIN(o_orderdate) AS order_lo,
+         MAX(o_orderdate) AS order_hi
+  FROM orders
+),
+orph AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_orders
+  FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_custkey IS NOT NULL)
+)
+SELECT * FROM base, orph
+"""
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -509,6 +558,7 @@ QUERIES = {
     "p4_user_value_mad": p4_user_value_mad,
     "p5_lineitem_profile": p5_lineitem_profile,
     "p6_statistical_moments": p6_statistical_moments,
+    "dq_orders_profile": dq_orders_profile,
 }
 
 ORACLE = {
@@ -525,4 +575,5 @@ ORACLE = {
     "p4_user_value_mad": P4_ORACLE,
     "p5_lineitem_profile": P5_ORACLE,
     "p6_statistical_moments": P6_ORACLE,
+    "dq_orders_profile": DQ_ORDERS_ORACLE,
 }
