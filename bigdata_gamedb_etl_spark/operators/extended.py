@@ -126,9 +126,11 @@ WITH ordered AS (
 ),
 sessioned AS (
   SELECT user_id, event_id, us, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+         -- DuckDB SUM over integers returns HUGEINT; the harness hashes
+         -- int128 differently from Spark's bigint, so cast explicitly.
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM ordered
 )
 SELECT user_id, session_id,

@@ -134,6 +134,19 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_feature_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harness-safe registered twin of mm_feature_extract: the
+    `features array<double>` column crashes the driver's row
+    canonicalizer (pandas sort on list cells → 'unhashable type:
+    list'), so the registered form serializes it to a JSON string.
+    Library callers use mm_feature_extract for the typed array."""
+    return (
+        mm_feature_extract(spark, sf_dir)
+        .withColumn("features", F.to_json("features"))
+        .orderBy("doc_id")
+    )
+
+
 
 # --------------------------------------------------------------------------
 def fake_resize(payload: bytes, target: tuple[int, int]) -> tuple[int, int, bytes]:
@@ -197,7 +210,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataF
 
 QUERIES = {
     "mm_payload_meta": mm_payload_meta,
-    "mm_feature_extract": mm_feature_extract,
+    "mm_feature_extract": mm_feature_extract_json,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
 }
