@@ -25,32 +25,38 @@ from bigdata_gamedb_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: headline mix: scan-agg (q1, a1), star join (j1), aggregate-then-join
-#: (q18), the hardest TPC-H subquery shape (q21), window (w4), SQL
-#: surface (a6), near-dup exact + LSH + iterative connected components,
-#: vector search (exact scan + blocked-GEMM 1-NN), sessionization,
-#: as-of and banded interval joins, text scan, sequence packing,
-#: Arrow-batched Python path (mm).
-HEADLINE = [
+#: SHARED12 is the round-1 headline set, pinned forever as the
+#: round-over-round comparable — its sum must never regress and stays
+#: attributable because the membership is frozen.  New rounds add hard
+#: shapes to EXTRAS instead of growing the comparable set.
+SHARED12 = [
     "tpch_q1_pricing_summary",
-    "tpch_q18_large_volume",
-    "tpch_q21_sole_returned",
     "a1_word_revenue",
     "j1_region_revenue",
     "w4_daily_event_rollup",
     "sql_word_price_stats",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
-    "dedup_cluster_assign",
     "sim_cosine_topk",
     "sim_knn_top1",
     "sess1_user_sessions",
-    "asof_purchase_click",
-    "interval_error_click_burst",
     "text_stats",
-    "pipeline_pack_sequences",
     "mm_feature_extract",
 ]
+
+#: the hard shapes added after round 1: aggregate-then-join (q18), the
+#: hardest TPC-H subquery shape (q21), iterative connected components,
+#: as-of and banded interval joins, sequence packing.
+EXTRAS = [
+    "tpch_q18_large_volume",
+    "tpch_q21_sole_returned",
+    "dedup_cluster_assign",
+    "asof_purchase_click",
+    "interval_error_click_burst",
+    "pipeline_pack_sequences",
+]
+
+HEADLINE = SHARED12 + EXTRAS
 
 
 def _force(df) -> None:
@@ -92,6 +98,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "shared12_sec": round(
+                    sum(timings[n] for n in SHARED12), 3
+                ),
+                "extras_sec": round(sum(timings[n] for n in EXTRAS), 3),
                 "sf": sf_val,
             }
         )

@@ -397,6 +397,30 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 CLUSTER_MAX_ITERS = 20
 
+#: Spark conf key switching the iterative-CC materialization from
+#: executor-local checkpoints (fast, but lineage-truncated blocks are
+#: lost with their executor — fine single-node) to reliable
+#: `checkpoint()` files under the session's checkpoint dir (survives
+#: executor loss — the setting a 1000-executor deployment wants).
+RELIABLE_CKPT_CONF = "spark.bigdata_gamedb_etl.reliableCheckpoint"
+
+
+def _materialize_iter(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut lineage between CC iterations.  localCheckpoint is
+    executor-local: cheap, but after truncation the only copy of each
+    block lives on one executor, so at cluster scale an executor loss
+    kills the job mid-loop.  The reliable path writes checkpoint files
+    (HDFS/object store in deployment; a temp dir when unset here) —
+    slower per round, recoverable."""
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="gamedb-etl-ckpt-"))
+    return df.checkpoint(eager=True)
+
 
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in
@@ -409,23 +433,29 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     round every node takes the min of its own and its neighbors'
     labels; converges in O(component diameter) rounds — near-dup
     clusters are shallow, so a handful.  The driver loop carries only
-    a scalar convergence count and each iteration localCheckpoints to
-    cut lineage; all data stays distributed.  Oracle: DuckDB recursive
-    CTE computing reachability (exponential-ish, fine at oracle SF)."""
+    a scalar convergence count and each iteration materializes to cut
+    lineage (executor-local by default; set RELIABLE_CKPT_CONF=true
+    for fault-tolerant checkpoint files at cluster scale); all data
+    stays distributed.  Oracle: DuckDB recursive CTE computing
+    reachability (exponential-ish, fine at oracle SF)."""
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
     # materialize the edge list ONCE: without this every iteration's
     # join re-executes the whole shingle/posting-list pair generation
     # (measured 4 s of the loop's 9.5 s at sf0.1, once per round).
-    edges = (
-        pairs.union(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
-        .toDF("src", "nbr")
-        .localCheckpoint()
+    edges = _materialize_iter(
+        pairs.union(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+        ).toDF("src", "nbr"),
+        reliable,
     )
-    labels = (
+    labels = _materialize_iter(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("node")),
+        reliable,
     )
     # Convergence via the label-sum invariant: labels only ever
     # decrease, so the total is strictly smaller after any change and a
@@ -436,13 +466,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # min over self ∪ neighbor labels in ONE aggregate: the node's
         # own (node, comp) rows union the neighbor-relabeled edge rows,
         # replacing the old groupBy + left-join-back round trip.
-        labels = (
+        labels = _materialize_iter(
             edges.join(labels, edges["nbr"] == labels["node"])
             .select(F.col("src").alias("node"), "comp")
             .unionByName(labels)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .agg(F.min("comp").alias("comp")),
+            reliable,
         )
         new_sum = labels.agg(F.sum("comp")).first()[0]
         if new_sum == prev_sum:

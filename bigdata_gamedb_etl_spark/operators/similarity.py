@@ -252,19 +252,30 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (interpreted per-element lambdas + projection-collapse recompute).
 _PACK_SCHEMA = "block int, ids array<bigint>, mat array<double>"
 
+#: Target rows per packed GEMM block.  Bounds per-task memory at any
+#: corpus size: a task holds two blocks ≈ 2 × GEMM_BLOCK_ROWS × dim
+#: doubles plus the GEMM output tile, regardless of N.
+GEMM_BLOCK_ROWS = 1024
+
 
 def _packed_blocks(emb: DataFrame, n_blocks_hint: int | None = None) -> DataFrame:
     """Pack L2-normalized vectors into matrix blocks, DataFrame-side.
 
-    Block count: callers that know the corpus size can pass a hint;
-    the default derives blocks from xxhash64(vec_id) mod a fixed count
-    sized so sf0.1 blocks stay ≈GEMM_BLOCK_ROWS.  At a real deployment
-    this is `ceil(N / GEMM_BLOCK_ROWS)` from table statistics — the
-    mechanism (hash-partition → pack → pair join) is unchanged."""
+    Block count: callers that know the corpus size pass a hint;
+    otherwise one cheap count job derives `ceil(N / GEMM_BLOCK_ROWS)`,
+    so block size — and therefore per-task memory — is bounded at any
+    SF instead of growing as N/constant.  On a cluster with ANALYZE'd
+    tables the count would come from catalog stats; the mechanism
+    (hash-partition → pack → pair join) is unchanged."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    n_blocks = n_blocks_hint or 8
+    if n_blocks_hint is not None:
+        n_blocks = max(1, n_blocks_hint)
+    else:
+        n_blocks = max(1, math.ceil(emb.count() / GEMM_BLOCK_ROWS))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype="int64")

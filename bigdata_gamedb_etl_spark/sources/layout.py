@@ -16,6 +16,8 @@ cluster.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -131,17 +133,29 @@ def write_with_bloom(
 
 def compact(spark: SparkSession, path: str, target_files: int) -> None:
     """Compact a small-file parquet dataset in place: read, coalesce to
-    `target_files`, rewrite through a staging directory (never leaves
-    the dataset half-written on failure).
+    `target_files`, rewrite through a staging directory, swap via
+    rename.  The live data is renamed aside BEFORE the staging move and
+    deleted only after the swap, so a failure at any single step leaves
+    either the old or the new dataset intact — never neither.  (True
+    atomicity needs a table format — Delta/Iceberg — on object stores
+    without atomic rename; this is the plain-directory best effort.)
 
     The small-file problem is the classic slow-creep scale bug: a
     streaming or per-batch writer leaves thousands of KB-size files and
     scan task-scheduling overhead swamps I/O."""
     import shutil
 
-    staging = path.rstrip("/") + "__compacting"
+    base = path.rstrip("/")
+    staging = base + "__compacting"
+    old = base + "__old"
     spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(
         staging
     )
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(base, old)
+    try:
+        shutil.move(staging, base)
+    except BaseException:
+        os.rename(old, base)  # roll back: old data is still complete
+        raise
+    shutil.rmtree(old)

@@ -58,3 +58,18 @@ def test_registered_query_schema_flat(name, spark, sf_dir):
         "row canonicalizer; serialize with to_json or flatten to scalars "
         "in the registered form (keep the typed variant unregistered)"
     )
+
+
+def test_readme_counts_match_registry():
+    """README's 'N named queries (M oracle-backed)' claim is asserted
+    against the registry so the docs can't drift from the gate again."""
+    import os
+    import re
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"exposes (\d+) named queries \((\d+) oracle-backed\)", readme)
+    assert m, "README correctness-contract sentence not found"
+    assert int(m.group(1)) == len(QUERIES)
+    assert int(m.group(2)) == len(ORACLE)

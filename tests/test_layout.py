@@ -170,3 +170,20 @@ def test_bloom_filter_write_embeds_filter_and_round_trips(spark, sf_dir, tmp_pat
     expect = ev.where(F.col("user_id") == probe).count()
     got = spark.read.parquet(bloomed).where(F.col("user_id") == probe).count()
     assert got == expect > 0
+
+
+def test_compact_tolerates_leftover_old_dir(spark, sf_dir, tmp_path):
+    """A crash between compact()'s rename-aside and cleanup leaves a
+    `__old` directory; the next compact must clear it and still swap
+    correctly (and never leave the live path missing)."""
+    from bigdata_gamedb_etl_spark.sources.layout import compact
+
+    path = str(tmp_path / "ds")
+    table(spark, sf_dir, "nation").repartition(8).write.parquet(path)
+    rows = spark.read.parquet(path).count()
+    os.makedirs(path + "__old/junk")  # simulated prior-crash leftover
+
+    compact(spark, path, target_files=2)
+    assert spark.read.parquet(path).count() == rows
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__compacting")

@@ -107,3 +107,27 @@ print("OK")
             env={"PATH": os.environ["PATH"], "PYTHONPATH": ""},
         )
         assert r.returncode == 0 and "OK" in r.stdout, (name, r.stderr[-2000:])
+
+
+def test_cluster_assign_reliable_checkpoint_path(spark, sf_dir):
+    """The fault-tolerant materialization (reliable checkpoint() files
+    instead of executor-local blocks) must produce exactly the same
+    components as the default path — it only changes where the
+    truncated lineage's data lives."""
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        RELIABLE_CKPT_CONF,
+        dedup_cluster_assign,
+    )
+
+    baseline = sorted(
+        tuple(r) for r in dedup_cluster_assign(spark, sf_dir).collect()
+    )
+    spark.conf.set(RELIABLE_CKPT_CONF, "true")
+    try:
+        reliable = sorted(
+            tuple(r) for r in dedup_cluster_assign(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.unset(RELIABLE_CKPT_CONF)
+    assert spark.sparkContext.getCheckpointDir() is not None
+    assert reliable == baseline
