@@ -546,6 +546,86 @@ SELECT * FROM base, orph
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-table referential-integrity audit — the other half of the DQ
+# pre-flight: every FK edge of the star schema checked for orphans in
+# one result set, one row per relationship.
+_FK_EDGES = [
+    # (label, fact, fk, dim, pk)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK audit over every edge of the star schema: per
+    relationship, total fact rows and rows whose FK has no matching
+    dimension PK, plus the orphan percentage.
+
+    Scale shape: one LEFT join + full-scan aggregate per edge (the
+    total and the orphan count come out of the SAME aggregate, so each
+    edge costs exactly one probe pass).  Dimension sides that are small
+    (part/supplier/customer at their usual fact:dim ratios) broadcast
+    under AQE; lineitem->orders stays a shuffle join on the fact key —
+    the same plan shape as every revenue query, so no new scale risk.
+    The four 1-row aggregates union into one result."""
+    checks = []
+    for label, fact_name, fk, dim_name, pk in _FK_EDGES:
+        fact = table(spark, sf_dir, fact_name).select(fk)
+        dim = table(spark, sf_dir, dim_name).select(pk)
+        joined = fact.join(dim, fact[fk] == dim[pk], "left")
+        checks.append(
+            joined.agg(
+                F.lit(label).alias("relationship"),
+                F.count("*").alias("total_rows"),
+                F.sum(dim[pk].isNull().cast("long")).alias("orphan_rows"),
+                F.round(
+                    F.sum(dim[pk].isNull().cast("long")) * 100.0 / F.count("*"),
+                    4,
+                ).alias("orphan_pct"),
+            )
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("relationship")
+
+
+DQ_REFERENTIAL_ORACLE = """
+SELECT 'lineitem->orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphan_rows,
+       ROUND(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*), 4) AS orphan_pct
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*), 4)
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*), 4)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+UNION ALL
+SELECT 'orders->customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*), 4)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+ORDER BY relationship
+"""
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -561,6 +641,7 @@ QUERIES = {
     "p5_lineitem_profile": p5_lineitem_profile,
     "p6_statistical_moments": p6_statistical_moments,
     "dq_orders_profile": dq_orders_profile,
+    "dq_referential_integrity": dq_referential_integrity,
 }
 
 ORACLE = {
@@ -578,4 +659,5 @@ ORACLE = {
     "p5_lineitem_profile": P5_ORACLE,
     "p6_statistical_moments": P6_ORACLE,
     "dq_orders_profile": DQ_ORDERS_ORACLE,
+    "dq_referential_integrity": DQ_REFERENTIAL_ORACLE,
 }

@@ -353,12 +353,81 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split — the assignment every training
+# corpus needs exactly once, reproducibly, with no RNG and no shuffle:
+# membership is a pure function of (seed, doc_id), so any engine, any
+# rerun, and any later incremental batch lands each document in the
+# same split.
+SPLIT_SEED = 1913
+SPLIT_TRAIN_PCT = 90  # buckets [0,90) train, [90,95) val, [95,100) test
+SPLIT_VAL_PCT = 95
+
+
+def pipeline_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (split, lang) report of the hash-assigned 90/5/5 split: doc
+    count and total chars — the sanity check that split proportions and
+    language balance hold.
+
+    Scale shape: one narrow map (md5 bucket → split label) over the
+    corpus, then a hash-agg on a ~3×|langs| key space.  No sorts, no
+    joins, no RNG; at 100 TB each task labels its partition
+    independently and the aggregate is map-side-combined."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(SPLIT_SEED), "doc_id")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+TRAIN_VAL_TEST_ORACLE = f"""
+WITH labeled AS (
+  SELECT CASE
+           WHEN CAST(concat('0x', substring(md5({SPLIT_SEED} || '_' || doc_id), 1, 4))
+                AS INTEGER) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+           WHEN CAST(concat('0x', substring(md5({SPLIT_SEED} || '_' || doc_id), 1, 4))
+                AS INTEGER) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         lang, n_chars
+  FROM documents
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM labeled
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_examples": pipeline_training_examples,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_domain_mixture": pipeline_domain_mixture,
+    "pipeline_train_val_test": pipeline_train_val_test,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
@@ -366,4 +435,5 @@ ORACLE = {
     "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,
     "pipeline_domain_mixture": DOMAIN_MIXTURE_ORACLE,
+    "pipeline_train_val_test": TRAIN_VAL_TEST_ORACLE,
 }

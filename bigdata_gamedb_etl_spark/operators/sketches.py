@@ -60,9 +60,74 @@ def sketch_daily_merge_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch over the token stream — the mergeable heavy-hitter
+# structure a 100 TB pipeline uses instead of an exact token-grain
+# groupBy.  Entirely built-in DataFrame ops: the sketch IS a
+# (row, bucket) -> count table of CM_DEPTH × CM_WIDTH cells, built with
+# ONE shuffle whose key cardinality is d×w (map-side combine collapses
+# each partition to ≤ d×w partial cells regardless of corpus size), and
+# merged across corpora/days by element-wise sum — the same
+# partial/merge shape as the HLL rollup above.
+CM_DEPTH = 4
+CM_WIDTH = 8192
+#: candidate generation: deterministic 5% sample of token OCCURRENCES
+#: (hash-gated on (doc_id, position) — no RNG).  A true heavy hitter
+#: appears in any constant-rate occurrence sample with near-certainty,
+#: so the candidate set stays small while provably covering the heavy
+#: tail the query reports.
+CM_SAMPLE_MOD = 20
+CM_TOP_K = 20
+
+_CM_TOKS = "filter(split(text, ' '), t -> t <> '')"
+
+
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K heavy-hitter tokens with count-min-estimated counts.
+
+    Three stages, none of which shuffles at token grain:
+      1. build: explode tokens × CM_DEPTH hash rows, groupBy the d×w
+         cell id — bounded-cardinality hash-agg (the sketch);
+      2. candidates: hash-gated occurrence sample → distinct tokens;
+      3. probe: candidates × depth joined against the broadcast-sized
+         sketch, min across rows = the CM estimate (always ≥ truth,
+         overcount ≤ ~2N/w with d independent rows).
+    Deterministic end-to-end (xxhash64 everywhere, no RNG), but not
+    SQL-expressible in DuckDB (no xxhash64) — rows-only checked, with
+    the CM guarantee est ≥ exact and the overcount bound asserted
+    against exact counts in tests/test_llm_pipeline.py."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.expr(_CM_TOKS)).alias("pos", "token")
+    )
+    depth = F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("j")
+    cell = F.pmod(F.xxhash64("token", "j"), F.lit(CM_WIDTH)).alias("bucket")
+
+    counters = (
+        tok.select("token", depth)
+        .select("j", cell)
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    candidates = (
+        tok.where(F.pmod(F.xxhash64("doc_id", "pos"), F.lit(CM_SAMPLE_MOD)) == 0)
+        .select("token")
+        .distinct()
+    )
+    probe = candidates.select("token", depth).select("token", "j", cell)
+    return (
+        probe.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), "token")
+        .limit(CM_TOP_K)
+    )
+
+
 QUERIES = {
     "sketch_users_per_type": sketch_users_per_type,
     "sketch_daily_merge_total": sketch_daily_merge_total,
+    "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
 }
 
 ORACLE: dict[str, str] = {

@@ -556,6 +556,68 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Context-window chunking via a Python UDTF (Spark 4 table function):
+# each document becomes ⌈n/stride⌉ overlapping token-window chunks —
+# the RAG-indexing / pretraining-window layout.  A UDTF is the right
+# API here because the op is one-row-to-many-rows with per-row Python
+# logic; it lateral-joins inside the SQL plan, so filters on doc_id
+# still push into the parquet scan below it.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document, via a registered
+    Python UDTF in a LATERAL join.
+
+    The UDTF class is defined locally so cloudpickle serializes it by
+    value (an executor without this repo on sys.path can still run it —
+    same trap as the mapInPandas fns in operators/multimodal.py).
+    Chunking is a narrow per-row expansion: no shuffle at all before
+    the final presentation ORDER BY.  Arrow-batched UDTF execution is
+    one conf away (spark.sql.execution.pythonUDTF.arrow.enabled); the
+    row path keeps the demo free of Arrow-version coupling."""
+    from pyspark.sql.functions import udtf
+
+    class _Chunker:
+        def eval(self, doc_id, text):
+            toks = [t for t in (text or "").split(" ") if t]
+            for idx, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                piece = toks[start : start + CHUNK_TOKENS]
+                yield doc_id, idx, " ".join(piece), len(piece)
+
+    chunker = udtf(
+        _Chunker,
+        returnType="doc_id bigint, chunk_idx int, chunk_text string, n_tokens int",
+    )
+    spark.udtf.register("chunk_docs_udtf", chunker)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v_chunk")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents_v_chunk AS d,
+             LATERAL chunk_docs_udtf(d.doc_id, d.text) AS c
+        ORDER BY c.doc_id, c.chunk_idx
+        """
+    )
+
+
+TEXT_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS ts FROM documents),
+starts AS (
+  SELECT doc_id, ts, UNNEST(range(0, len(ts), {CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       array_to_string(ts[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(LEAST({CHUNK_TOKENS}, len(ts) - start) AS INTEGER) AS n_tokens
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -568,6 +630,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_vocab_coverage": text_vocab_coverage,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_chunk_udtf": text_chunk_udtf,
 }
 
 ORACLE = {
@@ -582,4 +645,5 @@ ORACLE = {
     "text_pii_scrub": TEXT_PII_ORACLE,
     "text_vocab_coverage": TEXT_VOCAB_ORACLE,
     "text_unigram_logprob": TEXT_UNIGRAM_ORACLE,
+    "text_chunk_udtf": TEXT_CHUNK_ORACLE,
 }

@@ -70,7 +70,12 @@ REFIXED_R3 = [
 
 # New queries added in round 3 — inserted ahead of controls so they get
 # a driver row the same round they land.
-ROUND3_NEW: list[str] = []
+ROUND3_NEW: list[str] = [
+    "text_chunk_udtf",
+    "dq_referential_integrity",
+    "sketch_cm_heavy_hitters",
+    "pipeline_train_val_test",
+]
 
 CONTROLS = [
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",

@@ -86,3 +86,44 @@ def test_sq8_recall_vs_exact(spark, sf):
     sq8 = {r["vec_id"] for r in similarity.sim_sq8_topk(spark, sf).collect()}
     recall = len(sq8 & set(exact)) / len(exact)
     assert recall >= 0.9, f"SQ8 recall {recall} < 0.9 at {sf}"
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_cm_sketch_estimates_bound_exact_counts(spark, sf):
+    """Count-min guarantees: est >= exact always, and with d=4 rows of
+    width w the overcount stays within a few multiples of N/w for
+    every reported heavy hitter.  Also: the reported top token must be
+    the true top token (heavy hitters dominate by construction)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators.sketches import (
+        _CM_TOKS,
+        CM_WIDTH,
+        sketch_cm_heavy_hitters,
+    )
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    tok = table(spark, sf, "documents").select(
+        F.explode(F.expr(_CM_TOKS)).alias("token")
+    )
+    exact = {
+        r["token"]: r["cnt"]
+        for r in tok.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_total = sum(exact.values())
+    est_rows = sketch_cm_heavy_hitters(spark, sf).collect()
+    assert est_rows, "CM sketch returned no heavy hitters"
+
+    true_top = max(exact.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    # the reported #1 must estimate at least as much as the true top's
+    # exact count (CM never undercounts, and the candidate sample
+    # contains every genuinely heavy token)
+    assert est_rows[0]["est_count"] >= exact[true_top]
+
+    bound = 8 * n_total / CM_WIDTH  # loose deterministic overcount cap
+    for r in est_rows:
+        ex = exact[r["token"]]
+        assert r["est_count"] >= ex, f"CM undercounted {r['token']}"
+        assert r["est_count"] - ex <= bound, (
+            f"CM overcount {r['est_count'] - ex} > {bound} for {r['token']}"
+        )
