@@ -759,6 +759,62 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Blocked edit-distance near-dup join over part names — the fuzzy-match
+# tier for SHORT strings (titles, product names) where shingle/minhash
+# signals are too coarse.  Scale shape: collapse to DISTINCT values
+# with multiplicities FIRST (the exact-dup mass never enters the
+# quadratic step), then a self-join blocked on the first token so
+# levenshtein only runs within blocks; pair_weight recovers the
+# row-level pair count.  For heavy blocks the SHINGLE_DF_CAP pattern
+# applies; multi-key blocking (first token ∪ length band) trades recall
+# for smaller blocks.
+EDITDIST_MAX = 3
+
+
+def dedup_editdist_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("block", F.split("name", " ").getItem(0))
+    )
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), "block"
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .where(F.col("dist") <= EDITDIST_MAX)
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            (F.col("n_a") * F.col("n_b")).alias("pair_weight"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+DEDUP_EDITDIST_ORACLE = f"""
+WITH names AS (
+  SELECT p_name AS name, COUNT(*) AS n, split_part(p_name, ' ', 1) AS block
+  FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+       CAST(a.n * b.n AS BIGINT) AS pair_weight
+FROM names a
+JOIN names b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {EDITDIST_MAX}
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
@@ -770,6 +826,7 @@ QUERIES = {
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_incremental_pairs": dedup_incremental_pairs,
     "dedup_boilerplate_lines": dedup_boilerplate_lines,
+    "dedup_editdist_names": dedup_editdist_names,
 }
 
 ORACLE = {
@@ -781,5 +838,6 @@ ORACLE = {
     "dedup_decontaminate": DEDUP_DECON_ORACLE,
     "dedup_incremental_pairs": DEDUP_INCR_ORACLE,
     "dedup_boilerplate_lines": DEDUP_BOILER_ORACLE,
+    "dedup_editdist_names": DEDUP_EDITDIST_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }

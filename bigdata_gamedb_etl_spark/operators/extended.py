@@ -626,6 +626,195 @@ ORDER BY relationship
 """
 
 
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences —
+# the behavioral fingerprint a recommender / anomaly pipeline derives
+# from a clickstream.  One shuffle on user_id for the lead() window,
+# then a hash-agg whose key space is |event_types|² (tiny at any SF);
+# the per-source normalization runs over that tiny aggregate, not the
+# raw events.
+def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    per_source = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(per_source), 6
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+SEQ_MARKOV_ORACLE = """
+WITH ordered AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM ordered WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Session path analysis: the top opening event-type paths (first
+# SESSION_PATH_LEN events) across gap-sessions.  Reuses the sess1
+# session assignment; the path string is built from an array_sort over
+# (us, event_id, event_type) structs, so ordering is deterministic
+# without a second window pass.  The final groupBy runs over one row
+# per session — already collapsed far below event grain.
+SESSION_PATH_LEN = 3
+
+
+def sess3_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_flag = (
+        F.col("us") - F.lag("us").over(order) > SESSION_GAP_MINUTES * 60 * 1_000_000
+    ).cast("int")
+    with_session = e.withColumn(
+        "session_id",
+        F.sum(F.coalesce(gap_flag, F.lit(0))).over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = with_session.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("us", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                SESSION_PATH_LEN,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+SESS3_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MINUTES} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessioned AS (
+  SELECT user_id, event_type, us, event_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(
+           (list(event_type ORDER BY us, event_id))[1:{SESSION_PATH_LEN}],
+           '>') AS path
+  FROM sessioned
+  GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust aggregation: per event_type, clamp value to its own
+# exact [p05, p95] band and report raw vs winsorized means — the
+# outlier-robust metric pass every telemetry pipeline runs.  Two-pass
+# shape: pass 1 is a tiny per-type exact-percentile aggregate
+# (|event_types| rows), broadcast back for the clamp; pass 2 is one
+# map-side-combined hash-agg.  Money-style decimal summing avoids
+# float-order nondeterminism (same recipe as sess1/tpch q1).
+def p7_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    bands = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = e.join(F.broadcast(bands), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    n = F.count("*")
+    mean_of = lambda c: F.round(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / n, 4
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            n.alias("n_events"),
+            mean_of("value").alias("mean_raw"),
+            mean_of("wv").alias("mean_winsor"),
+            F.round(F.min("p05"), 4).alias("p05"),
+            F.round(F.max("p95"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+P7_ORACLE = """
+WITH bands AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, e.value,
+         LEAST(GREATEST(e.value, b.p05), b.p95) AS wv, b.p05, b.p95
+  FROM events e JOIN bands b ON e.event_type = b.event_type
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS mean_raw,
+       ROUND(CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+         AS mean_winsor,
+       ROUND(MIN(p05), 4) AS p05,
+       ROUND(MAX(p95), 4) AS p95
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -642,6 +831,9 @@ QUERIES = {
     "p6_statistical_moments": p6_statistical_moments,
     "dq_orders_profile": dq_orders_profile,
     "dq_referential_integrity": dq_referential_integrity,
+    "seq_markov_transitions": seq_markov_transitions,
+    "sess3_top_paths": sess3_top_paths,
+    "p7_winsorized_value": p7_winsorized_value,
 }
 
 ORACLE = {
@@ -660,4 +852,7 @@ ORACLE = {
     "p6_statistical_moments": P6_ORACLE,
     "dq_orders_profile": DQ_ORDERS_ORACLE,
     "dq_referential_integrity": DQ_REFERENTIAL_ORACLE,
+    "seq_markov_transitions": SEQ_MARKOV_ORACLE,
+    "sess3_top_paths": SESS3_ORACLE,
+    "p7_winsorized_value": P7_ORACLE,
 }

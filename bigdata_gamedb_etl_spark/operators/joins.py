@@ -269,6 +269,50 @@ ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: the part pairs most often ordered
+# together — the classic frequent-itemset self-join.  The quadratic
+# blow-up is bounded by the per-basket line count (TPC-H caps lineitems
+# per order at 7; our generator at 13), so the self-join on l_orderkey
+# emits ≤ C(13,2) pairs per order — linear in order count at any SF.
+# For unbounded baskets the per-key cap pattern from
+# dedup.SHINGLE_DF_CAP applies.  One shuffle on l_orderkey (both sides
+# co-partition), then a hash-agg on pair keys.
+BASKET_TOP_K = 20
+
+
+def j10_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_baskets"))
+        .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
+J10_ORACLE = f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_baskets
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_baskets DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
 QUERIES = {
     "j1_region_revenue": j1_region_revenue,
     "j2_customers_with_orders": j2_customers_with_orders,
@@ -279,6 +323,7 @@ QUERIES = {
     "j7_union_acctbal_ledger": j7_union_acctbal_ledger,
     "j8_brand_supplier_revenue": j8_brand_supplier_revenue,
     "j9_salted_segment_revenue": j9_salted_segment_revenue,
+    "j10_basket_part_pairs": j10_basket_part_pairs,
 }
 
 ORACLE = {
@@ -291,4 +336,5 @@ ORACLE = {
     "j7_union_acctbal_ledger": J7_ORACLE,
     "j8_brand_supplier_revenue": J8_ORACLE,
     "j9_salted_segment_revenue": J9_ORACLE,
+    "j10_basket_part_pairs": J10_ORACLE,
 }

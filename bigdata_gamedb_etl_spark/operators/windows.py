@@ -253,6 +253,68 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Sliding 7-day distinct actives (DAU/WAU): per active day, the distinct
+# users that day and over the trailing 7 days.  Distinct-over-a-sliding-
+# window has no native window form in Spark (no COUNT(DISTINCT) frames);
+# the scalable shape is: collapse to the (day, user) grain FIRST (one
+# shuffle, bounded by |days|×|users| regardless of event volume), then
+# fan each distinct pair out to the ≤7 target days it supports and
+# hash-count distinct per target day.  At 100 TB the explode runs over
+# the collapsed grain, never the raw events.
+ACTIVE_WINDOW_DAYS = 7
+
+
+def w9_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    daily = e.distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = daily.select(
+        "day",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(ACTIVE_WINDOW_DAYS - 1))).alias("off"),
+    ).select(
+        F.date_add(F.col("day"), F.col("off")).alias("target_day"), "user_id"
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("day", "target_day")),
+            "target_day",
+            "left_semi",
+        )
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").alias("wau7"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["target_day"])
+        .select("day", "dau", "wau7")
+        .orderBy("day")
+    )
+
+
+W9_ORACLE = f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM daily),
+dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT a.user_id) AS wau7
+  FROM days d
+  JOIN daily a
+    ON a.day BETWEEN d.day - {ACTIVE_WINDOW_DAYS - 1} AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau7
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+"""
+
+
 QUERIES = {
     "w1_pareto_supplier_share": w1_pareto_supplier_share,
     "w2_top_customers_per_nation": w2_top_customers_per_nation,
@@ -261,6 +323,7 @@ QUERIES = {
     "w5_value_delta_per_user": w5_value_delta_per_user,
     "w6_customer_rank_in_segment": w6_customer_rank_in_segment,
     "w8_range_frame_hourly": w8_range_frame_hourly_sum,
+    "w9_sliding_active_users": w9_sliding_active_users,
 }
 
 ORACLE = {
@@ -271,4 +334,5 @@ ORACLE = {
     "w5_value_delta_per_user": W5_ORACLE,
     "w6_customer_rank_in_segment": W6_ORACLE,
     "w8_range_frame_hourly": W8_ORACLE,
+    "w9_sliding_active_users": W9_ORACLE,
 }

@@ -75,6 +75,12 @@ ROUND3_NEW: list[str] = [
     "dq_referential_integrity",
     "sketch_cm_heavy_hitters",
     "pipeline_train_val_test",
+    "seq_markov_transitions",
+    "sess3_top_paths",
+    "p7_winsorized_value",
+    "w9_sliding_active_users",
+    "j10_basket_part_pairs",
+    "dedup_editdist_names",
 ]
 
 CONTROLS = [
