@@ -270,27 +270,29 @@ def w9_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
     )
     daily = e.distinct()
-    days = daily.select("day").distinct()
-    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    # Single pass over the collapsed grain: each (day, user) supports
+    # target days day..day+6; dau falls out of the same aggregate as
+    # the off==0 contribution, and `dau > 0` IS the "day had activity"
+    # filter — so events is scanned once and no days-list join exists
+    # (the naive dau/days/wau three-branch form scans the source three
+    # times: column pruning makes the distinct subtrees non-identical,
+    # defeating exchange reuse).
     contrib = daily.select(
         "day",
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(ACTIVE_WINDOW_DAYS - 1))).alias("off"),
     ).select(
-        F.date_add(F.col("day"), F.col("off")).alias("target_day"), "user_id"
-    )
-    wau = (
-        contrib.join(
-            F.broadcast(days.withColumnRenamed("day", "target_day")),
-            "target_day",
-            "left_semi",
-        )
-        .groupBy("target_day")
-        .agg(F.count_distinct("user_id").alias("wau7"))
+        F.date_add(F.col("day"), F.col("off")).alias("day"), "user_id", "off"
     )
     return (
-        dau.join(wau, dau["day"] == wau["target_day"])
-        .select("day", "dau", "wau7")
+        contrib.groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau7"),
+        )
+        .where(F.col("dau") > 0)
         .orderBy("day")
     )
 

@@ -197,3 +197,44 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_w9_single_scan_of_events(spark, sf_dir):
+    # the DAU/WAU query must collapse to the (day, user) grain in ONE
+    # pass — the three-branch form scans events three times
+    from bigdata_gamedb_etl_spark.operators import windows
+
+    df = windows.w9_sliding_active_users(spark, sf_dir)
+    assert len(plans.read_schemas(df)) == 1, "events scanned more than once"
+
+
+def test_j10_basket_join_is_topk_and_aqe_decided(spark, sf_dir):
+    # top-K must be TakeOrderedAndProject (never a full sort), and the
+    # fact-fact self-join strategy must be left to AQE: at bench SFs it
+    # may broadcast one side, at 100 TB it must fall back to a shuffle
+    # join on l_orderkey — an explicit broadcast hint would pin the
+    # wrong plan at scale
+    df = joins.j10_basket_part_pairs(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.physical(df)
+    assert plans.num_broadcast_hints(df) == 0
+
+
+def test_p7_band_join_broadcasts_tiny_aggregate(spark, sf_dir):
+    # the per-type percentile band table is |event_types| rows — it must
+    # broadcast back for the clamp, never shuffle the fact side
+    from bigdata_gamedb_etl_spark.operators import extended
+
+    df = extended.p7_winsorized_value(spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_editdist_collapses_before_quadratic_join(spark, sf_dir):
+    # the levenshtein self-join must run over DISTINCT names (aggregate
+    # below the join), never over raw part rows
+    from bigdata_gamedb_etl_spark.operators import dedup as dd
+
+    plan = plans.physical(dd.dedup_editdist_names(spark, sf_dir))
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    assert "levenshtein" in plan
