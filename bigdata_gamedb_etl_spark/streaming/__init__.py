@@ -9,4 +9,5 @@ from .windowed import (  # noqa: F401
     stream_stream_error_click_join,
     upsert_stream_to_parquet,
     user_running_totals_stream,
+    user_running_totals_tws,
 )

@@ -145,6 +145,78 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the
+    Spark 4 arbitrary-stateful API (StatefulProcessor + typed state
+    handles) that supersedes applyInPandasWithState: state is declared
+    per-variable (ValueState/ListState/MapState with optional TTL),
+    timers are first-class, and the operator requires the RocksDB state
+    store — the provider that actually scales to 100 TB keyspaces
+    (incremental checkpoints, off-heap, changelog uploads) versus the
+    default in-memory HDFS-backed store.
+
+    Kept semantically identical to user_running_totals_stream so the
+    test asserts old API == new API == batch groupBy.
+
+    Environment gate: the transformWithState driver/worker protocol
+    speaks protobuf; this container has no `google.protobuf`, so the
+    operator raises ImportError with a clear message here rather than a
+    crashed-worker streaming error at run time.  The test skips on the
+    same probe; on a real cluster (protobuf ships with every Spark
+    distro's python env) it runs as written."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(PySpark's state-server protocol); install protobuf or use "
+            "user_running_totals_stream (applyInPandasWithState)"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_count", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "count BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: Any
+        ) -> Iterator[pd.DataFrame]:
+            count, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((count, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_count": [count],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

@@ -263,3 +263,62 @@ def test_rate_source_windowed_agg_deterministic(spark):
     q.awaitTermination(120)
     rows = spark.sql("select n, s from rate_smoke").collect()
     assert [(r["n"], r["s"]) for r in rows] == [(100, 4950)]
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas' state protocol needs protobuf, "
+    "not installed in this container (operator gated the same way)",
+)
+def test_transform_with_state_matches_old_api_and_batch(spark, sf_dir, events_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) must agree
+    with the applyInPandasWithState operator and the batch groupBy.
+    Requires the RocksDB state store provider — set only for this query
+    via the conf pair, then restored."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = streaming.read_events_stream(spark, events_dir)
+        totals = streaming.user_running_totals_tws(events)
+        streaming.run_stream_to_memory(totals, "user_totals_tws_t", "update")
+        got = {
+            r["user_id"]: (r["event_count"], r["total_value"])
+            for r in spark.table("user_totals_tws_t").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    want = {
+        r["user_id"]: (r["event_count"], r["total_value"])
+        for r in (
+            table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("event_count"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert got[uid][1] == pytest.approx(want[uid][1], abs=0.011)
