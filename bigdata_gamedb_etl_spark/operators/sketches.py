@@ -124,10 +124,43 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Built-in sketch top-k: per-language top tokens via approx_top_k
+# (Spark 4's native frequent-items aggregate).  Complements the
+# hand-rolled count-min above: same heavy-hitter question, answered by
+# the engine-provided mergeable sketch — partial aggregation per
+# partition, sketch merge at the reducer, so the shuffle carries
+# ≤ maxItemsTracked entries per partition regardless of token volume.
+# Rows-only checked (tie-breaks inside the sketch are unspecified);
+# tests/test_temporal_sketches.py asserts every reported count equals
+# the exact count whenever per-lang vocabulary fits maxItemsTracked
+# (the sketch is exact below that cardinality).
+APPROX_TOPK_K = 5
+
+
+def sketch_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.expr(_CM_TOKS)).alias("token"))
+    topk = tok.groupBy("lang").agg(
+        F.expr(f"approx_top_k(token, {APPROX_TOPK_K})").alias("tk")
+    )
+    return (
+        topk.select("lang", F.posexplode("tk").alias("rank", "entry"))
+        .select(
+            "lang",
+            (F.col("rank") + 1).cast("int").alias("rank"),
+            F.col("entry.item").alias("token"),
+            F.col("entry.count").alias("est_count"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
 QUERIES = {
     "sketch_users_per_type": sketch_users_per_type,
     "sketch_daily_merge_total": sketch_daily_merge_total,
     "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
+    "sketch_approx_topk_tokens": sketch_approx_topk_tokens,
 }
 
 ORACLE: dict[str, str] = {

@@ -81,6 +81,7 @@ ROUND3_NEW: list[str] = [
     "w9_sliding_active_users",
     "j10_basket_part_pairs",
     "dedup_editdist_names",
+    "sketch_approx_topk_tokens",
 ]
 
 CONTROLS = [

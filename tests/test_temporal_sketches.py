@@ -101,3 +101,38 @@ def test_hll_two_level_merge_matches_direct_sketch(spark, sf_dir):
     # two-level estimate must EQUAL the one-pass estimate
     assert merged["approx_total_users"] == direct
     assert merged["days_merged"] >= 1
+
+
+def test_approx_topk_exact_below_tracked_cardinality(spark, sf_dir):
+    """approx_top_k tracks up to 10k items exactly; our corpora's
+    per-lang vocabulary is far below that, so every reported count must
+    EQUAL the exact count and the count profile must match the true
+    top-K (tie-breaks between equal counts may pick different tokens —
+    that freedom is why the query is rows-only checked)."""
+    from bigdata_gamedb_etl_spark.operators.sketches import (
+        _CM_TOKS,
+        APPROX_TOPK_K,
+        sketch_approx_topk_tokens,
+    )
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    tok = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.expr(_CM_TOKS)).alias("token")
+    )
+    exact = {}
+    for r in tok.groupBy("lang", "token").agg(F.count("*").alias("c")).collect():
+        exact.setdefault(r["lang"], {})[r["token"]] = r["c"]
+    for counts in exact.values():
+        assert len(counts) < 10_000, "vocab too large for exactness claim"
+
+    rows = sketch_approx_topk_tokens(spark, sf_dir).collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        assert r["est_count"] == exact[r["lang"]][r["token"]], (
+            f"approx_top_k count off for {r['lang']}/{r['token']}"
+        )
+        per_lang.setdefault(r["lang"], []).append(r["est_count"])
+    for lang, got in per_lang.items():
+        want = sorted(exact[lang].values(), reverse=True)[: APPROX_TOPK_K]
+        assert sorted(got, reverse=True) == want, f"count profile off for {lang}"
