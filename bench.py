@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from bigdata_gamedb_etl_spark.operators import multimodal
 from bigdata_gamedb_etl_spark.registry import all_queries
 from bigdata_gamedb_etl_spark.session import get_spark
 
@@ -64,7 +65,13 @@ def _force(df) -> None:
 
 
 def main() -> None:
-    queries = all_queries()
+    queries = dict(all_queries())
+    # SHARED12 comparability pin: the registry's "mm_feature_extract"
+    # was re-pointed (round 3) to the harness-safe JSON twin, which adds
+    # to_json + a global orderBy the r1/r2 numbers never measured.
+    # Bench keeps timing the typed-array variant so the pinned series
+    # stays one implementation.
+    queries["mm_feature_extract"] = multimodal.mm_feature_extract
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -216,13 +216,99 @@ ORDER BY event_type, day
 """
 
 
+# --------------------------------------------------------------------------
+# RFM segmentation — the classic customer-value grid.  One hash-agg to
+# customer grain (the only corpus-sized shuffle), three quintile
+# windows over the customer-grain table (customer cardinality ≪ fact
+# cardinality — at 100 TB of orders this window input is the customer
+# dimension, not the fact), then a 25-cell rollup.
+RFM_BUCKETS = 5
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quintile grid over orders: per-cell
+    customer count and average spend.
+
+    Determinism across engines: every ntile window orders with an
+    explicit custkey tie-break (both engines use the standard 'first
+    (count mod n) buckets get one extra row' distribution, so equal
+    inputs + equal order = equal buckets), and monetary aggregates are
+    exact DECIMAL sums — no float addition-order dependence."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn("recency_days", F.datediff("ref_day", "last_day"))
+    )
+    n = RFM_BUCKETS
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(n).over(r_w).alias("r_score"),
+        F.ntile(n).over(f_w).alias("f_score"),
+        F.ntile(n).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score")
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.avg("m_score"), 4).alias("avg_m_score"),
+            # exact decimal total, then one double division+round done
+            # identically by both engines (decimal÷int rounding rules
+            # differ between Spark and DuckDB; double division doesn't)
+            F.round(F.sum("monetary").cast("double") / F.count("*"), 2)
+            .alias("avg_spend"),
+        )
+        .orderBy("r_score", "f_score")
+    )
+
+
+RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+scored AS (
+  SELECT o_custkey, monetary,
+         NTILE({RFM_BUCKETS}) OVER (
+           ORDER BY datediff('day', last_day, ref_day) ASC, o_custkey ASC
+         ) AS r_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+  FROM per_cust CROSS JOIN ref
+)
+SELECT r_score, f_score,
+       COUNT(*) AS customers,
+       ROUND(AVG(m_score), 4) AS avg_m_score,
+       ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS avg_spend
+FROM scored
+GROUP BY r_score, f_score
+ORDER BY r_score, f_score
+"""
+
+
 QUERIES = {
     "funnel_user_conversion": funnel_user_conversion,
     "cohort_weekly_retention": cohort_weekly_retention,
     "anomaly_daily_zscore": anomaly_daily_zscore,
+    "rfm_customer_segments": rfm_customer_segments,
 }
 ORACLE = {
     "funnel_user_conversion": FUNNEL_ORACLE,
     "cohort_weekly_retention": COHORT_ORACLE,
     "anomaly_daily_zscore": ANOMALY_ORACLE,
+    "rfm_customer_segments": RFM_ORACLE,
 }

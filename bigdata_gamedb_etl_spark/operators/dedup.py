@@ -19,6 +19,8 @@ no Python UDFs anywhere in the hot path.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -422,6 +424,48 @@ def _materialize_iter(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
+def _ckpt_local_dir(spark: SparkSession) -> str | None:
+    """The session checkpoint dir as a local filesystem path, or None.
+    ``getCheckpointDir`` returns a Hadoop URI (``file:/tmp/...`` under
+    local mode); the explicit cleanup below only applies to local-fs
+    checkpoints — on HDFS/object stores deployments use Spark's own
+    cleaner or storage lifecycle rules."""
+    d = spark.sparkContext.getCheckpointDir()
+    if d is None:
+        return None
+    if d.startswith("file:"):
+        d = d[len("file:") :]
+        while d.startswith("//"):  # file:///x -> /x
+            d = d[1:]
+    elif "://" in d:  # non-local scheme: skip explicit cleanup
+        return None
+    return d if os.path.isdir(d) else None
+
+
+def _ckpt_entries(spark: SparkSession) -> set[str]:
+    """Names of RDD checkpoint subdirs currently on disk (reliable path
+    only; empty when no checkpoint dir is set)."""
+    d = _ckpt_local_dir(spark)
+    if d is None:
+        return set()
+    return {e for e in os.listdir(d) if e.startswith("rdd-")}
+
+
+def _drop_ckpts(spark: SparkSession, entries: set[str]) -> None:
+    """Delete superseded checkpoint subdirs.  Spark's ContextCleaner
+    only removes checkpoint files at GC time and only when
+    spark.cleaner.referenceTracking.cleanCheckpoints is set, so an
+    iterative loop that checkpoints every round leaks one labels-sized
+    dataset per iteration in a long session — delete each iteration's
+    checkpoint as soon as the next one (eagerly materialized, so no
+    longer reading its parent) supersedes it."""
+    d = _ckpt_local_dir(spark)
+    if d is None:
+        return
+    for e in entries:
+        shutil.rmtree(os.path.join(d, e), ignore_errors=True)
+
+
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc in
     ≥1 Jaccard pair gets a cluster_id = the smallest doc_id reachable
@@ -451,18 +495,28 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).toDF("src", "nbr"),
         reliable,
     )
+    before_init = _ckpt_entries(spark) if reliable else set()
     labels = _materialize_iter(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node")),
         reliable,
     )
+    init_label_ckpts = _ckpt_entries(spark) - before_init if reliable else set()
     # Convergence via the label-sum invariant: labels only ever
     # decrease, so the total is strictly smaller after any change and a
     # repeated sum means fixpoint — one cheap scalar aggregate per
     # round instead of an old-vs-new compare join.
     prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # In the reliable path, each iteration writes a fresh labels
+    # checkpoint; the previous iteration's files are dead the moment the
+    # new one is (eagerly) materialized.  Track the subdirs owned by the
+    # superseded labels and delete them per round — without this a long
+    # session leaks one labels-sized checkpoint per iteration (Spark's
+    # own cleaner is GC-driven and off by default).
+    prev_label_ckpts: set[str] = init_label_ckpts
     for _ in range(CLUSTER_MAX_ITERS):
+        before = _ckpt_entries(spark) if reliable else set()
         # min over self ∪ neighbor labels in ONE aggregate: the node's
         # own (node, comp) rows union the neighbor-relabeled edge rows,
         # replacing the old groupBy + left-join-back round trip.
@@ -474,6 +528,9 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("comp").alias("comp")),
             reliable,
         )
+        if reliable:
+            _drop_ckpts(spark, prev_label_ckpts)
+            prev_label_ckpts = _ckpt_entries(spark) - before
         new_sum = labels.agg(F.sum("comp")).first()[0]
         if new_sum == prev_sum:
             break

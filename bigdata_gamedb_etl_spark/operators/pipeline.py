@@ -421,6 +421,48 @@ ORDER BY split, lang
 """
 
 
+# --------------------------------------------------------------------------
+# Fixed-k-per-group sampling, RNG-free: order each group by a salted
+# hash of the key and keep the first k — the reproducible form of
+# "sample k docs per language for eval".  At scale the window input is
+# the full corpus but each partition only needs its top-k (Spark runs
+# rank-truncating windows with a per-partition bounded sort); the
+# hash order is uniform, so the kept set is an unbiased fixed-size
+# sample that is IDENTICAL across engines, runs, and cluster layouts.
+SAMPLE_PER_GROUP_K = 20
+
+
+def pipeline_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-docs-per-language sample: rank by md5(doc_id)
+    inside each language, keep rank ≤ k."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_PER_GROUP_K)
+        .select("lang", "rk", "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    )
+
+
+PER_GROUP_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, rk, doc_id, n_chars
+FROM ranked
+WHERE rk <= {SAMPLE_PER_GROUP_K}
+ORDER BY lang, rk
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_examples": pipeline_training_examples,
@@ -428,6 +470,7 @@ QUERIES = {
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_domain_mixture": pipeline_domain_mixture,
     "pipeline_train_val_test": pipeline_train_val_test,
+    "pipeline_per_group_sample": pipeline_per_group_sample,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
@@ -436,4 +479,5 @@ ORACLE = {
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,
     "pipeline_domain_mixture": DOMAIN_MIXTURE_ORACLE,
     "pipeline_train_val_test": TRAIN_VAL_TEST_ORACLE,
+    "pipeline_per_group_sample": PER_GROUP_SAMPLE_ORACLE,
 }

@@ -72,10 +72,13 @@ def sketch_daily_merge_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 CM_DEPTH = 4
 CM_WIDTH = 8192
 #: candidate generation: deterministic 5% sample of token OCCURRENCES
-#: (hash-gated on (doc_id, position) — no RNG).  A true heavy hitter
-#: appears in any constant-rate occurrence sample with near-certainty,
-#: so the candidate set stays small while provably covering the heavy
-#: tail the query reports.
+#: (hash-gated on (doc_id, position) — no RNG).  With a fixed hash this
+#: is not a probabilistic guarantee (a token whose every (doc_id, pos)
+#: occurrence hashed to a nonzero residue would be missed), but a token
+#: frequent enough to matter has so many occurrences that missing all
+#: of them is vanishingly unlikely in practice — coverage of the exact
+#: top-K is asserted empirically in tests/test_llm_pipeline.py, not
+#: proved.
 CM_SAMPLE_MOD = 20
 CM_TOP_K = 20
 

@@ -206,14 +206,93 @@ ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST, event_type ASC NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series gap-fill with LOCF (last observation carried forward) —
+# the TimescaleDB `time_bucket_gapfill` + `locf` capability.  The spine
+# is generated per-entity with sequence()+explode (a narrow expansion
+# bounded by calendar days, which do NOT grow with corpus size — 100 TB
+# means more rows per day, not more days), then one left join back to
+# the observed daily grain and one per-entity window for the fill.
+GAPFILL_USER_MOD = 10  # deterministic entity subset: user_id % MOD == 0
+
+
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase totals on a dense calendar spine
+    (min..max active day per user), gaps filled by carrying the last
+    observed value forward.  `is_filled` marks synthesized rows."""
+    e = table(spark, sf_dir, "events").where(
+        (F.col("user_id") % GAPFILL_USER_MOD == 0)
+        & (F.col("event_type") == "purchase")
+    )
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("observed")
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("observed", ignorenulls=True).over(w).alias("locf_value"),
+            F.col("observed").isNull().cast("int").alias("is_filled"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+TS_GAPFILL_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS observed
+  FROM events
+  WHERE user_id % {GAPFILL_USER_MOD} = 0 AND event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+spine AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       LAST_VALUE(d.observed IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value,
+       CAST(d.observed IS NULL AS INTEGER) AS is_filled
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, s.day
+"""
+
+
 QUERIES = {
     "asof_purchase_click": asof_purchase_click,
     "interval_error_click_burst": interval_error_click_burst,
     "rollup_event_time_grain": rollup_event_time_grain,
+    "ts_gapfill_locf": ts_gapfill_locf,
 }
 
 ORACLE = {
     "asof_purchase_click": ASOF_ORACLE,
     "interval_error_click_burst": INTERVAL_ORACLE,
     "rollup_event_time_grain": ROLLUP_GRAIN_ORACLE,
+    "ts_gapfill_locf": TS_GAPFILL_ORACLE,
 }

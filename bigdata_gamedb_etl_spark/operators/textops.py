@@ -618,6 +618,82 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF: the classic relevance weighting over the corpus, kept fully
+# relational.  Three bounded-cardinality hash-aggs (term-frequency at
+# (doc, token) grain; document-frequency at token grain — vocab-sized,
+# Zipf-bounded; the corpus doc count as a 1-row broadcast) joined on
+# token, then a per-doc window for the top-K terms.  No all-pairs
+# shape anywhere: the only shuffles are the two hash-aggs and the
+# token-keyed join, each linear in corpus token count — the same plan
+# at 100 TB, with the window bounded at K rows per document.
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K TF-IDF terms per document (tfidf = tf · ln(N/df)).
+
+    Determinism across engines: tfidf is ROUNDED before ranking, and
+    the window tie-breaks on (token) — so engines that disagree only
+    in sub-round bits of ln() still rank identically."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 5),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "rk", "token", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# NOTE: DuckDB ln() is natural log (log() is base-10) — F.log in Spark
+# is natural log, so ln() is the matching spelling.
+TEXT_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKS_DUCK}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         ROUND(tf.tf * ln(n.n_docs / dfreq.df), 5) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, token, tf, df, tfidf
+FROM ranked
+WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rk
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -631,6 +707,7 @@ QUERIES = {
     "text_vocab_coverage": text_vocab_coverage,
     "text_unigram_logprob": text_unigram_logprob,
     "text_chunk_udtf": text_chunk_udtf,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
 }
 
 ORACLE = {
@@ -646,4 +723,5 @@ ORACLE = {
     "text_vocab_coverage": TEXT_VOCAB_ORACLE,
     "text_unigram_logprob": TEXT_UNIGRAM_ORACLE,
     "text_chunk_udtf": TEXT_CHUNK_ORACLE,
+    "text_tfidf_top_terms": TEXT_TFIDF_ORACLE,
 }

@@ -317,6 +317,85 @@ ORDER BY dau.day
 """
 
 
+# --------------------------------------------------------------------------
+# EWMA over a calendar-bounded grain.  The recurrence
+# ewma_t = α·x_t + (1-α)·ewma_{t-1} is not a built-in window aggregate
+# in either engine, but it has an exact closed form over a running sum:
+#   ewma_t = (1-α)^t · Σ_{i≤t} c_i·x_i,   c_1 = (1-α)^{-1},
+#                                          c_i = α·(1-α)^{-i}  (i ≥ 2)
+# — one window running sum after the monthly pre-aggregation.  The
+# rescaled coefficients grow as (1-α)^{-t}, so this form needs t
+# bounded: the MONTHLY pre-agg guarantees that (calendar months do not
+# grow with corpus size; 80 months ⇒ max coefficient ≈ 2.4e12, far
+# inside double range).  For unbounded-length series, chunk the scan
+# and re-normalize per chunk.
+EWMA_ALPHA = 0.3
+
+
+def w10_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue with its exponentially-weighted moving
+    average (α=0.3).  Determinism across engines: the monthly totals
+    are exact DECIMAL sums, and the running sum is evaluated in ORDER
+    BY order on identical doubles — same additions, same result."""
+    a = EWMA_ALPHA
+    b = 1.0 - a
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_ts")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    seq = monthly.withColumn(
+        "rn", F.row_number().over(Window.orderBy("month_ts"))
+    ).withColumn(
+        "c",
+        F.when(F.col("rn") == 1, F.lit(1.0 / b)).otherwise(
+            F.lit(a) * F.pow(F.lit(b), -F.col("rn"))
+        ),
+    )
+    run = (
+        Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        seq.select(
+            F.to_date("month_ts").alias("month"),
+            "revenue",
+            F.round(
+                F.pow(F.lit(b), F.col("rn"))
+                * F.sum(F.col("c") * F.col("revenue")).over(run),
+                2,
+            ).alias("ewma"),
+        )
+        .orderBy("month")
+    )
+
+
+W10_ORACLE = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT month, revenue, ROW_NUMBER() OVER (ORDER BY month) AS rn FROM monthly
+),
+coef AS (
+  SELECT month, revenue, rn,
+         CASE WHEN rn = 1 THEN 1.0 / {1.0 - EWMA_ALPHA}
+              ELSE {EWMA_ALPHA} * POWER({1.0 - EWMA_ALPHA}, -rn) END AS c
+  FROM seq
+)
+SELECT month, revenue,
+       ROUND(POWER({1.0 - EWMA_ALPHA}, rn) * SUM(c * revenue) OVER (
+         ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ewma
+FROM coef
+ORDER BY month
+"""
+
+
 QUERIES = {
     "w1_pareto_supplier_share": w1_pareto_supplier_share,
     "w2_top_customers_per_nation": w2_top_customers_per_nation,
@@ -326,6 +405,7 @@ QUERIES = {
     "w6_customer_rank_in_segment": w6_customer_rank_in_segment,
     "w8_range_frame_hourly": w8_range_frame_hourly_sum,
     "w9_sliding_active_users": w9_sliding_active_users,
+    "w10_ewma_monthly_revenue": w10_ewma_monthly_revenue,
 }
 
 ORACLE = {
@@ -337,4 +417,5 @@ ORACLE = {
     "w6_customer_rank_in_segment": W6_ORACLE,
     "w8_range_frame_hourly": W8_ORACLE,
     "w9_sliding_active_users": W9_ORACLE,
+    "w10_ewma_monthly_revenue": W10_ORACLE,
 }

@@ -140,6 +140,16 @@ def compact(spark: SparkSession, path: str, target_files: int) -> None:
     atomicity needs a table format — Delta/Iceberg — on object stores
     without atomic rename; this is the plain-directory best effort.)
 
+    REQUIRES EXCLUSIVE ACCESS: between the rename-aside and the staging
+    move there is a window where `path` does not exist, so a concurrent
+    reader can fail with path-not-found even though no data was lost;
+    run compaction only when no readers are active (or behind a table
+    format that versions snapshots).  Crash recovery: if the process
+    dies inside the window, the complete previous dataset is at
+    `<path>__old` — restore it with a single directory rename; a
+    finished-but-unswapped rewrite may also be at `<path>__compacting`
+    (safe to delete, it is rebuilt from the source on retry).
+
     The small-file problem is the classic slow-creep scale bug: a
     streaming or per-batch writer leaves thousands of KB-size files and
     scan task-scheduling overhead swamps I/O."""

@@ -235,6 +235,12 @@ def test_editdist_collapses_before_quadratic_join(spark, sf_dir):
 
     plan = plans.physical(dd.dedup_editdist_names(spark, sf_dir))
     join_pos = plan.find("Join")
-    agg_pos = plan.find("HashAggregate")
-    assert join_pos != -1 and agg_pos != -1
+    assert join_pos != -1
     assert "levenshtein" in plan
+    # the distinct-collapse aggregate must sit BELOW the self-join: the
+    # physical plan prints root-first, so a child HashAggregate appears
+    # AFTER the Join in the string.
+    assert plan.find("HashAggregate", join_pos) != -1, (
+        "no HashAggregate below the levenshtein self-join — "
+        "the join is running over raw part rows"
+    )

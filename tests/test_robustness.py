@@ -136,5 +136,17 @@ def test_cluster_assign_reliable_checkpoint_path(spark, sf_dir):
         )
     finally:
         spark.conf.unset(RELIABLE_CKPT_CONF)
+    from bigdata_gamedb_etl_spark.operators.dedup import _ckpt_local_dir
+
     assert spark.sparkContext.getCheckpointDir() is not None
     assert reliable == baseline
+    # superseded per-iteration label checkpoints must be deleted as the
+    # loop advances (Spark's own cleaner is GC-driven and off by
+    # default) — only the edge list, the final labels, and at most the
+    # in-flight iteration's files may remain, not one per iteration.
+    local = _ckpt_local_dir(spark)
+    assert local is not None
+    remaining = [e for e in os.listdir(local) if e.startswith("rdd-")]
+    assert len(remaining) <= 3, (
+        f"checkpoint dir leaks superseded iterations: {sorted(remaining)}"
+    )
