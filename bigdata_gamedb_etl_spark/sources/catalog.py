@@ -122,6 +122,61 @@ TABLE_SCHEMAS: dict[str, StructType] = {
 }
 
 
+def _first_parquet_file(path: str) -> str:
+    """`path` is either a single parquet file or a directory of them
+    (Spark sinks, streaming staging dirs); return one concrete file so
+    the footer can be probed."""
+    if os.path.isfile(path):
+        return path
+    names = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    if not names:
+        raise FileNotFoundError(f"no .parquet files under {path}")
+    return os.path.join(path, names[0])
+
+
+def events_ts_unit(path: str) -> str:
+    """Parquet-footer probe: the physical unit of the `events.ts`
+    column ('ns', 'us', 'ms', 's').
+
+    Testdata generations differ — TIMESTAMP(NANOS) through round 3,
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) since round 4 — and batch
+    and streaming MUST decode identically, so both go through this one
+    probe instead of each hard-coding generation knowledge (r4 broke
+    exactly that way: the batch path was fixed for the regeneration and
+    the stream kept the nanos decode).  Footer-only read: no data pages
+    touched, safe to call at plan-build time at any scale.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(_first_parquet_file(path)).field("ts").type
+    unit = getattr(t, "unit", None)
+    # Plain int64 with no logical type: the legacy generation's
+    # nanos-as-long encoding.
+    return unit if unit is not None else "ns"
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch events reader — the ONE decode path (streaming mirrors it
+    via the same `events_ts_unit` probe, streaming/windowed.py).
+
+    - MICROS/MILLIS files read natively as session-tz TIMESTAMP
+      (`inferTimestampNTZ.enabled=false`; no cast wrapper, so
+      scan-level predicate pushdown on `ts` is preserved).
+    - legacy NANOS (or unannotated int64) files read as nano-longs and
+      truncate to microseconds (identical to DuckDB/Arrow ns → µs
+      downcasting).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if events_ts_unit(path) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (Parquet scan).
 
@@ -129,32 +184,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicates into the scan for anything expressed declaratively on
     top of this.
 
-    Timestamp encodings vary across testdata generations: `events.ts`
-    has been written as TIMESTAMP(NANOS) (which Spark's reader rejects
-    outright) and, since round 4, all timestamp columns are
-    TIMESTAMP(MICROS, isAdjustedToUTC=false) — which Spark 4 infers as
-    TIMESTAMP_NTZ by default.  The engine (and rounds 1-3 of driver
-    evidence) is built on session-tz TIMESTAMP: `unix_micros`,
-    `session_window`, and the DuckDB oracles all assume it.  Normalize
-    at this single load point:
-
-    - `inferTimestampNTZ.enabled=false`: naive parquet timestamps read
-      natively as TIMESTAMP (no cast wrapper, so scan-level predicate
-      pushdown on date columns is preserved — a cast-on-top would
-      defeat PushedFilters for every TPC-H date range).
-    - legacy NANOS files: read as nano-longs and truncate to
-      microseconds (identical to DuckDB/Arrow ns → µs downcasting).
+    Timestamp normalization: the engine (and all driver evidence) is
+    built on session-tz TIMESTAMP — `unix_micros`, `session_window`,
+    and the DuckDB oracles all assume it.  Naive parquet timestamps
+    read natively as TIMESTAMP via `inferTimestampNTZ.enabled=false`;
+    `events.ts` additionally goes through the unit-probed
+    `read_events` (encodings vary across testdata generations).
     """
     # Pin the session timezone: naive parquet timestamps must yield the
     # same date parts here as in DuckDB regardless of the host JVM's TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return read_events(spark, os.path.join(sf_dir, "events.parquet"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -188,11 +188,7 @@ def _per_user_totals(events):
 
 
 def _batch_totals(spark, events_dir):
-    batch = (
-        spark.read.schema(streaming.EVENTS_STREAM_SCHEMA)
-        .parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    batch = streaming.read_events_batch(spark, events_dir)
     return {
         r["user_id"]: (r["event_count"], r["total_value"], r["last_us"])
         for r in _per_user_totals(batch).collect()
@@ -220,14 +216,13 @@ def test_foreach_batch_upsert_mart(spark, sf_dir, events_dir, tmp_path):
     # a late-arriving second file updates only the touched users via the
     # same checkpoint (incremental MERGE semantics)
     first = (
-        spark.read.schema(streaming.EVENTS_STREAM_SCHEMA)
-        .parquet(events_dir)
+        streaming.read_events_batch(spark, events_dir)
         .orderBy("event_id")
         .limit(100)
     )
     (
         first.withColumn("event_id", F.col("event_id") + 10_000_000)
-        .withColumn("ts", F.col("ts") + F.lit(86_400_000_000_000))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 24 HOURS"))
         .write.mode("overwrite")
         .parquet(str(tmp_path / "late"))
     )
@@ -263,6 +258,87 @@ def test_rate_source_windowed_agg_deterministic(spark):
     q.awaitTermination(120)
     rows = spark.sql("select n, s from rate_smoke").collect()
     assert [(r["n"], r["s"]) for r in rows] == [(100, 4950)]
+
+
+_EPOCH_2024_S = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+
+def _write_events_fixture(tmp_path, name: str, unit: str):
+    """Write a tiny events-shaped parquet dir with ts in the given
+    physical unit ('ns' → TIMESTAMP(NANOS) like testdata generations
+    1-3, 'us' → TIMESTAMP(MICROS) like round 4+, 'raw_s' → unannotated
+    int64 seconds, an encoding the engine does NOT handle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10
+    ts_ns = [(_EPOCH_2024_S + i * 60) * 1_000_000_000 for i in range(n)]
+    if unit == "ns":
+        ts = pa.array(ts_ns, type=pa.timestamp("ns"))
+    elif unit == "us":
+        ts = pa.array([v // 1000 for v in ts_ns], type=pa.timestamp("us"))
+    else:  # raw_s
+        ts = pa.array([v // 1_000_000_000 for v in ts_ns], type=pa.int64())
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(t, d / "part-0.parquet", version="2.6")
+    return str(d)
+
+
+def test_events_ts_unit_probe_both_generations(spark, tmp_path):
+    """VERDICT r4 item 7: one probe-based decode path covering both a
+    NANOS and a MICROS fixture written locally — batch and stream must
+    read the SAME first timestamp, in the testdata era."""
+    from bigdata_gamedb_etl_spark.sources.catalog import events_ts_unit
+
+    for unit in ("ns", "us"):
+        d = _write_events_fixture(tmp_path, f"ev_{unit}", unit)
+        assert events_ts_unit(d) == unit
+        batch_first = (
+            streaming.read_events_batch(spark, d)
+            .orderBy("event_id")
+            .first()["ts"]
+        )
+        assert batch_first.year == 2024
+        ev = streaming.read_events_stream(spark, d)
+        streaming.run_stream_to_memory(
+            ev.select("event_id", "ts"), f"probe_{unit}_t", "append"
+        )
+        stream_first = (
+            spark.table(f"probe_{unit}_t").orderBy("event_id").first()["ts"]
+        )
+        assert stream_first == batch_first
+
+
+def test_stream_and_batch_agree_on_first_event_ts(spark, sf_dir, events_dir):
+    """The exact round-4 regression: stream and batch must decode the
+    real testdata's first event timestamp identically (not 1000× off)."""
+    batch_min = table(spark, sf_dir, "events").agg(F.min("ts")).first()[0]
+    ev = streaming.read_events_stream(spark, events_dir)
+    streaming.run_stream_to_memory(
+        ev.groupBy().agg(F.min("ts").alias("mn")), "first_ts_t", "complete"
+    )
+    stream_min = spark.table("first_ts_t").first()["mn"]
+    assert stream_min == batch_min
+
+
+def test_unit_skew_guard_fires_on_unknown_encoding(spark, tmp_path):
+    """VERDICT r4 item 9: corrupting the unit (raw int64 seconds) must
+    trigger an immediate, attributable error at stream construction —
+    not silently-wrong windows."""
+    d = _write_events_fixture(tmp_path, "ev_raw", "raw_s")
+    with pytest.raises(ValueError, match="unit skew"):
+        streaming.read_events_stream(spark, d)
 
 
 def _has_protobuf() -> bool:
