@@ -47,7 +47,11 @@ SHARED12 = [
 
 #: the hard shapes added after round 1: aggregate-then-join (q18), the
 #: hardest TPC-H subquery shape (q21), iterative connected components,
-#: as-of and banded interval joins, sequence packing.
+#: as-of and banded interval joins, sequence packing.  Round 5 adds the
+#: registry-served JSON twin of mm_feature_extract under its own series
+#: name so a perf regression in the SHIPPED implementation is visible
+#: (the SHARED12 "mm_feature_extract" series stays pinned to the typed
+#: variant it has always measured).
 EXTRAS = [
     "tpch_q18_large_volume",
     "tpch_q21_sole_returned",
@@ -55,6 +59,7 @@ EXTRAS = [
     "asof_purchase_click",
     "interval_error_click_burst",
     "pipeline_pack_sequences",
+    "mm_feature_extract_json",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -64,13 +69,36 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _testdata_fingerprint(sf_dir: str) -> dict:
+    """Sizes+mtimes of the input files, hashed — BENCH numbers are only
+    comparable round-over-round when this matches (the r3→r4 'shared-12
+    regression' was a testdata regeneration, not a plan change; this
+    field makes that distinguishable without a forensic re-run)."""
+    import hashlib
+
+    entries = []
+    total = 0
+    for name in sorted(os.listdir(sf_dir)):
+        p = os.path.join(sf_dir, name)
+        if os.path.isfile(p) and name.endswith(".parquet"):
+            st = os.stat(p)
+            entries.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+            total += st.st_size
+    return {
+        "hash": hashlib.md5("|".join(entries).encode()).hexdigest()[:16],
+        "total_bytes": total,
+        "n_files": len(entries),
+    }
+
+
 def main() -> None:
     queries = dict(all_queries())
     # SHARED12 comparability pin: the registry's "mm_feature_extract"
     # was re-pointed (round 3) to the harness-safe JSON twin, which adds
     # to_json + a global orderBy the r1/r2 numbers never measured.
-    # Bench keeps timing the typed-array variant so the pinned series
-    # stays one implementation.
+    # Bench keeps timing the typed-array variant under the pinned name;
+    # the shipped JSON twin gets its own EXTRAS series.
+    queries["mm_feature_extract_json"] = queries["mm_feature_extract"]
     queries["mm_feature_extract"] = multimodal.mm_feature_extract
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -110,6 +138,7 @@ def main() -> None:
                 ),
                 "extras_sec": round(sum(timings[n] for n in EXTRAS), 3),
                 "sf": sf_val,
+                "testdata": _testdata_fingerprint(SF_DIR),
             }
         )
     )

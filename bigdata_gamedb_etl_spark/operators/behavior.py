@@ -218,22 +218,34 @@ ORDER BY event_type, day
 
 # --------------------------------------------------------------------------
 # RFM segmentation — the classic customer-value grid.  One hash-agg to
-# customer grain (the only corpus-sized shuffle), three quintile
-# windows over the customer-grain table (customer cardinality ≪ fact
-# cardinality — at 100 TB of orders this window input is the customer
-# dimension, not the fact), then a 25-cell rollup.
+# customer grain (the only corpus-sized shuffle), then QUINTILE CUT
+# POINTS from a single global aggregate broadcast back over the
+# customer grain — NOT global ntile windows.  The r4 ntile form moved
+# the entire customer-grain table to a single partition three times
+# (WindowExec "No Partition Defined"); at 100 TB of orders the
+# customer dimension is billions of rows, so a single-task sort is a
+# hard scale-killer.  The cut-point form is: hash-agg → one-row
+# aggregate (partial+final, no sort) → broadcast → CASE bucket — every
+# stage parallel, nothing ever on one task (VERDICT r4 item 4).
 RFM_BUCKETS = 5
+_RFM_PS = [0.2, 0.4, 0.6, 0.8]
 
 
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency/Frequency/Monetary quintile grid over orders: per-cell
     customer count and average spend.
 
-    Determinism across engines: every ntile window orders with an
-    explicit custkey tie-break (both engines use the standard 'first
-    (count mod n) buckets get one extra row' distribution, so equal
-    inputs + equal order = equal buckets), and monetary aggregates are
-    exact DECIMAL sums — no float addition-order dependence."""
+    Scores are assigned by comparing each metric against the four
+    percentile_disc quintile cuts (score 1 = best: most recent / most
+    frequent / highest spend).  Unlike ntile, equal metric values
+    always get equal scores (ties are not split across buckets), which
+    is both the analytically-honest grid and the reason no global sort
+    is needed.
+
+    Determinism across engines: percentile_disc SELECTS an actual data
+    value (no interpolation — Spark and DuckDB agree on 'smallest
+    value with cdf ≥ p'), metrics are exact (ints / DECIMAL sums cast
+    once to double), so every comparison sees identical bits."""
     o = table(spark, sf_dir, "orders")
     ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
     per_cust = (
@@ -245,17 +257,35 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(ref))
         .withColumn("recency_days", F.datediff("ref_day", "last_day"))
+        .withColumn("monetary_d", F.col("monetary").cast("double"))
     )
-    n = RFM_BUCKETS
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    scored = per_cust.select(
+    cuts = per_cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})"
+            ).alias(f"{m}_c{int(p * 100)}")
+            for m in ("recency_days", "freq", "monetary_d")
+            for p in _RFM_PS
+        ]
+    )
+
+    def _above(metric: str) -> F.Column:
+        # how many quintile cuts the value exceeds: 0..4
+        s = F.lit(0)
+        for p in _RFM_PS:
+            s = s + F.when(
+                F.col(metric) > F.col(f"{metric}_c{int(p * 100)}"), 1
+            ).otherwise(0)
+        return s
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
         "o_custkey",
         "monetary",
-        F.ntile(n).over(r_w).alias("r_score"),
-        F.ntile(n).over(f_w).alias("f_score"),
-        F.ntile(n).over(m_w).alias("m_score"),
+        # low recency = recent = best → score 1 + cuts-exceeded
+        (F.lit(1) + _above("recency_days")).alias("r_score"),
+        # high freq/monetary = best → score 5 - cuts-exceeded
+        (F.lit(5) - _above("freq")).alias("f_score"),
+        (F.lit(5) - _above("monetary_d")).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score")
@@ -272,8 +302,23 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_cut_cols() -> str:
+    return ",\n         ".join(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m}) AS {m}_c{int(p * 100)}"
+        for m in ("recency_days", "freq", "monetary_d")
+        for p in _RFM_PS
+    )
+
+
+def _rfm_above(metric: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {metric} > {metric}_c{int(p * 100)} THEN 1 ELSE 0 END)"
+        for p in _RFM_PS
+    )
+
+
 RFM_ORACLE = f"""
-WITH per_cust AS (
+WITH per_cust0 AS (
   SELECT o_custkey,
          MAX(CAST(o_orderdate AS DATE)) AS last_day,
          COUNT(*) AS freq,
@@ -281,14 +326,22 @@ WITH per_cust AS (
   FROM orders GROUP BY o_custkey
 ),
 ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+per_cust AS (
+  SELECT o_custkey, freq, monetary,
+         datediff('day', last_day, ref_day) AS recency_days,
+         CAST(monetary AS DOUBLE) AS monetary_d
+  FROM per_cust0 CROSS JOIN ref
+),
+cuts AS (
+  SELECT {_rfm_cut_cols()}
+  FROM per_cust
+),
 scored AS (
   SELECT o_custkey, monetary,
-         NTILE({RFM_BUCKETS}) OVER (
-           ORDER BY datediff('day', last_day, ref_day) ASC, o_custkey ASC
-         ) AS r_score,
-         NTILE({RFM_BUCKETS}) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_score,
-         NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
-  FROM per_cust CROSS JOIN ref
+         1 + {_rfm_above("recency_days")} AS r_score,
+         5 - ({_rfm_above("freq")}) AS f_score,
+         5 - ({_rfm_above("monetary_d")}) AS m_score
+  FROM per_cust CROSS JOIN cuts
 )
 SELECT r_score, f_score,
        COUNT(*) AS customers,

@@ -442,28 +442,39 @@ def _ckpt_local_dir(spark: SparkSession) -> str | None:
     return d if os.path.isdir(d) else None
 
 
-def _ckpt_entries(spark: SparkSession) -> set[str]:
-    """Names of RDD checkpoint subdirs currently on disk (reliable path
-    only; empty when no checkpoint dir is set)."""
-    d = _ckpt_local_dir(spark)
-    if d is None:
-        return set()
-    return {e for e in os.listdir(d) if e.startswith("rdd-")}
+def _ckpt_file(df: DataFrame) -> str | None:
+    """The concrete checkpoint path backing an eagerly `checkpoint()`ed
+    DataFrame: its analyzed plan is a LogicalRDD whose RDD reports
+    `getCheckpointFile`.  EXACT ownership — earlier rounds attributed
+    subdirs by diffing directory listings, which could claim (and then
+    delete) the live checkpoint of a CONCURRENT query in the same
+    session that happened to checkpoint inside the iteration window.
+    Returns a local-fs path, or None off local fs / not checkpointed."""
+    try:
+        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        if not opt.isDefined():
+            return None
+        p = opt.get()
+    except Exception:
+        return None
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    return None if "://" in p else p
 
 
-def _drop_ckpts(spark: SparkSession, entries: set[str]) -> None:
-    """Delete superseded checkpoint subdirs.  Spark's ContextCleaner
+def _drop_ckpt(path: str | None) -> None:
+    """Delete one superseded checkpoint dir.  Spark's ContextCleaner
     only removes checkpoint files at GC time and only when
     spark.cleaner.referenceTracking.cleanCheckpoints is set, so an
     iterative loop that checkpoints every round leaks one labels-sized
     dataset per iteration in a long session — delete each iteration's
     checkpoint as soon as the next one (eagerly materialized, so no
     longer reading its parent) supersedes it."""
-    d = _ckpt_local_dir(spark)
-    if d is None:
-        return
-    for e in entries:
-        shutil.rmtree(os.path.join(d, e), ignore_errors=True)
+    if path:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,14 +506,12 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).toDF("src", "nbr"),
         reliable,
     )
-    before_init = _ckpt_entries(spark) if reliable else set()
     labels = _materialize_iter(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node")),
         reliable,
     )
-    init_label_ckpts = _ckpt_entries(spark) - before_init if reliable else set()
     # Convergence via the label-sum invariant: labels only ever
     # decrease, so the total is strictly smaller after any change and a
     # repeated sum means fixpoint — one cheap scalar aggregate per
@@ -510,13 +519,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     # In the reliable path, each iteration writes a fresh labels
     # checkpoint; the previous iteration's files are dead the moment the
-    # new one is (eagerly) materialized.  Track the subdirs owned by the
-    # superseded labels and delete them per round — without this a long
-    # session leaks one labels-sized checkpoint per iteration (Spark's
-    # own cleaner is GC-driven and off by default).
-    prev_label_ckpts: set[str] = init_label_ckpts
+    # new one is (eagerly) materialized.  Each checkpointed DataFrame
+    # reports its OWN concrete path (_ckpt_file), which is deleted when
+    # superseded — without this a long session leaks one labels-sized
+    # checkpoint per iteration (Spark's own cleaner is GC-driven and
+    # off by default).
+    prev_label_ckpt: str | None = _ckpt_file(labels) if reliable else None
     for _ in range(CLUSTER_MAX_ITERS):
-        before = _ckpt_entries(spark) if reliable else set()
         # min over self ∪ neighbor labels in ONE aggregate: the node's
         # own (node, comp) rows union the neighbor-relabeled edge rows,
         # replacing the old groupBy + left-join-back round trip.
@@ -529,8 +538,8 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             reliable,
         )
         if reliable:
-            _drop_ckpts(spark, prev_label_ckpts)
-            prev_label_ckpts = _ckpt_entries(spark) - before
+            _drop_ckpt(prev_label_ckpt)
+            prev_label_ckpt = _ckpt_file(labels)
         new_sum = labels.agg(F.sum("comp")).first()[0]
         if new_sum == prev_sum:
             break

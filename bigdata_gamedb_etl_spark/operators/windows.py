@@ -329,16 +329,51 @@ ORDER BY dau.day
 # grow with corpus size; 80 months ⇒ max coefficient ≈ 2.4e12, far
 # inside double range).  For unbounded-length series, chunk the scan
 # and re-normalize per chunk.
+#
+# Cross-engine determinism (r4 ADVICE, high): computing the
+# coefficients with each engine's own pow() left them one libm ulp
+# apart, which the ~1e12 rescale amplified across a half-cent ROUND
+# boundary (Spark 4695438.23 vs DuckDB 4695438.22).  Fix: compute
+# every coefficient ONCE in Python and inject the identical double
+# literals into both plans — Spark joins a broadcast literal table,
+# DuckDB joins a VALUES list rendered with repr() (shortest
+# round-trip, parses back to the same bits).  Both engines then
+# multiply and running-sum the same doubles in the same rn order.
+#
+# That alone is not enough: the testdata lands a month EXACTLY on a
+# half-cent (raw bits 0x1.1e9638e666666p+22, repr 4695438.225), and
+# the engines' ROUND primitives disagree on identical bits — Spark
+# rounds the shortest decimal repr half-up (.23), DuckDB rounds the
+# true binary value (.22).  The final 2dp round is therefore written
+# as floor(x*100 + 0.5)/100 in BOTH plans: pure IEEE multiply/add/
+# floor/divide, bit-deterministic on identical inputs in any engine.
 EWMA_ALPHA = 0.3
+#: coefficient-table horizon: 600 months = 50 years of monthly grain,
+#: far past any testdata span; months beyond it surface as NULL ewma
+#: (left join), loud in any parity check rather than silently wrong.
+EWMA_MAX_MONTHS = 600
+
+
+def _ewma_coefs(
+    n: int = EWMA_MAX_MONTHS, a: float = EWMA_ALPHA
+) -> list[tuple[int, float, float]]:
+    """(rn, c, scale) rows computed in ONE place: c is the rescaled
+    running-sum coefficient, scale = (1-α)^rn undoes the rescale."""
+    b = 1.0 - a
+    out = []
+    for rn in range(1, n + 1):
+        c = (1.0 / b) if rn == 1 else a * b ** (-rn)
+        out.append((rn, c, b**rn))
+    return out
 
 
 def w10_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly order revenue with its exponentially-weighted moving
     average (α=0.3).  Determinism across engines: the monthly totals
-    are exact DECIMAL sums, and the running sum is evaluated in ORDER
-    BY order on identical doubles — same additions, same result."""
-    a = EWMA_ALPHA
-    b = 1.0 - a
+    are exact DECIMAL sums, the EWMA coefficients are Python-computed
+    double literals shared with the oracle (see module comment), and
+    the running sum is evaluated in ORDER BY rn order on identical
+    doubles — same bits, same additions, same result."""
     o = table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month_ts")
@@ -347,29 +382,30 @@ def w10_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+    coef = spark.createDataFrame(
+        _ewma_coefs(), "rn INT, c DOUBLE, scale DOUBLE"
+    )
     seq = monthly.withColumn(
         "rn", F.row_number().over(Window.orderBy("month_ts"))
-    ).withColumn(
-        "c",
-        F.when(F.col("rn") == 1, F.lit(1.0 / b)).otherwise(
-            F.lit(a) * F.pow(F.lit(b), -F.col("rn"))
-        ),
-    )
+    ).join(F.broadcast(coef), "rn", "left")
     run = (
         Window.orderBy("rn")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    raw = F.col("scale") * F.sum(F.col("c") * F.col("revenue")).over(run)
     return (
         seq.select(
             F.to_date("month_ts").alias("month"),
             "revenue",
-            F.round(
-                F.pow(F.lit(b), F.col("rn"))
-                * F.sum(F.col("c") * F.col("revenue")).over(run),
-                2,
-            ).alias("ewma"),
+            (F.floor(raw * 100 + F.lit(0.5)) / 100).alias("ewma"),
         )
         .orderBy("month")
+    )
+
+
+def _ewma_coef_values_sql() -> str:
+    return ",".join(
+        f"({rn},{c!r},{s!r})" for rn, c, s in _ewma_coefs()
     )
 
 
@@ -382,16 +418,11 @@ WITH monthly AS (
 seq AS (
   SELECT month, revenue, ROW_NUMBER() OVER (ORDER BY month) AS rn FROM monthly
 ),
-coef AS (
-  SELECT month, revenue, rn,
-         CASE WHEN rn = 1 THEN 1.0 / {1.0 - EWMA_ALPHA}
-              ELSE {EWMA_ALPHA} * POWER({1.0 - EWMA_ALPHA}, -rn) END AS c
-  FROM seq
-)
+coef(rn, c, scale) AS (VALUES {_ewma_coef_values_sql()})
 SELECT month, revenue,
-       ROUND(POWER({1.0 - EWMA_ALPHA}, rn) * SUM(c * revenue) OVER (
-         ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ewma
-FROM coef
+       FLOOR(scale * SUM(c * revenue) OVER (
+         ORDER BY seq.rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS ewma
+FROM seq LEFT JOIN coef ON seq.rn = coef.rn
 ORDER BY month
 """
 

@@ -70,6 +70,30 @@ def optimized(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def subtree(plan: str, op: str) -> str:
+    """The pre-order subtree rooted at the first plan line containing
+    `op`: that line plus every following line with strictly greater
+    tree indentation.  Substring offsets alone can't prove ancestry
+    (a later SIBLING subtree also prints after the anchor); indentation
+    depth can."""
+    import re
+
+    def _depth(line: str) -> int:
+        return len(re.match(r"^[\s:+\-]*", line).group(0))
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if op in ln:
+            d = _depth(ln)
+            out = [ln]
+            for nxt in lines[i + 1 :]:
+                if nxt.strip() and _depth(nxt) <= d:
+                    break
+                out.append(nxt)
+            return "\n".join(out)
+    return ""
+
+
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     # under AQE the pre-execution simple plan hides codegen spans; the
     # codegen explain mode reports generated subtrees directly.

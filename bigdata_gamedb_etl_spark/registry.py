@@ -40,48 +40,52 @@ MODULES = [
 ]
 
 # Order matters: the driver's correctness gate checks a bounded prefix
-# (50 entries) of this registry.  Round-3 head: the 24 queries that have
-# never had a driver row in r1 or r2 (the window covered 98 of 122),
-# then the 3 queries whose r2 row was red and is fixed this round
-# (HUGEINT oracle casts for sess1/q12; array-column serialization for
-# mm_feature_extract), then every round-3 addition (never checked by
-# definition), then r1/r2-green controls to fill the window.  Controls
-# pushed past position 50 by new additions simply rotate back later —
-# they already have green rows.
-NEVER_CHECKED_R2 = [
-    "text_gopher_quality", "text_pii_scrub", "text_vocab_coverage",
-    "text_unigram_logprob", "mart_put_script", "w8_range_frame_hourly",
-    "dedup_decontaminate", "dedup_incremental_pairs",
-    "dedup_boilerplate_lines", "dq_orders_profile",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q20_excess_shippers",
-    "sql_variant_props_stats", "funnel_user_conversion",
-    "cohort_weekly_retention", "anomaly_daily_zscore",
-    "j9_salted_segment_revenue",
-    "pipeline_training_examples", "pipeline_stratified_sample",
-    "pipeline_pack_sequences", "pipeline_domain_mixture",
-    "sim_sq8_topk",
+# (50 entries) of this registry.
+#
+# STRUCTURAL RULE (r4 verdict item 3 — r4 broke it by never rotating):
+# any commit that registers a new query MUST append its name to the
+# current round's *_NEW list in the SAME commit, so it enters the
+# driver window the round it lands.
+# tests/test_harness_compat.py::test_every_query_has_driver_evidence_or_is_queued
+# enforces this: a registered name with no row in any CORRECTNESS_r*.json
+# must appear in PRIORITY[:50].
+#
+# Round-5 head: the round-5 additions, then the 5 round-4 queries that
+# were never rotated in (r4's miss — w10/rfm also carry r5 determinism
+# and scale fixes), then the 36 queries whose only driver evidence is
+# round 1 — the testdata regenerated in r4, so r1 green deserves
+# re-confirmation against the new files — then the standing controls.
+# Names pushed past position 50 already have green rows and rotate
+# back in later rounds (r2-checked queries are next in line).
+ROUND5_NEW: list[str] = []  # appended in the same commit a query lands
+
+ROUND4_NEW = [
+    "ts_gapfill_locf",
+    "w10_ewma_monthly_revenue",
+    "rfm_customer_segments",
+    "text_tfidf_top_terms",
+    "pipeline_per_group_sample",
 ]
 
-REFIXED_R3 = [
-    "sess1_user_sessions", "tpch_q12_priority_by_status",
-    "mm_feature_extract",
-]
-
-# New queries added in round 3 — inserted ahead of controls so they get
-# a driver row the same round they land.
-ROUND3_NEW: list[str] = [
-    "text_chunk_udtf",
-    "dq_referential_integrity",
-    "sketch_cm_heavy_hitters",
-    "pipeline_train_val_test",
-    "seq_markov_transitions",
-    "sess3_top_paths",
-    "p7_winsorized_value",
-    "w9_sliding_active_users",
-    "j10_basket_part_pairs",
-    "dedup_editdist_names",
-    "sketch_approx_topk_tokens",
+# r1-only driver evidence (computed from CORRECTNESS_r01..r04): rotate
+# through the window for re-confirmation against the r4+ testdata.
+RECONFIRM_R1 = [
+    "o6_seeded_sample", "ga1_rollup_region_nation", "w7_ntile_quartiles",
+    "f1_date_parts", "f2_string_funcs", "p1_pivot_event_counts",
+    "p2_unpivot_charges", "mart_customer_profile",
+    "mart_nation_customer_index", "a2_supplier_metrics", "a3_year_trend",
+    "a5_top_supplier", "a8_word_count_stats", "a9_month_distribution",
+    "a10_retailprice_histogram", "a11_size_histogram",
+    "a12_brand_type_revenue", "a13_global_totals", "a14_year_avg_price",
+    "a17_percentiles", "a17b_approx_aggregates",
+    "sql_supplier_distribution", "sql_json_props_stats",
+    "sql_from_json_struct", "w2_top_customers_per_nation",
+    "w3_moving_avg_events", "w4_daily_event_rollup",
+    "w5_value_delta_per_user", "w6_customer_rank_in_segment",
+    "j2_customers_with_orders", "j3_customers_without_orders",
+    "j4_customer_order_counts", "j5_nations_with_both",
+    "j6_nations_customers_only", "j7_union_acctbal_ledger",
+    "j8_brand_supplier_revenue",
 ]
 
 CONTROLS = [
@@ -91,10 +95,9 @@ CONTROLS = [
     "w1_pareto_supplier_share", "j1_region_revenue",
     "sql_word_price_stats", "mart_supplier_summary",
     "ga2_cube_segment_priority", "p3_latest_event_per_user",
-    "o6_seeded_sample",
 ]
 
-PRIORITY = NEVER_CHECKED_R2 + REFIXED_R3 + ROUND3_NEW + CONTROLS
+PRIORITY = ROUND5_NEW + ROUND4_NEW + RECONFIRM_R1 + CONTROLS
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

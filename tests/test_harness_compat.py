@@ -60,6 +60,31 @@ def test_registered_query_schema_flat(name, spark, sf_dir):
     )
 
 
+def test_every_query_has_driver_evidence_or_is_queued():
+    """Structural rotation guard (r4 verdict item 3): a registered
+    query with no row in ANY historical CORRECTNESS_r*.json must sit
+    inside the driver's 50-entry PRIORITY window, so it gets driver
+    evidence the round it lands.  Round 4 registered 5 queries without
+    rotating the window; one of them was red and nobody could tell."""
+    import glob
+    import json
+    import os
+
+    from bigdata_gamedb_etl_spark.registry import PRIORITY
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        checked.update(json.load(open(f)).keys())
+    window = set(PRIORITY[:50])
+    unqueued = [n for n in QUERIES if n not in checked and n not in window]
+    assert not unqueued, (
+        f"queries with no driver evidence and not in the head-50 window: "
+        f"{unqueued} — append them to the current round's *_NEW list in "
+        "registry.py in the same commit that registers them"
+    )
+
+
 def test_readme_counts_match_registry():
     """README's 'N named queries (M oracle-backed)' claim is asserted
     against the registry so the docs can't drift from the gate again."""

@@ -234,13 +234,27 @@ def test_editdist_collapses_before_quadratic_join(spark, sf_dir):
     from bigdata_gamedb_etl_spark.operators import dedup as dd
 
     plan = plans.physical(dd.dedup_editdist_names(spark, sf_dir))
-    join_pos = plan.find("Join")
-    assert join_pos != -1
     assert "levenshtein" in plan
-    # the distinct-collapse aggregate must sit BELOW the self-join: the
-    # physical plan prints root-first, so a child HashAggregate appears
-    # AFTER the Join in the string.
-    assert plan.find("HashAggregate", join_pos) != -1, (
+    # the distinct-collapse aggregate must sit BELOW the self-join —
+    # asserted structurally (indentation-scoped subtree, not substring
+    # offsets: a HashAggregate in a later sibling subtree also prints
+    # after the Join line)
+    join_subtree = plans.subtree(plan, "Join")
+    assert join_subtree, "no Join in the editdist plan"
+    assert "HashAggregate" in join_subtree, (
         "no HashAggregate below the levenshtein self-join — "
         "the join is running over raw part rows"
     )
+
+
+def test_rfm_has_no_window_at_all(spark, sf_dir):
+    """The RFM grid must be scored from broadcast quantile cuts — the
+    r4 ntile form put the whole customer grain through one task three
+    times (unpartitioned WindowExec).  Contract: no Window operator of
+    any kind in the plan (the only SinglePartition stages are the
+    one-row cut/ref aggregates' final steps, which is the normal
+    global-agg shape)."""
+    from bigdata_gamedb_etl_spark.operators import behavior
+
+    plan = plans.physical(behavior.rfm_customer_segments(spark, sf_dir))
+    assert "Window" not in plan, "RFM regressed to window-based scoring"
