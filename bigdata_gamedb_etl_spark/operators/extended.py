@@ -815,6 +815,79 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit over events: each event_type's row
+    count, newest event, staleness versus the newest event anywhere
+    (hours), and share of its rows inside the final 24 h of the feed —
+    the first page of any ingestion-health dashboard.
+
+    Scale shape: one hash-agg over events to the event_type grain plus
+    one filtered hash-agg for the trailing-day counts, with the one-row
+    global max broadcast back over both — the fact table is scanned,
+    never sorted or windowed.  Determinism: staleness is integer
+    microsecond arithmetic divided once as double; the recent-share is
+    an exact integer ratio."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("latest_ts"),
+        F.max(F.unix_micros("ts")).alias("latest_us"),
+    )
+    global_max = e.agg(F.max(F.unix_micros("ts")).alias("global_us"))
+    day_us = 86_400_000_000
+    recent = (
+        e.crossJoin(F.broadcast(global_max))
+        .where(F.unix_micros("ts") >= F.col("global_us") - day_us)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("last_day_events"))
+    )
+    return (
+        per_type.crossJoin(F.broadcast(global_max))
+        .join(F.broadcast(recent), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.to_date("latest_ts").alias("latest_day"),
+            F.round(
+                (F.col("global_us") - F.col("latest_us")) / 3_600_000_000.0, 4
+            ).alias("staleness_hours"),
+            F.coalesce("last_day_events", F.lit(0)).alias("last_day_events"),
+            F.round(
+                F.coalesce("last_day_events", F.lit(0)) * 100.0
+                / F.col("n_events"),
+                4,
+            ).alias("last_day_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_FRESHNESS_ORACLE = """
+WITH g AS (SELECT MAX(epoch_us(ts)) AS global_us FROM events),
+per_type AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         CAST(MAX(ts) AS DATE) AS latest_day,
+         MAX(epoch_us(ts)) AS latest_us
+  FROM events GROUP BY event_type
+),
+recent AS (
+  SELECT event_type, COUNT(*) AS last_day_events
+  FROM events CROSS JOIN g
+  WHERE epoch_us(ts) >= g.global_us - 86400000000
+  GROUP BY event_type
+)
+SELECT p.event_type, p.n_events, p.latest_day,
+       ROUND((g.global_us - p.latest_us) / 3600000000.0, 4) AS staleness_hours,
+       CAST(COALESCE(r.last_day_events, 0) AS BIGINT) AS last_day_events,
+       ROUND(COALESCE(r.last_day_events, 0) * 100.0 / p.n_events, 4)
+         AS last_day_pct
+FROM per_type p CROSS JOIN g
+LEFT JOIN recent r ON p.event_type = r.event_type
+ORDER BY p.event_type
+"""
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -831,6 +904,7 @@ QUERIES = {
     "p6_statistical_moments": p6_statistical_moments,
     "dq_orders_profile": dq_orders_profile,
     "dq_referential_integrity": dq_referential_integrity,
+    "dq_freshness_lag": dq_freshness_lag,
     "seq_markov_transitions": seq_markov_transitions,
     "sess3_top_paths": sess3_top_paths,
     "p7_winsorized_value": p7_winsorized_value,
@@ -852,6 +926,7 @@ ORACLE = {
     "p6_statistical_moments": P6_ORACLE,
     "dq_orders_profile": DQ_ORDERS_ORACLE,
     "dq_referential_integrity": DQ_REFERENTIAL_ORACLE,
+    "dq_freshness_lag": DQ_FRESHNESS_ORACLE,
     "seq_markov_transitions": SEQ_MARKOV_ORACLE,
     "sess3_top_paths": SESS3_ORACLE,
     "p7_winsorized_value": P7_ORACLE,

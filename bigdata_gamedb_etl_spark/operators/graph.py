@@ -1,0 +1,164 @@
+"""Graph analytics over the near-duplicate pair graph.
+
+The reference has no graph surface; the engine's dedup component
+already materializes a pair graph (dedup_ngram_jaccard_pairs) and an
+iterative connected-components assignment (dedup_cluster_assign).
+These operators add the non-iterative graph shapes a dedup/curation
+pipeline asks next: "how entangled is each document" (2-hop
+neighborhood size) and "how clique-y is the duplicate structure"
+(triangle count) — both answerable in a fixed number of joins, no
+driver loop.
+
+Scale notes: the pair graph is DF-capped at construction (posting
+lists are bounded, see dedup.py), so node degree is bounded and the
+edge self-joins below are linear in |E|·degree, never quadratic in
+the corpus.  Everything shuffles on node ids (longs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import DEDUP_JACCARD_ORACLE, dedup_ngram_jaccard_pairs
+
+
+def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) edge list of the near-dup pair graph."""
+    p = dedup_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    return p.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).union(p.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+
+
+def graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per node: direct neighbors and distinct nodes reachable within
+    two hops (self excluded) — the blast-radius metric reviewers use
+    to decide whether a near-dup cluster needs manual eyes.
+
+    Shape: edges ⋈ edges on the middle node, one distinct, one
+    hash-agg — two shuffles total, degree-bounded."""
+    e = _sym_edges(spark, sf_dir)
+    one = e.select("src", F.col("dst").alias("reach"))
+    two = e.alias("a").join(
+        e.alias("b"), F.col("a.dst") == F.col("b.src")
+    ).select(F.col("a.src").alias("src"), F.col("b.dst").alias("reach"))
+    reach = (
+        one.union(two)
+        .where(F.col("src") != F.col("reach"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+    return (
+        reach.groupBy("src")
+        .agg(F.count("*").alias("reach_2hop"))
+        .join(deg, "src")
+        .select(
+            F.col("src").alias("doc_id"), "degree", "reach_2hop"
+        )
+        .orderBy("doc_id")
+    )
+
+
+GRAPH_2HOP_ORACLE = f"""
+WITH base_pairs AS ({DEDUP_JACCARD_ORACLE}),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM base_pairs
+  UNION ALL
+  SELECT d2, d1 FROM base_pairs
+),
+reach AS (
+  SELECT DISTINCT src, reach FROM (
+    SELECT src, dst AS reach FROM edges
+    UNION ALL
+    SELECT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
+  )
+  WHERE src <> reach
+),
+deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+SELECT reach.src AS doc_id, deg.degree, COUNT(*) AS reach_2hop
+FROM reach JOIN deg ON reach.src = deg.src
+GROUP BY reach.src, deg.degree
+ORDER BY doc_id
+"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the pair graph: triangle count, nodes
+    touching a triangle, and total nodes — one row.
+
+    The classic ordered-wedge form: orient every edge small→large id,
+    join wedges (a<b, b<c) against the closing edge (a<c) — each
+    triangle counted exactly once, and the join input is the oriented
+    edge list (half the symmetric one)."""
+    p = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select(
+            F.least("d1", "d2").alias("lo"),
+            F.greatest("d1", "d2").alias("hi"),
+        )
+        .distinct()
+    )
+    tri = (
+        p.alias("ab")
+        .join(p.alias("bc"), F.col("ab.hi") == F.col("bc.lo"))
+        .join(
+            p.alias("ac"),
+            (F.col("ab.lo") == F.col("ac.lo"))
+            & (F.col("bc.hi") == F.col("ac.hi")),
+        )
+        .select(
+            F.col("ab.lo").alias("a"),
+            F.col("ab.hi").alias("b"),
+            F.col("bc.hi").alias("c"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("n")).distinct()
+    )
+    nodes = p.select(F.explode(F.array("lo", "hi")).alias("n")).distinct()
+    return (
+        tri.agg(F.count("*").alias("triangles"))
+        .crossJoin(tri_nodes.agg(F.count("*").alias("triangle_nodes")))
+        .crossJoin(nodes.agg(F.count("*").alias("graph_nodes")))
+    )
+
+
+GRAPH_TRIANGLE_ORACLE = f"""
+WITH base_pairs AS ({DEDUP_JACCARD_ORACLE}),
+edges AS (
+  SELECT DISTINCT LEAST(d1, d2) AS lo, GREATEST(d1, d2) AS hi
+  FROM base_pairs
+),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM edges ab
+  JOIN edges bc ON ab.hi = bc.lo
+  JOIN edges ac ON ab.lo = ac.lo AND bc.hi = ac.hi
+),
+tri_nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT lo AS n FROM edges UNION ALL SELECT hi FROM edges
+  )
+)
+SELECT (SELECT COUNT(*) FROM tri) AS triangles,
+       (SELECT COUNT(*) FROM tri_nodes) AS triangle_nodes,
+       (SELECT COUNT(*) FROM nodes) AS graph_nodes
+"""
+
+
+QUERIES = {
+    "graph_2hop_reach": graph_2hop_reach,
+    "graph_triangle_count": graph_triangle_count,
+}
+
+ORACLE = {
+    "graph_2hop_reach": GRAPH_2HOP_ORACLE,
+    "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
+}

@@ -313,6 +313,89 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Non-equi band join: bucket customers into account-balance tiers via a
+# literal bounds table.  lo is inclusive, hi exclusive; the open-ended
+# top tier uses a NULL hi.  Tier bounds are exact integers, so the
+# double comparisons are deterministic cross-engine.
+ACCTBAL_TIERS = [
+    ("T1_subzero", -100000.0, 0.0),
+    ("T2_low", 0.0, 2500.0),
+    ("T3_mid", 2500.0, 5000.0),
+    ("T4_high", 5000.0, 7500.0),
+    ("T5_top", 7500.0, None),
+]
+
+
+def j11_acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers per balance tier via a range (non-equi) join against
+    the 5-row tier table: count, exact mean balance, share of total.
+
+    Scale shape: the tier table broadcasts (BroadcastNestedLoopJoin —
+    the ONLY correct use of BNLJ: a constant-size build side; the fact
+    side streams through untouched).  A CASE-expression bucketing would
+    be equivalent here, but the declared capability is the general
+    range join, where the band table is data (rate cards, SLA tiers)
+    rather than compile-time constants."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    tiers = spark.createDataFrame(
+        ACCTBAL_TIERS, "tier STRING, lo DOUBLE, hi DOUBLE"
+    )
+    joined = c.join(
+        F.broadcast(tiers),
+        (F.col("c_acctbal") >= F.col("lo"))
+        & ((F.col("hi").isNull()) | (F.col("c_acctbal") < F.col("hi"))),
+    )
+    total = c.agg(F.count("*").alias("total_customers"))
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*"),
+                2,
+            ).alias("avg_bal"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tier",
+            "customers",
+            "avg_bal",
+            F.round(F.col("customers") * 100.0 / F.col("total_customers"), 4)
+            .alias("pct_of_customers"),
+        )
+        .orderBy("tier")
+    )
+
+
+def _tier_values_sql() -> str:
+    return ", ".join(
+        f"('{t}', {lo!r}, {'NULL' if hi is None else repr(hi)})"
+        for t, lo, hi in ACCTBAL_TIERS
+    )
+
+
+J11_ORACLE = f"""
+WITH tiers(tier, lo, hi) AS (VALUES {_tier_values_sql()}),
+joined AS (
+  SELECT tier, c_acctbal
+  FROM customer JOIN tiers
+    ON c_acctbal >= lo AND (hi IS NULL OR c_acctbal < hi)
+),
+total AS (SELECT COUNT(*) AS total_customers FROM customer)
+SELECT tier,
+       COUNT(*) AS customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 2) AS avg_bal,
+       ROUND(COUNT(*) * 100.0 / MAX(total_customers), 4) AS pct_of_customers
+FROM joined CROSS JOIN total
+GROUP BY tier
+ORDER BY tier
+"""
+
+
 QUERIES = {
     "j1_region_revenue": j1_region_revenue,
     "j2_customers_with_orders": j2_customers_with_orders,
@@ -324,6 +407,7 @@ QUERIES = {
     "j8_brand_supplier_revenue": j8_brand_supplier_revenue,
     "j9_salted_segment_revenue": j9_salted_segment_revenue,
     "j10_basket_part_pairs": j10_basket_part_pairs,
+    "j11_acctbal_band_join": j11_acctbal_band_join,
 }
 
 ORACLE = {
@@ -337,4 +421,5 @@ ORACLE = {
     "j8_brand_supplier_revenue": J8_ORACLE,
     "j9_salted_segment_revenue": J9_ORACLE,
     "j10_basket_part_pairs": J10_ORACLE,
+    "j11_acctbal_band_join": J11_ORACLE,
 }

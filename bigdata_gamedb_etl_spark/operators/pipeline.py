@@ -463,6 +463,82 @@ ORDER BY lang, rk
 """
 
 
+# --------------------------------------------------------------------------
+# Hashing-trick featurization: tokens → fixed-width bucket space via a
+# portable hash (md5 hex prefix, identical in every engine/language —
+# xxhash64/murmur are Spark-internal and would never oracle-match).
+# The profile below is the collision audit run before committing to a
+# bucket width: occupancy and collision mass per bucket.
+FEATURE_HASH_BUCKETS = 64
+
+
+def pipeline_feature_hash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy profile of the hashing-trick feature space:
+    per bucket, total token occurrences, distinct tokens (the
+    collision count), and the share of occurrences whose token is NOT
+    the bucket's dominant token (collision mass — the information the
+    width-64 projection destroys).
+
+    Scale shape: token explode → two hash-aggs (token grain, then
+    bucket grain) + a max-join for the dominant token; every stage
+    keys on bounded-width strings/ints.  The md5-prefix bucket is
+    deterministic across engines (unlike Spark's internal murmur/xx
+    hashes) — the same property the dedup/split operators rely on."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias(
+            "token"
+        )
+    )
+    per_token = toks.groupBy("token").agg(F.count("*").alias("occ"))
+    bucketed = per_token.withColumn(
+        "bucket",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 6), 16, 10).cast("long")
+            % FEATURE_HASH_BUCKETS
+        ).cast("int"),
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum("occ").alias("occurrences"),
+        F.count("*").alias("distinct_tokens"),
+        F.max("occ").alias("top_token_occ"),
+    )
+    return per_bucket.select(
+        "bucket",
+        "occurrences",
+        "distinct_tokens",
+        F.round(
+            (F.col("occurrences") - F.col("top_token_occ"))
+            * 100.0
+            / F.col("occurrences"),
+            4,
+        ).alias("collision_mass_pct"),
+    ).orderBy("bucket")
+
+
+FEATURE_HASH_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+per_token AS (SELECT token, COUNT(*) AS occ FROM toks GROUP BY token),
+bucketed AS (
+  SELECT token, occ,
+         CAST(CAST(CONCAT('0x', SUBSTR(md5(token), 1, 6)) AS BIGINT)
+              % {FEATURE_HASH_BUCKETS} AS INTEGER) AS bucket
+  FROM per_token
+)
+SELECT bucket,
+       CAST(SUM(occ) AS BIGINT) AS occurrences,
+       COUNT(*) AS distinct_tokens,
+       ROUND((SUM(occ) - MAX(occ)) * 100.0 / SUM(occ), 4)
+         AS collision_mass_pct
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_examples": pipeline_training_examples,
@@ -471,6 +547,7 @@ QUERIES = {
     "pipeline_domain_mixture": pipeline_domain_mixture,
     "pipeline_train_val_test": pipeline_train_val_test,
     "pipeline_per_group_sample": pipeline_per_group_sample,
+    "pipeline_feature_hash_profile": pipeline_feature_hash_profile,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
@@ -480,4 +557,5 @@ ORACLE = {
     "pipeline_domain_mixture": DOMAIN_MIXTURE_ORACLE,
     "pipeline_train_val_test": TRAIN_VAL_TEST_ORACLE,
     "pipeline_per_group_sample": PER_GROUP_SAMPLE_ORACLE,
+    "pipeline_feature_hash_profile": FEATURE_HASH_ORACLE,
 }

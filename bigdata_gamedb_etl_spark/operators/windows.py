@@ -427,6 +427,53 @@ ORDER BY month
 """
 
 
+# --------------------------------------------------------------------------
+# Month-over-month growth: the delta/ratio view every revenue dashboard
+# opens with.  Same scale shape as w10: the global lag window runs over
+# the MONTHLY pre-aggregate (calendar-bounded, never corpus-sized).
+def w11_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue with absolute and relative month-over-month
+    change.  Determinism: monthly totals are exact DECIMAL sums cast
+    once to double; delta and ratio are single IEEE ops on identical
+    doubles in both engines (first month's NULLs included)."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_ts")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month_ts")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            F.to_date("month_ts").alias("month"),
+            "revenue",
+            F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+            F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+                "mom_pct"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+W11_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month) * 100, 4) AS mom_pct
+FROM monthly
+ORDER BY month
+"""
+
+
 QUERIES = {
     "w1_pareto_supplier_share": w1_pareto_supplier_share,
     "w2_top_customers_per_nation": w2_top_customers_per_nation,
@@ -437,6 +484,7 @@ QUERIES = {
     "w8_range_frame_hourly": w8_range_frame_hourly_sum,
     "w9_sliding_active_users": w9_sliding_active_users,
     "w10_ewma_monthly_revenue": w10_ewma_monthly_revenue,
+    "w11_mom_revenue_growth": w11_mom_revenue_growth,
 }
 
 ORACLE = {
@@ -449,4 +497,5 @@ ORACLE = {
     "w8_range_frame_hourly": W8_ORACLE,
     "w9_sliding_active_users": W9_ORACLE,
     "w10_ewma_monthly_revenue": W10_ORACLE,
+    "w11_mom_revenue_growth": W11_ORACLE,
 }

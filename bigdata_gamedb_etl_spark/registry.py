@@ -19,6 +19,7 @@ from .operators import (
     core,
     dedup,
     extended,
+    graph,
     joins,
     marts,
     multimodal,
@@ -36,7 +37,7 @@ from .operators import (
 MODULES = [
     dedup, similarity, textops, multimodal,
     extended, marts, temporal, tpch2, sketches, tpch,
-    pipeline, behavior, core, sqlqueries, windows, joins,
+    pipeline, behavior, core, sqlqueries, windows, joins, graph,
 ]
 
 # Order matters: the driver's correctness gate checks a bounded prefix
@@ -57,7 +58,16 @@ MODULES = [
 # re-confirmation against the new files — then the standing controls.
 # Names pushed past position 50 already have green rows and rotate
 # back in later rounds (r2-checked queries are next in line).
-ROUND5_NEW: list[str] = []  # appended in the same commit a query lands
+# Appended in the same commit a query lands (enforced by
+# test_every_query_has_driver_evidence_or_is_queued).
+ROUND5_NEW: list[str] = [
+    "graph_2hop_reach",
+    "graph_triangle_count",
+    "w11_mom_revenue_growth",
+    "dq_freshness_lag",
+    "j11_acctbal_band_join",
+    "pipeline_feature_hash_profile",
+]
 
 ROUND4_NEW = [
     "ts_gapfill_locf",

@@ -247,6 +247,33 @@ def test_editdist_collapses_before_quadratic_join(spark, sf_dir):
     )
 
 
+def test_j11_band_join_broadcasts_tier_table(spark, sf_dir):
+    """The range join's build side is the 5-row tier table: it must be
+    a BroadcastNestedLoopJoin (the only correct BNLJ use — constant-
+    size build side), with the customer fact side streaming through —
+    never a shuffle or a fact-side build."""
+    from bigdata_gamedb_etl_spark.operators import joins as j
+
+    plan = plans.physical(j.j11_acctbal_band_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the build side must be the local tier relation, not a scan of
+    # customer (fact-side broadcast would OOM at scale)
+    bnlj = plans.subtree(plan, "BroadcastNestedLoopJoin")
+    bcast = plans.subtree(bnlj, "BroadcastExchange")
+    assert "customer" not in bcast.lower(), "fact side is being broadcast"
+
+
+def test_graph_2hop_no_cartesian(spark, sf_dir):
+    """The wedge join must be an equi-join on the middle node id —
+    a cartesian/BNLJ product of the edge list with itself would be
+    quadratic in |E| at scale."""
+    from bigdata_gamedb_etl_spark.operators import graph
+
+    plan = plans.physical(graph.graph_2hop_reach(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_rfm_has_no_window_at_all(spark, sf_dir):
     """The RFM grid must be scored from broadcast quantile cuts — the
     r4 ntile form put the whole customer grain through one task three
