@@ -353,15 +353,83 @@ ORDER BY r_score, f_score
 """
 
 
+# --------------------------------------------------------------------------
+# Last-touch attribution: credit each purchase to the user's most
+# recent strictly-preceding marketing touch (view or click).  The
+# canonical shape everywhere event pipelines meet revenue reporting.
+#
+# Scale plan: ONE window partitioned by user_id — the scan shuffles
+# events once on the user key and every user's timeline sorts
+# independently in parallel (contrast a global sort: none here).  The
+# frame is ROWS UNBOUNDED PRECEDING..1 PRECEDING with ignorenulls
+# last(), so Spark keeps a single running value per partition rather
+# than buffering the frame.  Output cardinality is |touch types| + 1.
+_TOUCH_TYPES = ("view", "click")
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases and revenue by last preceding touch type per user;
+    purchases with no preceding touch land in the '(none)' row.
+
+    Ordering ties: (ts, event_id) — event_id is unique, so the running
+    last-touch value is deterministic even if two events of one user
+    share a timestamp (both engines sort the identical key)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("(none)")).alias("touch"))
+        .agg(
+            F.count("*").alias("purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("touch")
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, '(none)') AS touch,
+       COUNT(*) AS purchases,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY COALESCE(touch, '(none)')
+ORDER BY touch
+"""
+
+
 QUERIES = {
     "funnel_user_conversion": funnel_user_conversion,
     "cohort_weekly_retention": cohort_weekly_retention,
     "anomaly_daily_zscore": anomaly_daily_zscore,
     "rfm_customer_segments": rfm_customer_segments,
+    "attribution_last_touch": attribution_last_touch,
 }
 ORACLE = {
     "funnel_user_conversion": FUNNEL_ORACLE,
     "cohort_weekly_retention": COHORT_ORACLE,
     "anomaly_daily_zscore": ANOMALY_ORACLE,
     "rfm_customer_segments": RFM_ORACLE,
+    "attribution_last_touch": ATTRIBUTION_ORACLE,
 }

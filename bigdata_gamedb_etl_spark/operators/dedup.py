@@ -881,6 +881,67 @@ ORDER BY name_a, name_b
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-document repeated-n-gram share: for each doc, the fraction of
+# its distinct 3-gram shingles that appear in at least one OTHER
+# document.  The per-doc contamination signal behind substring-level
+# dedup (Lee et al. 2022 use suffix arrays; the distributed
+# approximation is shingle doc-frequency, which needs only hash-aggs):
+# docs with high repeated share are boilerplate-heavy or templated and
+# get down-weighted or dropped from training mixes.
+#
+# Scale plan: explode distinct shingles (hashed to 8-byte longs before
+# the explode, same trick as the jaccard index) → ONE shuffle to
+# doc-frequency → join df back to the exploded index on the hashed key
+# (second shuffle, co-partitioned with the first — AQE reuses the
+# exchange) → per-doc hash-agg.  Nothing quadratic: no posting-list
+# pair expansion, viral shingles cost one counter each.
+def dedup_repeated_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document count of distinct 3-gram shingles and the share of
+    them appearing in ≥2 documents (rounded to 4dp)."""
+    ex = _shingled(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    df = ex.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        ex.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("repeated_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_REPEATED_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs FROM w
+),
+ex AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh WHERE len(shs) > 0
+),
+df AS (
+  SELECT s, COUNT(*) AS df FROM ex GROUP BY s
+)
+SELECT ex.doc_id,
+       COUNT(*) AS n_shingles,
+       ROUND(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS repeated_share
+FROM ex JOIN df ON ex.s = df.s
+GROUP BY ex.doc_id
+ORDER BY ex.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
@@ -893,6 +954,7 @@ QUERIES = {
     "dedup_incremental_pairs": dedup_incremental_pairs,
     "dedup_boilerplate_lines": dedup_boilerplate_lines,
     "dedup_editdist_names": dedup_editdist_names,
+    "dedup_repeated_ngram_share": dedup_repeated_ngram_share,
 }
 
 ORACLE = {
@@ -905,5 +967,6 @@ ORACLE = {
     "dedup_incremental_pairs": DEDUP_INCR_ORACLE,
     "dedup_boilerplate_lines": DEDUP_BOILER_ORACLE,
     "dedup_editdist_names": DEDUP_EDITDIST_ORACLE,
+    "dedup_repeated_ngram_share": DEDUP_REPEATED_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }

@@ -888,6 +888,111 @@ ORDER BY p.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix over the lineitem numeric
+# columns — the feature-screening pass every modeling pipeline runs
+# before training.  ONE full-scan aggregate produces every moment
+# (count, per-column sum and sum-of-squares, per-pair sum of products:
+# map-side partial aggregation, a single one-row shuffle); the 6 pair
+# rows then unpivot from that single row via explode.  Never N scans,
+# never a driver loop — at 100 TB this is exactly one pass.
+#
+# Cross-engine determinism (same recipe as w10/RFM): every moment is
+# an EXACT decimal sum, cast once to double (correctly-rounded in both
+# engines), and the corr formula
+#   (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²))
+# is written in the identical operation order in both plans — IEEE
+# doubles from identical bits.  Final 6dp round uses the
+# floor(x·1e6 + 0.5)/1e6 form because the engines' ROUND primitives
+# disagree on repr-vs-binary half-way cases (w10's lesson).
+_CORR_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r for each unordered pair of lineitem numeric columns,
+    exact-moment computation, rounded to 6dp."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def dec(c: str) -> F.Column:
+        return F.col(c).cast("decimal(18,6)")
+
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(F.sum(dec(a) * dec(b)).alias(f"sp_{a}_{b}"))
+    g = li.agg(*aggs)
+
+    n = F.col("n").cast("double")
+    pair_structs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            sa = F.col(f"s_{a}").cast("double")
+            sb = F.col(f"s_{b}").cast("double")
+            ssa = F.col(f"ss_{a}").cast("double")
+            ssb = F.col(f"ss_{b}").cast("double")
+            sp = F.col(f"sp_{a}_{b}").cast("double")
+            corr = (n * sp - sa * sb) / F.sqrt(
+                (n * ssa - sa * sa) * (n * ssb - sb * sb)
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    (
+                        F.floor(corr * F.lit(1000000.0) + F.lit(0.5))
+                        / F.lit(1000000.0)
+                    ).alias("corr"),
+                )
+            )
+    return (
+        g.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _corr_oracle() -> str:
+    moment_cols = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        moment_cols.append(f"SUM(CAST({c} AS DECIMAL(19,6))) AS s_{c}")
+        moment_cols.append(
+            f"SUM(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(19,6)))"
+            f" AS ss_{c}"
+        )
+    pair_rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            moment_cols.append(
+                f"SUM(CAST({a} AS DECIMAL(19,6)) * CAST({b} AS DECIMAL(19,6)))"
+                f" AS sp_{a}_{b}"
+            )
+            expr = (
+                f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            )
+            pair_rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y,\n"
+                f"       FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0 AS corr\n"
+                f"FROM g"
+            )
+    moments = ",\n         ".join(moment_cols)
+    unioned = "\nUNION ALL\n".join(pair_rows)
+    return (
+        f"WITH g AS (\n  SELECT {moments}\n  FROM lineitem\n)\n"
+        f"{unioned}\nORDER BY col_x, col_y"
+    )
+
+
+STAT_CORR_ORACLE = _corr_oracle()
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -908,6 +1013,7 @@ QUERIES = {
     "seq_markov_transitions": seq_markov_transitions,
     "sess3_top_paths": sess3_top_paths,
     "p7_winsorized_value": p7_winsorized_value,
+    "stat_corr_matrix": stat_corr_matrix,
 }
 
 ORACLE = {
@@ -930,4 +1036,5 @@ ORACLE = {
     "seq_markov_transitions": SEQ_MARKOV_ORACLE,
     "sess3_top_paths": SESS3_ORACLE,
     "p7_winsorized_value": P7_ORACLE,
+    "stat_corr_matrix": STAT_CORR_ORACLE,
 }

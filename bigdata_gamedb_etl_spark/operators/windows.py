@@ -474,6 +474,47 @@ ORDER BY month
 """
 
 
+# --------------------------------------------------------------------------
+# Cumulative distinct users by day (the "total users ever" curve).
+# COUNT(DISTINCT) over an expanding frame is quadratic if expressed as
+# a window; the scalable identity is: a user contributes exactly once,
+# on their FIRST active day.  So: min(day) per user (one hash-agg on
+# user_id), count firsts per day (tiny agg), running-sum over the
+# calendar-bounded day grain (same bounded-global-window argument as
+# w10/w11: days don't grow with corpus size).
+def w12_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per active-first day: new users that day and cumulative users to
+    date.  Exact (no sketch), two hash-aggs + one bounded window."""
+    e = table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("day")
+
+
+W12_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day
+)
+SELECT day, new_users,
+       -- DuckDB SUM(BIGINT) yields HUGEINT; cast to match Spark's LONG
+       CAST(SUM(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+ORDER BY day
+"""
+
+
 QUERIES = {
     "w1_pareto_supplier_share": w1_pareto_supplier_share,
     "w2_top_customers_per_nation": w2_top_customers_per_nation,
@@ -485,6 +526,7 @@ QUERIES = {
     "w9_sliding_active_users": w9_sliding_active_users,
     "w10_ewma_monthly_revenue": w10_ewma_monthly_revenue,
     "w11_mom_revenue_growth": w11_mom_revenue_growth,
+    "w12_cumulative_distinct_users": w12_cumulative_distinct_users,
 }
 
 ORACLE = {
@@ -498,4 +540,5 @@ ORACLE = {
     "w9_sliding_active_users": W9_ORACLE,
     "w10_ewma_monthly_revenue": W10_ORACLE,
     "w11_mom_revenue_growth": W11_ORACLE,
+    "w12_cumulative_distinct_users": W12_ORACLE,
 }

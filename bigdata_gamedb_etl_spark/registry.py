@@ -67,6 +67,10 @@ ROUND5_NEW: list[str] = [
     "dq_freshness_lag",
     "j11_acctbal_band_join",
     "pipeline_feature_hash_profile",
+    "attribution_last_touch",
+    "w12_cumulative_distinct_users",
+    "dedup_repeated_ngram_share",
+    "stat_corr_matrix",
 ]
 
 ROUND4_NEW = [

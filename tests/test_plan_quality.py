@@ -285,3 +285,65 @@ def test_rfm_has_no_window_at_all(spark, sf_dir):
 
     plan = plans.physical(behavior.rfm_customer_segments(spark, sf_dir))
     assert "Window" not in plan, "RFM regressed to window-based scoring"
+
+
+def test_attribution_window_is_partitioned(spark, sf_dir):
+    """The last-touch window must be partitioned by user_id (parallel
+    per-user timelines); an unpartitioned window would single-task the
+    whole event log.  Events is scanned exactly once."""
+    from bigdata_gamedb_etl_spark.operators import behavior
+
+    plan = plans.physical(behavior.attribution_last_touch(spark, sf_dir))
+    assert "Window" in plan
+    lower = plan.lower()
+    assert "partitionby" not in lower or "user_id" in lower
+    tree = plans.explain_str(
+        behavior.attribution_last_touch(spark, sf_dir), "formatted"
+    ).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_w12_window_runs_over_daily_grain(spark, sf_dir):
+    """The cumulative-users running sum may be a global window ONLY
+    because it runs over the per-day aggregate (calendar-bounded).
+    Contract: a HashAggregate sits strictly below the Window operator
+    (indentation-scoped, same structural check as the editdist test)."""
+    from bigdata_gamedb_etl_spark.operators import windows as w
+
+    plan = plans.explain_str(
+        w.w12_cumulative_distinct_users(spark, sf_dir), "formatted"
+    )
+    tree = plan.split("\n\n")[0].splitlines()
+    win_rows = [i for i, ln in enumerate(tree) if "Window" in ln]
+    agg_rows = [i for i, ln in enumerate(tree) if "HashAggregate" in ln]
+    assert win_rows and agg_rows
+    # formatted-tree rows print parents before children: every Window
+    # must have at least one aggregate in the rows after it
+    assert any(a > win_rows[-1] for a in agg_rows), (
+        "running sum is not over the aggregated daily grain"
+    )
+
+
+def test_repeated_ngram_share_no_pair_explosion(spark, sf_dir):
+    """Doc-frequency contamination must stay linear: the df join is an
+    equi-join on the hashed shingle, never a cartesian/BNLJ, and the
+    exploded keys are 8-byte xxhash64 longs, not shingle strings."""
+    from bigdata_gamedb_etl_spark.operators import dedup as dd
+
+    plan = plans.physical(dd.dedup_repeated_ngram_share(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
+
+
+def test_corr_matrix_single_scan_no_window(spark, sf_dir):
+    """All 15 moments must come from ONE pass over lineitem (one scan,
+    partial+final hash-agg) with no Window/Sort anywhere — the N-scan
+    or windowed formulations fall over at 100 TB."""
+    from bigdata_gamedb_etl_spark.operators import extended as ex
+
+    df = ex.stat_corr_matrix(spark, sf_dir)
+    tree = plans.explain_str(df, "formatted").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    plan = plans.physical(df)
+    assert "Window" not in plan
