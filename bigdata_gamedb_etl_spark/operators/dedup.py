@@ -942,6 +942,59 @@ ORDER BY ex.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Normalization-aware exact dedup: two documents differing only in
+# case, punctuation, or whitespace runs are the same training example.
+# Normalize (lower → strip non-alphanumerics → collapse spaces → trim)
+# and dedup on the md5 of the normalized form — the standard first
+# rung of the web-corpus dedup ladder, between byte-exact and near-dup.
+# Same scale shape as dedup_exact_md5: the shuffle carries 16-byte
+# digests, the normalization is a pure per-row map.
+#
+# The regex is POSIX-class-free ([^a-z0-9 ]) so Java regex (Spark) and
+# RE2-ish (DuckDB) agree literally.
+def _normalize_expr(col: str) -> F.Column:
+    lowered = F.lower(F.col(col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
+def dedup_normalized_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keeper (min doc_id) per distinct NORMALIZED text, with the
+    group size and how many members differ from the keeper byte-wise
+    (i.e. dups only normalization catches)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.md5(_normalize_expr("text")).alias("norm_md5")
+    )
+    return (
+        d.groupBy("norm_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+            (F.count("*") - F.count_distinct("text")).alias("byte_exact_dups"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_NORMALIZED_ORACLE = """
+WITH norm AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+  FROM documents
+)
+SELECT norm_md5,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS dup_count,
+       COUNT(*) - COUNT(DISTINCT text) AS byte_exact_dups
+FROM norm
+GROUP BY norm_md5
+ORDER BY keeper_id
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
@@ -955,6 +1008,7 @@ QUERIES = {
     "dedup_boilerplate_lines": dedup_boilerplate_lines,
     "dedup_editdist_names": dedup_editdist_names,
     "dedup_repeated_ngram_share": dedup_repeated_ngram_share,
+    "dedup_normalized_keeper": dedup_normalized_keeper,
 }
 
 ORACLE = {
@@ -968,5 +1022,6 @@ ORACLE = {
     "dedup_boilerplate_lines": DEDUP_BOILER_ORACLE,
     "dedup_editdist_names": DEDUP_EDITDIST_ORACLE,
     "dedup_repeated_ngram_share": DEDUP_REPEATED_ORACLE,
+    "dedup_normalized_keeper": DEDUP_NORMALIZED_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }

@@ -539,6 +539,85 @@ ORDER BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence-length bucket audit: documents histogrammed into
+# power-of-two token-length buckets, with the padding waste a
+# fixed-shape trainer would pay if every doc in a bucket were padded
+# to the bucket's upper edge.  The pre-flight report behind choosing
+# packing strategy (pipeline_pack_sequences) vs plain padding.
+#
+# Bucket edges are INTEGER comparisons from a Python-generated CASE
+# ladder — identical literals in both plans.  No log2(): float log of
+# an exact power of two is correctly-rounded in practice, but a CASE
+# over ints removes the question entirely (w10's determinism lesson:
+# never let two libms near a bucket edge).
+_LEN_BUCKET_MAX_POW = 12  # buckets up to 4096 tokens — past any testdata doc
+
+
+def _len_bucket_edges() -> list[tuple[int, int]]:
+    return [(1 << k, (1 << (k + 1)) - 1) for k in range(_LEN_BUCKET_MAX_POW)]
+
+
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per power-of-two length bucket: docs, total tokens, and padding
+    waste percent if padded to the bucket's inclusive upper edge.
+    One narrow map + one small hash-agg; output rows = #buckets."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
+    bucket_lo = F.lit(None).cast("long")
+    for lo, hi in reversed(_len_bucket_edges()):
+        bucket_lo = F.when(
+            (toks >= F.lit(lo)) & (toks <= F.lit(hi)), F.lit(lo)
+        ).otherwise(bucket_lo)
+    return (
+        d.select(toks.alias("n_tokens"), bucket_lo.alias("bucket_lo"))
+        .where(F.col("bucket_lo").isNotNull())
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            # pad target = 2*bucket_lo - 1 (the bucket's inclusive hi)
+            F.round(
+                (
+                    F.sum(F.lit(2) * F.col("bucket_lo") - 1 - F.col("n_tokens"))
+                    * 100.0
+                )
+                / F.sum(F.lit(2) * F.col("bucket_lo") - 1),
+                4,
+            ).alias("pad_waste_pct"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def _len_bucket_case_sql() -> str:
+    arms = "\n           ".join(
+        f"WHEN n_tokens BETWEEN {lo} AND {hi} THEN {lo}"
+        for lo, hi in _len_bucket_edges()
+    )
+    return f"CASE {arms} ELSE NULL END"
+
+
+LENGTH_BUCKETS_ORACLE = f"""
+WITH counted AS (
+  SELECT len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT n_tokens, {_len_bucket_case_sql()} AS bucket_lo FROM counted
+)
+SELECT bucket_lo,
+       COUNT(*) AS docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(SUM(2 * bucket_lo - 1 - n_tokens) * 100.0
+             / SUM(2 * bucket_lo - 1), 4) AS pad_waste_pct
+FROM bucketed
+WHERE bucket_lo IS NOT NULL
+GROUP BY bucket_lo
+ORDER BY bucket_lo
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_examples": pipeline_training_examples,
@@ -548,6 +627,7 @@ QUERIES = {
     "pipeline_train_val_test": pipeline_train_val_test,
     "pipeline_per_group_sample": pipeline_per_group_sample,
     "pipeline_feature_hash_profile": pipeline_feature_hash_profile,
+    "pipeline_length_buckets": pipeline_length_buckets,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
@@ -558,4 +638,5 @@ ORACLE = {
     "pipeline_train_val_test": TRAIN_VAL_TEST_ORACLE,
     "pipeline_per_group_sample": PER_GROUP_SAMPLE_ORACLE,
     "pipeline_feature_hash_profile": FEATURE_HASH_ORACLE,
+    "pipeline_length_buckets": LENGTH_BUCKETS_ORACLE,
 }

@@ -71,6 +71,8 @@ ROUND5_NEW: list[str] = [
     "w12_cumulative_distinct_users",
     "dedup_repeated_ngram_share",
     "stat_corr_matrix",
+    "pipeline_length_buckets",
+    "dedup_normalized_keeper",
 ]
 
 ROUND4_NEW = [
