@@ -73,6 +73,7 @@ ROUND5_NEW: list[str] = [
     "stat_corr_matrix",
     "pipeline_length_buckets",
     "dedup_normalized_keeper",
+    "mart_incremental_refresh",
 ]
 
 ROUND4_NEW = [
