@@ -889,6 +889,96 @@ ORDER BY p.event_type
 
 
 # --------------------------------------------------------------------------
+# Join-key skew profile: the audit you run BEFORE pointing a shuffle
+# join at a 100 TB fact table.  For each candidate join key, the
+# hottest key's row share, the top-10 keys' combined share, and a
+# Gini-free hotness ratio (hottest / mean rows-per-key) — the numbers
+# that decide between a plain shuffle join, AQE skew splitting, and
+# explicit salting (functions/skew.py).  Implemented as one hash-agg
+# per key column + a tiny top-k — the profile itself must never be
+# the thing that falls over on skewed data, so no global sort (max
+# and sum compose from partials; the top-10 share uses a bounded
+# TakeOrdered pattern via a window over the PRE-AGGREGATED key grain).
+_SKEW_KEYS = (
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per join key: distinct keys, total rows, hottest-key share %,
+    top-10-keys share %, and hottest/mean ratio (rounded 4dp)."""
+    outs = []
+    for tbl, key in _SKEW_KEYS:
+        t = table(spark, sf_dir, tbl)
+        per_key = t.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").alias("cnt")
+        )
+        # totals compose from partials (max/sum/count — no sort);
+        # the top-10 mass uses orderBy+limit, which Spark plans as
+        # TakeOrderedAndProject: per-partition heaps + a 10-row driver
+        # merge, NEVER a global sort of the key grain (an unpartitioned
+        # row_number window here would single-task billions of keys at
+        # 100 TB — the exact anti-pattern the RFM rewrite removed).
+        totals = per_key.agg(
+            F.count("*").alias("distinct_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("hottest"),
+        )
+        top10 = (
+            per_key.orderBy(F.col("cnt").desc(), F.col("k"))
+            .limit(10)
+            .agg(F.sum("cnt").alias("top10_rows"))
+        )
+        outs.append(
+            totals.crossJoin(F.broadcast(top10)).select(
+                F.lit(f"{tbl}.{key}").alias("join_key"),
+                "distinct_keys",
+                "total_rows",
+                F.round(
+                    F.col("hottest") * 100.0 / F.col("total_rows"), 4
+                ).alias("hottest_pct"),
+                F.round(
+                    F.col("top10_rows") * 100.0 / F.col("total_rows"), 4
+                ).alias("top10_pct"),
+                F.round(
+                    F.col("hottest")
+                    * 1.0
+                    / (F.col("total_rows") / F.col("distinct_keys")),
+                    4,
+                ).alias("hot_mean_ratio"),
+            )
+        )
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged.orderBy("join_key")
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for tbl, key in _SKEW_KEYS:
+        parts.append(f"""
+SELECT '{tbl}.{key}' AS join_key,
+       COUNT(*) AS distinct_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       ROUND(MAX(cnt) * 100.0 / SUM(cnt), 4) AS hottest_pct,
+       ROUND(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) * 100.0
+             / SUM(cnt), 4) AS top10_pct,
+       ROUND(MAX(cnt) * 1.0 / (SUM(cnt) / COUNT(*)), 4) AS hot_mean_ratio
+FROM (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rn
+  FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {tbl} GROUP BY {key})
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY join_key"
+
+
+DQ_SKEW_ORACLE = _skew_oracle()
+
+
+# --------------------------------------------------------------------------
 # Pairwise Pearson correlation matrix over the lineitem numeric
 # columns — the feature-screening pass every modeling pipeline runs
 # before training.  ONE full-scan aggregate produces every moment
@@ -1014,6 +1104,7 @@ QUERIES = {
     "sess3_top_paths": sess3_top_paths,
     "p7_winsorized_value": p7_winsorized_value,
     "stat_corr_matrix": stat_corr_matrix,
+    "dq_key_skew_profile": dq_key_skew_profile,
 }
 
 ORACLE = {
@@ -1037,4 +1128,5 @@ ORACLE = {
     "sess3_top_paths": SESS3_ORACLE,
     "p7_winsorized_value": P7_ORACLE,
     "stat_corr_matrix": STAT_CORR_ORACLE,
+    "dq_key_skew_profile": DQ_SKEW_ORACLE,
 }

@@ -74,6 +74,7 @@ ROUND5_NEW: list[str] = [
     "pipeline_length_buckets",
     "dedup_normalized_keeper",
     "mart_incremental_refresh",
+    "dq_key_skew_profile",
 ]
 
 ROUND4_NEW = [

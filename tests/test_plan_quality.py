@@ -347,3 +347,14 @@ def test_corr_matrix_single_scan_no_window(spark, sf_dir):
     assert tree.count("Scan parquet") == 1
     plan = plans.physical(df)
     assert "Window" not in plan
+
+
+def test_skew_profile_topk_no_global_sort(spark, sf_dir):
+    """The skew audit itself must survive skewed data: top-10 mass via
+    TakeOrderedAndProject (partition heaps), never a row_number window
+    or full Sort over the key grain."""
+    from bigdata_gamedb_etl_spark.operators import extended as ex
+
+    plan = plans.physical(ex.dq_key_skew_profile(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
