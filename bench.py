@@ -60,6 +60,11 @@ EXTRAS = [
     "interval_error_click_burst",
     "pipeline_pack_sequences",
     "mm_feature_extract_json",
+    # round-5 heavies: corpus-wide shingle df join, one-pass moment
+    # matrix, four-key skew audit
+    "dedup_repeated_ngram_share",
+    "stat_corr_matrix",
+    "dq_key_skew_profile",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
