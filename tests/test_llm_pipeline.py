@@ -127,3 +127,54 @@ def test_cm_sketch_estimates_bound_exact_counts(spark, sf):
         assert r["est_count"] - ex <= bound, (
             f"CM overcount {r['est_count'] - ex} > {bound} for {r['token']}"
         )
+
+
+def test_round5_conservation_invariants(spark):
+    """Cross-query conservation laws over the round-5 additions — the
+    cheap algebraic checks an oracle mismatch would not localize:
+    attributed purchases partition ALL purchases; cumulative users end
+    at the true distinct total; the incremental mart conserves order
+    count; bucket doc counts cover every non-empty doc; normalized
+    dedup can only merge groups relative to byte-exact dedup."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators import (
+        behavior,
+        dedup as dd,
+        marts,
+        pipeline,
+        windows as w,
+    )
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    sf = "/root/testdata/sf0.01"
+    events = table(spark, sf, "events")
+    docs = table(spark, sf, "documents")
+    orders = table(spark, sf, "orders")
+
+    attr = behavior.attribution_last_touch(spark, sf).collect()
+    n_purchases = events.where(F.col("event_type") == "purchase").count()
+    assert sum(r["purchases"] for r in attr) == n_purchases
+
+    curve = w.w12_cumulative_distinct_users(spark, sf).collect()
+    totals = [r["cum_users"] for r in curve]
+    assert totals == sorted(totals), "cumulative curve must be monotone"
+    assert totals[-1] == events.select("user_id").distinct().count()
+
+    mart = marts.mart_incremental_refresh(spark, sf)
+    agg = mart.agg(F.sum("order_count"), F.count("*")).first()
+    assert agg[0] == orders.count()
+    assert agg[1] == orders.select("o_custkey").distinct().count()
+
+    buckets = pipeline.pipeline_length_buckets(spark, sf).collect()
+    docs_with_tokens = docs.where(
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')")) >= 1
+    ).count()
+    assert sum(r["docs"] for r in buckets) == docs_with_tokens
+    for r in buckets:
+        assert 0.0 <= r["pad_waste_pct"] < 100.0
+
+    norm_groups = dd.dedup_normalized_keeper(spark, sf)
+    exact_groups = dd.dedup_exact_keeper(spark, sf)
+    assert norm_groups.count() <= exact_groups.count()
+    assert norm_groups.agg(F.sum("dup_count")).first()[0] == docs.count()

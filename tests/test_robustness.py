@@ -17,7 +17,13 @@ EMPTY_EXEMPT = {"sim_ivf_topk"}
 
 #: fixed-row-count reports: one row per audited relationship, even on
 #: empty input (a DQ report that vanishes when the data does is a bug).
-FIXED_ROWS = {"dq_referential_integrity": 4}
+FIXED_ROWS = {
+    "dq_referential_integrity": 4,
+    # one row per audited join key (null metrics on empty input)
+    "dq_key_skew_profile": 4,
+    # one row per column pair (null corr on empty input)
+    "stat_corr_matrix": 6,
+}
 
 
 @pytest.fixture(scope="module")
