@@ -225,6 +225,95 @@ LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# PMI-style collocation mining: bigrams ranked by association strength
+# (lift = c_xy·N / (c_x·c_y)) rather than raw frequency — the measure
+# that surfaces "new york" over "of the".  Classic corpus-analysis op;
+# text_bigram_topk above is the frequency view of the same extraction.
+#
+# Determinism: PMI is log(lift), and log is a libm call the engines
+# round differently — but log is monotone, so RANKING by lift is
+# ranking by PMI.  The score stays in exact BIGINT products until one
+# double division (identical bits both engines), never near a log.
+#
+# Scale: two hash-aggs (vocab / vocab² cardinality), the count joins
+# key on tokens (vocab-sized build sides, AQE decides broadcast), and
+# the top-20 is TakeOrdered — no global sort of the bigram grain.
+PMI_MIN_COUNT = 5
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by lift (min count 5): bigram, count, lift 4dp."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n_tokens"))
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                """CASE WHEN size(split(text, ' ')) >= 2 THEN
+                     zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                              slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+                              (a, b) -> concat_ws(' ', a, b))
+                   ELSE array() END"""
+            )
+        ).alias("bigram")
+    )
+    bi = (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    parts = bi.select(
+        "bigram",
+        "c_xy",
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+    joined = (
+        parts.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    lift = (F.col("c_xy") * F.col("n_tokens")) / (F.col("c_x") * F.col("c_y"))
+    return (
+        joined.select("bigram", "c_xy", F.round(lift, 4).alias("lift"))
+        .orderBy(F.col("lift").desc(), "bigram")
+        .limit(20)
+    )
+
+
+TEXT_PMI_ORACLE = f"""
+WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+total AS (SELECT COUNT(*) AS n_tokens FROM toks),
+wlists AS (SELECT string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT UNNEST(list_transform(range(1, greatest(len(ws), 1)),
+                i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM wlists WHERE len(ws) >= 2
+),
+bi AS (
+  SELECT bigram, COUNT(*) AS c_xy FROM b
+  GROUP BY bigram HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+parts AS (
+  SELECT bigram, c_xy,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM bi
+)
+SELECT bigram, c_xy,
+       ROUND((c_xy * n_tokens) / (cx.c * cy.c), 4) AS lift
+FROM parts
+JOIN uni cx ON parts.w1 = cx.w
+JOIN uni cy ON parts.w2 = cy.w
+CROSS JOIN total
+ORDER BY lift DESC, bigram
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 def text_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish tokenization: regex splits words from punctuation/digit
     runs (the pre-tokenizer shape BPE vocabularies use), counted per
@@ -708,6 +797,7 @@ QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
     "text_chunk_udtf": text_chunk_udtf,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_pmi_collocations": text_pmi_collocations,
 }
 
 ORACLE = {
@@ -724,4 +814,5 @@ ORACLE = {
     "text_unigram_logprob": TEXT_UNIGRAM_ORACLE,
     "text_chunk_udtf": TEXT_CHUNK_ORACLE,
     "text_tfidf_top_terms": TEXT_TFIDF_ORACLE,
+    "text_pmi_collocations": TEXT_PMI_ORACLE,
 }

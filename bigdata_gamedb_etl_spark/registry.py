@@ -75,6 +75,7 @@ ROUND5_NEW: list[str] = [
     "dedup_normalized_keeper",
     "mart_incremental_refresh",
     "dq_key_skew_profile",
+    "text_pmi_collocations",
 ]
 
 ROUND4_NEW = [
