@@ -73,3 +73,66 @@ def test_simhash_close_docs_have_close_signatures(spark, sf_dir):
     assert sigs1 == sigs2
     assert len(sigs1) > 0
     assert all(isinstance(v, int) for v in sigs1.values())
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """Runtime contract for ENGINE_CONFS' AQE skew-join handling: when
+    one join key dominates a shuffle join, the executed adaptive plan
+    must mark the sort-merge join skew=true (the hot partition was
+    split into parallel sub-partitions) — the automatic complement to
+    the explicit salting in functions/skew.py.  Thresholds are lowered
+    so the local fixture (one key carrying ~all left rows) crosses the
+    same factor/size checks real skew crosses at production sizes."""
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 100 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    lp, rp = str(tmp_path / "skew_l"), str(tmp_path / "skew_r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # a global aggregate: per-task partials don't care how the
+        # join output is partitioned, so AQE is free to split the hot
+        # partition (a groupBy on the join key would pin the join's
+        # hash distribution and legitimately veto the split).  sum(v)
+        # keeps the left payload column through the join — project it
+        # away and the hot partition is a run of constant keys that
+        # compresses below any byte threshold, hiding the skew.
+        df = (
+            spark.read.parquet(lp)
+            .join(spark.read.parquet(rp), "k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("sv"),
+                F.sum("w").alias("sw"),
+            )
+        )
+        # collect() (not first(): that plans a separate limited query
+        # and leaves THIS df's adaptive plan unfinalized) — AQE decides
+        # skew at runtime, so the plan must actually execute
+        row = df.collect()[0]
+        # correctness unaffected by the split: hot key 7 matches one
+        # right row (198000 pairs); left multiples of 100 in right's
+        # range add 500 more
+        assert row["n"] == 198_500
+        final_plan = plans.explain_str(df, "simple")
+        assert "skew=true" in final_plan, (
+            f"AQE did not split the skewed partition:\n{final_plan[:2000]}"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
