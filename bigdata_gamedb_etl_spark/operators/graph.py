@@ -153,12 +153,84 @@ SELECT (SELECT COUNT(*) FROM tri) AS triangles,
 """
 
 
+# --------------------------------------------------------------------------
+# PageRank over the near-dup graph: which documents sit at the CENTER
+# of duplicate structure (hub pages, templates every variant links to
+# through shared shingles) vs the periphery.  Curation uses it to pick
+# the canonical keeper per cluster: highest-rank member.
+#
+# Declared rows-only: a float recurrence has no meaningful cross-engine
+# bit parity (the per-iteration sums would need the same order in both
+# engines); correctness is held by invariant tests instead — rank mass
+# conservation, positivity, and the uniform-graph fixed point (see
+# tests/test_llm_pipeline.py).
+#
+# Scale plan: per iteration ONE join of ranks against the static
+# (edges ⋈ degree) relation keyed on src + ONE hash-agg on dst — both
+# shuffle on node ids, partitioning reused across iterations by AQE.
+# The symmetric edge list guarantees no dangling nodes (every node has
+# out-degree ≥ 1), so no dangling-mass redistribution pass is needed.
+# Iteration count is FIXED (no driver-side convergence probe → no
+# collect in the query path); 8 rounds on a DF-capped pair graph whose
+# components are small is past convergence.  For production-sized
+# graphs, checkpoint every ~5 rounds (the dedup_cluster_assign
+# machinery, dedup.py:440) to cut lineage.
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node PageRank (damping 0.85, 8 fixed iterations, total mass
+    1.0) over the symmetric near-dup pair graph, rounded to 8dp."""
+    e = _sym_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+    nodes = deg.select(F.col("src").alias("node"))
+    nt = nodes.agg(F.count("*").alias("n_nodes"))
+    d = PAGERANK_DAMPING
+    ranks = nodes.crossJoin(F.broadcast(nt)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    edge_deg = e.join(deg, "src").select(
+        F.col("src").alias("node"), "dst", "degree"
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ranks.join(edge_deg, "node")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("degree")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("cs"))
+        )
+        # left join: a node nobody links to keeps only teleport mass
+        # (unreachable here — symmetric edges — but the shape is the
+        # general one)
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nt))
+            .select(
+                "node",
+                (
+                    (1.0 - d) / F.col("n_nodes")
+                    + d * F.coalesce(F.col("cs"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 8).alias("pagerank")
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "graph_2hop_reach": graph_2hop_reach,
     "graph_triangle_count": graph_triangle_count,
+    "graph_pagerank": graph_pagerank,
 }
 
 ORACLE = {
     "graph_2hop_reach": GRAPH_2HOP_ORACLE,
     "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
+    # graph_pagerank: rows-only (float recurrence — invariants in
+    # tests/test_llm_pipeline.py hold correctness instead)
 }

@@ -202,12 +202,78 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+def sql_window_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed analytics through the pure-SQL entry point (SURVEY §3.2):
+    per-nation supplier revenue ranks + nation share, top-2 per nation
+    with dense_rank ties kept.  Same Catalyst plan space as the
+    DataFrame window family (w1-w12) — registered to prove the SQL
+    surface carries the full window feature set (OVER, PARTITION BY,
+    dense_rank, ratio-to-report) at oracle parity too."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v_sqlw")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v_sqlw")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v_sqlw")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT n.n_name,
+                 s.s_name,
+                 CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+          FROM lineitem_v_sqlw l
+          JOIN supplier_v_sqlw s ON l.l_suppkey = s.s_suppkey
+          JOIN nation_v_sqlw n ON s.s_nationkey = n.n_nationkey
+          GROUP BY n.n_name, s.s_name
+        ),
+        ranked AS (
+          SELECT n_name, s_name, revenue,
+                 DENSE_RANK() OVER (PARTITION BY n_name
+                                    ORDER BY revenue DESC) AS rnk,
+                 ROUND(revenue * 100.0 / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+                       OVER (PARTITION BY n_name) AS DOUBLE), 4) AS nation_share_pct
+          FROM rev
+        )
+        SELECT n_name, s_name, revenue, rnk, nation_share_pct
+        FROM ranked
+        WHERE rnk <= 2
+        ORDER BY n_name, rnk, s_name
+        """
+    )
+
+
+SQL_WINDOW_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name,
+         s.s_name,
+         CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_name
+),
+ranked AS (
+  SELECT n_name, s_name, revenue,
+         DENSE_RANK() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC) AS rnk,
+         ROUND(revenue * 100.0 / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+               OVER (PARTITION BY n_name) AS DOUBLE), 4) AS nation_share_pct
+  FROM rev
+)
+SELECT n_name, s_name, revenue, rnk, nation_share_pct
+FROM ranked
+WHERE rnk <= 2
+ORDER BY n_name, rnk, s_name
+"""
+
+
 QUERIES = {
     "sql_word_price_stats": sql_word_price_stats,
     "sql_supplier_distribution": sql_supplier_distribution,
     "sql_json_props_stats": sql_json_props_stats,
     "sql_from_json_struct": sql_from_json_struct,
     "sql_variant_props_stats": sql_variant_props_stats,
+    "sql_window_top_suppliers": sql_window_top_suppliers,
 }
 
 ORACLE = {
@@ -216,4 +282,5 @@ ORACLE = {
     "sql_json_props_stats": SQL_JSON_ORACLE,
     "sql_from_json_struct": SQL_FROM_JSON_ORACLE,
     "sql_variant_props_stats": SQL_VARIANT_ORACLE,
+    "sql_window_top_suppliers": SQL_WINDOW_ORACLE,
 }

@@ -76,6 +76,8 @@ ROUND5_NEW: list[str] = [
     "mart_incremental_refresh",
     "dq_key_skew_profile",
     "text_pmi_collocations",
+    "sql_window_top_suppliers",
+    "graph_pagerank",
 ]
 
 ROUND4_NEW = [

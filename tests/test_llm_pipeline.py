@@ -178,3 +178,35 @@ def test_round5_conservation_invariants(spark):
     exact_groups = dd.dedup_exact_keeper(spark, sf)
     assert norm_groups.count() <= exact_groups.count()
     assert norm_groups.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+
+def test_pagerank_invariants(spark):
+    """PageRank is rows-only (float recurrence) — correctness is held
+    by its conservation laws: total mass 1, every rank positive and
+    at least the teleport floor, coverage = graph nodes, and within a
+    symmetric 2-clique both members share one rank (structural
+    symmetry => equal fixed point)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators import graph
+
+    sf = "/root/testdata/sf0.01"
+    pr = graph.graph_pagerank(spark, sf).collect()
+    assert pr, "pair graph unexpectedly empty at sf0.01"
+    n = len(pr)
+    total = sum(r["pagerank"] for r in pr)
+    assert abs(total - 1.0) < 1e-6, f"rank mass {total} != 1"
+    floor = (1.0 - graph.PAGERANK_DAMPING) / n
+    assert all(r["pagerank"] >= floor - 1e-12 for r in pr)
+
+    edges = graph._sym_edges(spark, sf)
+    assert n == edges.select("src").distinct().count()
+
+    # nodes of degree 1 whose sole neighbor also has degree 1 form
+    # isolated 2-cliques: both endpoints must have identical rank
+    deg = {r["src"]: r["cnt"] for r in
+           edges.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    rank = {r["doc_id"]: r["pagerank"] for r in pr}
+    for e in edges.collect():
+        if deg[e["src"]] == 1 and deg[e["dst"]] == 1:
+            assert rank[e["src"]] == rank[e["dst"]]
