@@ -246,7 +246,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))
-    total = toks.agg(F.count("*").alias("n_tokens"))
+    # total derives from the unigram table (Σc) — never a second
+    # corpus scan; at 100 TB the corpus is read twice total (once for
+    # unigrams, once for bigrams), everything else is vocab-sized
+    total = uni.agg(F.sum("c").alias("n_tokens"))
     bigrams = d.select(
         F.explode(
             F.expr(

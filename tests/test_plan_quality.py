@@ -358,3 +358,14 @@ def test_skew_profile_topk_no_global_sort(spark, sf_dir):
     plan = plans.physical(ex.dq_key_skew_profile(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_pmi_reuses_token_exchange(spark, sf_dir):
+    """The unigram table feeds three consumers (two count joins + the
+    total); the executed plan must show ReusedExchange — i.e. the token
+    explode+count shuffle is computed once, so the corpus is read twice
+    total (tokens + bigrams), never once per consumer."""
+    df = textops.text_pmi_collocations(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
