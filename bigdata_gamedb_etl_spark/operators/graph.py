@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import DEDUP_JACCARD_ORACLE, dedup_ngram_jaccard_pairs
+from .dedup import (
+    DEDUP_JACCARD_ORACLE,
+    RELIABLE_CKPT_CONF,
+    _ckpt_file,
+    _drop_ckpt,
+    _materialize_iter,
+    dedup_ngram_jaccard_pairs,
+)
 
 
 def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,17 +189,34 @@ PAGERANK_DAMPING = 0.85
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node PageRank (damping 0.85, 8 fixed iterations, total mass
     1.0) over the symmetric near-dup pair graph, rounded to 8dp."""
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
     e = _sym_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count("*").alias("degree"))
-    nodes = deg.select(F.col("src").alias("node"))
+    # materialize the static (edge ⋈ degree) relation ONCE — without
+    # this every iteration's join re-executes the whole shingle/
+    # posting-list pair generation (the same fix the CC loop carries,
+    # dedup.py:500), and 8 iterations embed the jaccard subtree 8×.
+    edge_deg = _materialize_iter(
+        e.join(deg, "src").select(
+            F.col("src").alias("node"), "dst", "degree"
+        ),
+        reliable,
+    )
+    nodes = _materialize_iter(
+        edge_deg.select("node").distinct(), reliable
+    )
     nt = nodes.agg(F.count("*").alias("n_nodes"))
     d = PAGERANK_DAMPING
     ranks = nodes.crossJoin(F.broadcast(nt)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
-    edge_deg = e.join(deg, "src").select(
-        F.col("src").alias("node"), "dst", "degree"
-    )
+    # materialize ranks EVERY iteration (same discipline as the CC
+    # loop): without it iteration k's lazy plan nests all k-1 prior
+    # rounds, so the loop re-executes O(iters²) stages — measured 20 s
+    # for 8 rounds on a 477-node graph, pure scheduling
+    prev_ckpt: str | None = None
     for _ in range(PAGERANK_ITERS):
         contrib = (
             ranks.join(edge_deg, "node")
@@ -206,7 +230,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # left join: a node nobody links to keeps only teleport mass
         # (unreachable here — symmetric edges — but the shape is the
         # general one)
-        ranks = (
+        ranks = _materialize_iter(
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(nt))
             .select(
@@ -215,8 +239,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (1.0 - d) / F.col("n_nodes")
                     + d * F.coalesce(F.col("cs"), F.lit(0.0))
                 ).alias("rank"),
-            )
+            ),
+            reliable,
         )
+        if reliable:
+            _drop_ckpt(prev_ckpt)
+            prev_ckpt = _ckpt_file(ranks)
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 8).alias("pagerank")
     ).orderBy("doc_id")
