@@ -283,11 +283,65 @@ ORDER BY s.user_id, s.day
 """
 
 
+# --------------------------------------------------------------------------
+# OHLC downsampling: the canonical time-series compaction (per bucket:
+# first/max/min/last value + volume).  open/close are argmin/argmax
+# over the (ts, event_id) composite — min_by/max_by keep ONE running
+# candidate per group (hash-agg, partial+final), where the naive
+# window-row_number formulation would sort every bucket.  event_id
+# breaks timestamp ties so both engines pick the identical row.
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over events.value: open, high, low, close,
+    event volume per hour."""
+    e = table(spark, sf_dir, "events")
+    key = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id"))
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.to_date("hour_ts").alias("day"),
+            F.hour("hour_ts").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+        .orderBy("day", "hour")
+    )
+
+
+TS_OHLC_ORACLE = """
+WITH bars AS (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         FIRST(value ORDER BY epoch_us(ts), event_id) AS open,
+         MAX(value) AS high,
+         MIN(value) AS low,
+         LAST(value ORDER BY epoch_us(ts), event_id) AS close,
+         COUNT(*) AS volume
+  FROM events
+  GROUP BY date_trunc('hour', ts)
+)
+SELECT CAST(hour_ts AS DATE) AS day,
+       CAST(EXTRACT(hour FROM hour_ts) AS INTEGER) AS hour,
+       open, high, low, close, volume
+FROM bars
+ORDER BY day, hour
+"""
+
+
 QUERIES = {
     "asof_purchase_click": asof_purchase_click,
     "interval_error_click_burst": interval_error_click_burst,
     "rollup_event_time_grain": rollup_event_time_grain,
     "ts_gapfill_locf": ts_gapfill_locf,
+    "ts_ohlc_hourly": ts_ohlc_hourly,
 }
 
 ORACLE = {
@@ -295,4 +349,5 @@ ORACLE = {
     "interval_error_click_burst": INTERVAL_ORACLE,
     "rollup_event_time_grain": ROLLUP_GRAIN_ORACLE,
     "ts_gapfill_locf": TS_GAPFILL_ORACLE,
+    "ts_ohlc_hourly": TS_OHLC_ORACLE,
 }

@@ -78,6 +78,7 @@ ROUND5_NEW: list[str] = [
     "text_pmi_collocations",
     "sql_window_top_suppliers",
     "graph_pagerank",
+    "ts_ohlc_hourly",
 ]
 
 ROUND4_NEW = [
