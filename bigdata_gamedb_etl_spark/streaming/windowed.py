@@ -160,6 +160,35 @@ def daily_rollup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_hourly_stream(events: DataFrame) -> DataFrame:
+    """Watermarked hourly OHLC bars — the streaming twin of
+    operators.temporal.ts_ohlc_hourly.  min_by/max_by over the
+    (unix_micros, event_id) composite are plain streaming-aggregable
+    functions (one running candidate per window in the state store),
+    so downsampling works identically over a live stream."""
+    key = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.to_date(F.col("win.start")).alias("day"),
+            F.hour(F.col("win.start")).alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 def _running_totals(
     key: tuple, batches: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:

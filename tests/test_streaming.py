@@ -398,3 +398,29 @@ def test_transform_with_state_matches_old_api_and_batch(spark, sf_dir, events_di
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert got[uid][1] == pytest.approx(want[uid][1], abs=0.011)
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, events_dir):
+    """Downsampling parity: the streaming hourly OHLC bars must equal
+    the batch ts_ohlc_hourly on the same files — min_by/max_by keep
+    one candidate per window in the state store, so open/close survive
+    the incremental path bit-identically."""
+    from bigdata_gamedb_etl_spark.operators.temporal import ts_ohlc_hourly
+
+    events = streaming.read_events_stream(spark, events_dir)
+    bars = streaming.ohlc_hourly_stream(events)
+    streaming.run_stream_to_memory(bars, "ohlc_t", "complete")
+
+    got = {
+        (r["day"], r["hour"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"]
+        )
+        for r in spark.table("ohlc_t").collect()
+    }
+    want = {
+        (r["day"], r["hour"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"]
+        )
+        for r in ts_ohlc_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
