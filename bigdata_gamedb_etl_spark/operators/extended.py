@@ -889,6 +889,53 @@ ORDER BY p.event_type
 
 
 # --------------------------------------------------------------------------
+# Explicit GROUPING SETS: the two one-dimensional margins plus the
+# grand total WITHOUT the full cube's cross cells — at 100 TB the
+# difference between shuffling |A|+|B|+1 groups and |A|×|B| groups.
+# grouping(col) flags distinguish "NULL because aggregated away" from
+# a genuine NULL key, which the cube/rollup twins (ga1/ga2) leave to
+# NULL-ordering convention.
+def ga3_grouping_sets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o.join(c, F.col("o_custkey") == F.col("c_custkey")).createOrReplaceTempView(
+        "orders_cust_v_ga3"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               o_orderpriority,
+               CAST(grouping(c_mktsegment) AS INT) AS seg_aggregated,
+               CAST(grouping(o_orderpriority) AS INT) AS prio_aggregated,
+               COUNT(*) AS order_count,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS total_price
+        FROM orders_cust_v_ga3
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        ORDER BY seg_aggregated, prio_aggregated,
+                 c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+GA3_ORACLE = """
+SELECT c_mktsegment,
+       o_orderpriority,
+       CAST(grouping(c_mktsegment) AS INT) AS seg_aggregated,
+       CAST(grouping(o_orderpriority) AS INT) AS prio_aggregated,
+       COUNT(*) AS order_count,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+ORDER BY seg_aggregated, prio_aggregated,
+         c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
 # Join-key skew profile: the audit you run BEFORE pointing a shuffle
 # join at a 100 TB fact table.  For each candidate join key, the
 # hottest key's row share, the top-10 keys' combined share, and a
@@ -1105,6 +1152,7 @@ QUERIES = {
     "p7_winsorized_value": p7_winsorized_value,
     "stat_corr_matrix": stat_corr_matrix,
     "dq_key_skew_profile": dq_key_skew_profile,
+    "ga3_grouping_sets_margins": ga3_grouping_sets_margins,
 }
 
 ORACLE = {
@@ -1129,4 +1177,5 @@ ORACLE = {
     "p7_winsorized_value": P7_ORACLE,
     "stat_corr_matrix": STAT_CORR_ORACLE,
     "dq_key_skew_profile": DQ_SKEW_ORACLE,
+    "ga3_grouping_sets_margins": GA3_ORACLE,
 }

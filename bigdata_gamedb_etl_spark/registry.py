@@ -79,6 +79,7 @@ ROUND5_NEW: list[str] = [
     "sql_window_top_suppliers",
     "graph_pagerank",
     "ts_ohlc_hourly",
+    "ga3_grouping_sets_margins",
 ]
 
 ROUND4_NEW = [

@@ -57,3 +57,30 @@ def test_write_with_metrics_quality_gate(spark, tmp_path):
     assert got["max_id"] == 99
     # the metrics describe exactly what landed on disk
     assert spark.read.parquet(str(tmp_path / "out")).count() == 100
+
+
+def test_recursive_cte_bounded_bfs(spark):
+    """Spark 4 recursive CTE support (WITH RECURSIVE + UNION ALL).
+    Only UNION ALL is supported (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+    so cyclic closures don't terminate — the feature is demonstrated on
+    a depth-bounded BFS over a DAG, and the engine's scale path for
+    unbounded reachability stays the iterative min-label loop
+    (dedup_cluster_assign).  Kept test-only for exactly that reason."""
+    rows = spark.sql(
+        """
+        WITH RECURSIVE bfs(node, dist) AS (
+          SELECT 1, 0
+          UNION ALL
+          SELECT e.dst, b.dist + 1
+          FROM bfs b
+          JOIN (VALUES (1, 2), (1, 3), (2, 4), (3, 4), (4, 5)
+                AS edges(src, dst)) e
+            ON b.node = e.src
+          WHERE b.dist < 10
+        )
+        SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node ORDER BY node
+        """
+    ).collect()
+    assert [(r["node"], r["dist"]) for r in rows] == [
+        (1, 0), (2, 1), (3, 1), (4, 2), (5, 3)
+    ]
