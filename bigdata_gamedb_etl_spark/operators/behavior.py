@@ -419,12 +419,99 @@ ORDER BY touch
 """
 
 
+# --------------------------------------------------------------------------
+# Churn-risk flags: the retention dashboard's per-user row — recency
+# vs the corpus clock, short-window activity trend, and a churn flag.
+# One scan of events (the reference window conditions are evaluated
+# inside a single user-grain hash-agg after a broadcast of the one-row
+# corpus max — no second pass, no window function).
+CHURN_INACTIVE_DAYS = 14
+_WEEK_US = 7 * 86_400_000_000
+
+
+def churn_activity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: last-active day, days inactive vs the corpus max,
+    events in the trailing week and the week before it, the
+    week-over-week activity ratio, and a churned flag."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    ref = e.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    us = F.unix_micros("ts")
+    per_user = (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.to_date(F.max(F.date_trunc("day", "ts"))).alias("last_day"),
+            F.first(
+                F.to_date(
+                    F.date_trunc("day", F.timestamp_micros(F.col("ref_us")))
+                )
+            ).alias("ref_day"),
+            F.sum(
+                F.when(us > F.col("ref_us") - _WEEK_US, 1).otherwise(0)
+            ).alias("events_last_wk"),
+            F.sum(
+                F.when(
+                    (us > F.col("ref_us") - 2 * _WEEK_US)
+                    & (us <= F.col("ref_us") - _WEEK_US),
+                    1,
+                ).otherwise(0)
+            ).alias("events_prior_wk"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "last_day",
+        F.datediff("ref_day", "last_day").alias("days_inactive"),
+        "events_last_wk",
+        "events_prior_wk",
+        # integer/integer → one double division, NULL when no prior
+        F.round(
+            F.col("events_last_wk")
+            / F.when(F.col("events_prior_wk") > 0, F.col("events_prior_wk")),
+            4,
+        ).alias("wow_activity_ratio"),
+        (
+            F.datediff("ref_day", "last_day") > CHURN_INACTIVE_DAYS
+        ).alias("churned"),
+    ).orderBy("user_id")
+
+
+CHURN_ORACLE = f"""
+WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS last_day,
+         CAST(date_trunc('day', make_timestamp(ANY_VALUE(ref_us))) AS DATE)
+           AS ref_day,
+         SUM(CASE WHEN epoch_us(ts) > ref_us - {_WEEK_US}
+                  THEN 1 ELSE 0 END) AS events_last_wk,
+         SUM(CASE WHEN epoch_us(ts) > ref_us - {2 * _WEEK_US}
+                   AND epoch_us(ts) <= ref_us - {_WEEK_US}
+                  THEN 1 ELSE 0 END) AS events_prior_wk
+  FROM events CROSS JOIN ref
+  GROUP BY user_id
+)
+SELECT user_id,
+       last_day,
+       CAST(datediff('day', last_day, ref_day) AS INTEGER) AS days_inactive,
+       CAST(events_last_wk AS BIGINT) AS events_last_wk,
+       CAST(events_prior_wk AS BIGINT) AS events_prior_wk,
+       ROUND(events_last_wk / (CASE WHEN events_prior_wk > 0
+                                    THEN events_prior_wk END), 4)
+         AS wow_activity_ratio,
+       datediff('day', last_day, ref_day) > {CHURN_INACTIVE_DAYS} AS churned
+FROM per_user
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "funnel_user_conversion": funnel_user_conversion,
     "cohort_weekly_retention": cohort_weekly_retention,
     "anomaly_daily_zscore": anomaly_daily_zscore,
     "rfm_customer_segments": rfm_customer_segments,
     "attribution_last_touch": attribution_last_touch,
+    "churn_activity_flags": churn_activity_flags,
 }
 ORACLE = {
     "funnel_user_conversion": FUNNEL_ORACLE,
@@ -432,4 +519,5 @@ ORACLE = {
     "anomaly_daily_zscore": ANOMALY_ORACLE,
     "rfm_customer_segments": RFM_ORACLE,
     "attribution_last_touch": ATTRIBUTION_ORACLE,
+    "churn_activity_flags": CHURN_ORACLE,
 }

@@ -80,6 +80,7 @@ ROUND5_NEW: list[str] = [
     "graph_pagerank",
     "ts_ohlc_hourly",
     "ga3_grouping_sets_margins",
+    "churn_activity_flags",
 ]
 
 ROUND4_NEW = [
