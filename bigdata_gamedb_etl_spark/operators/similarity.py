@@ -595,6 +595,82 @@ LIMIT {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ/ADC): the standard rung ABOVE SQ8 on the
+# ANN compression ladder — 64 float64 dims become PQ_M single-byte
+# codes (64× smaller than float64), and query scoring never
+# reconstructs a vector: the query precomputes a PQ_M×PQ_K lookup
+# table of partial dots against each sub-codebook and every corpus
+# vector's score is PQ_M table lookups + adds (the Asymmetric
+# Distance Computation of Jégou et al. 2011).
+PQ_M = 16  # subspaces (64 dims → 4 per subspace)
+PQ_K = 16  # codes per sub-codebook
+PQ_SUBDIM = 64 // PQ_M
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate cosine top-k.  Rows-only checked
+    (approximate by design; KMeans codebooks are not SQL-expressible);
+    recall vs the exact baseline asserted in tests/test_llm_pipeline.py.
+
+    Scale notes: codebook training is PQ_M DISTRIBUTED KMeans fits on
+    the subvector columns (driver holds only the PQ_M×PQ_K×PQ_SUBDIM
+    centroid model, never data); encoding is a narrow map (broadcast
+    models); the scan reads 1-byte codes instead of 8-byte doubles.
+    Normalizing first makes the approximate inner product an
+    approximate cosine."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb_double(spark, sf_dir)
+    unit_expr = F.transform(
+        F.col("emb"), lambda x: x / F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    unit = emb.select("vec_id", unit_expr.alias("u"))
+    with_subs = unit.select(
+        "vec_id",
+        "u",
+        *[
+            array_to_vector(
+                F.slice("u", j * PQ_SUBDIM + 1, PQ_SUBDIM)
+            ).alias(f"sub_{j}")
+            for j in range(PQ_M)
+        ],
+    )
+    encoded = with_subs
+    models = []
+    for j in range(PQ_M):
+        m = KMeans(
+            k=PQ_K,
+            seed=42 + j,
+            maxIter=10,
+            featuresCol=f"sub_{j}",
+            predictionCol=f"code_{j}",
+        ).fit(with_subs)
+        models.append(m)
+        encoded = m.transform(encoded)
+
+    # query-side ADC lookup tables: partial dot of the query subvector
+    # against each sub-codebook centroid — model-sized driver math
+    q = unit.where(F.col("vec_id") == QUERY_VEC_ID).first()
+    qu = q["u"]
+    score = F.lit(0.0)
+    for j in range(PQ_M):
+        qsub = qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+        lut = [
+            float(sum(a * b for a, b in zip(qsub, center)))
+            for center in models[j].clusterCenters()
+        ]
+        score = score + F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.col(f"code_{j}") + 1
+        )
+    return (
+        encoded.select("vec_id", F.round(score, 4).alias("approx_cosine"))
+        .orderBy(F.col("approx_cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
@@ -603,6 +679,7 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_cosine_dup_pairs": sim_cosine_dup_pairs,
     "sim_sq8_topk": sim_sq8_topk,
+    "sim_pq_topk": sim_pq_topk,
 }
 
 ORACLE = {
@@ -611,5 +688,6 @@ ORACLE = {
     "sim_knn_top1": SIM_KNN_ORACLE,
     "sim_cosine_dup_pairs": SIM_DUP_ORACLE,
     "sim_sq8_topk": SIM_SQ8_ORACLE,
-    # sim_ann_lsh_topk, sim_ivf_topk: rows-only (approximate recall by design)
+    # sim_ann_lsh_topk, sim_ivf_topk, sim_pq_topk: rows-only
+    # (approximate recall by design)
 }

@@ -81,6 +81,7 @@ ROUND5_NEW: list[str] = [
     "ts_ohlc_hourly",
     "ga3_grouping_sets_margins",
     "churn_activity_flags",
+    "sim_pq_topk",
 ]
 
 ROUND4_NEW = [
