@@ -61,10 +61,12 @@ EXTRAS = [
     "pipeline_pack_sequences",
     "mm_feature_extract_json",
     # round-5 heavies: corpus-wide shingle df join, one-pass moment
-    # matrix, four-key skew audit
+    # matrix, four-key skew audit, OHLC downsampling, last-touch window
     "dedup_repeated_ngram_share",
     "stat_corr_matrix",
     "dq_key_skew_profile",
+    "ts_ohlc_hourly",
+    "attribution_last_touch",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
