@@ -98,3 +98,45 @@ def test_bins_match_python(spark, rows):
         # compare against the float32 value Spark actually stored
         assert r["pb"] == _py_price_bin(r["p"])
         assert r["ob"] == _py_owner_bin(r["o"])
+
+
+def _py_shingles(text: str) -> list[str]:
+    ws = text.split(" ")
+    if len(ws) < 3:
+        return []
+    out, seen = [], set()
+    for i in range(len(ws) - 2):
+        sh = " ".join(ws[i : i + 3])
+        if sh not in seen:
+            seen.add(sh)
+            out.append(sh)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            max_size=12,
+        ).map(lambda s: s.replace(" ", "_")),
+        min_size=0,
+        max_size=12,
+    ).map(lambda toks: " ".join(toks))
+)
+def test_shingles_match_python(spark, text):
+    """The zip_with shingle expression (dedup.py::_SHINGLES) — the
+    primitive under every near-dup/decontamination/contamination
+    operator — must equal a plain-Python order-preserving distinct
+    word-3-gram on arbitrary text, including empty tokens from
+    consecutive spaces and <3-token inputs."""
+    from bigdata_gamedb_etl_spark.operators.dedup import _SHINGLES
+
+    df = spark.createDataFrame(
+        [(text,)],
+        StructType([StructField("text", StringType())]),
+    )
+    got = df.select(F.expr(_SHINGLES).alias("shs")).first()["shs"]
+    assert got == _py_shingles(text)
