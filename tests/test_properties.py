@@ -140,3 +140,35 @@ def test_shingles_match_python(spark, text):
     )
     got = df.select(F.expr(_SHINGLES).alias("shs")).first()["shs"]
     assert got == _py_shingles(text)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00"
+        ),
+        max_size=40,
+    )
+)
+def test_normalization_cross_engine(spark, duck, text):
+    """dedup_normalized_keeper's normalize chain must agree across
+    engines on arbitrary unicode — Java regex works on UTF-16 code
+    units while DuckDB's RE2 works on code points, so an astral char
+    strips to TWO spaces in Spark and ONE in DuckDB; the ' +' collapse
+    is what reconciles them, and this test pins that contract."""
+    from bigdata_gamedb_etl_spark.operators.dedup import _normalize_expr
+
+    got_spark = (
+        spark.createDataFrame(
+            [(text,)], StructType([StructField("text", StringType())])
+        )
+        .select(_normalize_expr("text").alias("n"))
+        .first()["n"]
+    )
+    got_duck = duck.execute(
+        "SELECT trim(regexp_replace(regexp_replace(lower(?),"
+        " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))",
+        [text],
+    ).fetchone()[0]
+    assert got_spark == got_duck
