@@ -172,3 +172,50 @@ def test_normalization_cross_engine(spark, duck, text):
         [text],
     ).fetchone()[0]
     assert got_spark == got_duck
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            max_size=10,
+        ).map(lambda s: s.replace(" ", "_")),
+        min_size=0,
+        max_size=12,
+    ).map(lambda toks: " ".join(toks))
+)
+def test_shingles_cross_engine(spark, duck, text):
+    """_SHINGLES (Spark zip_with) and _SHINGLES_DUCK (DuckDB
+    list_transform) are the two halves of every near-dup /
+    decontamination oracle pair; they must produce the identical
+    distinct 3-gram list on arbitrary text (split semantics, empty
+    tokens, <3-token inputs, order preservation)."""
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        _SHINGLES,
+        _SHINGLES_DUCK,
+    )
+
+    got_spark = (
+        spark.createDataFrame(
+            [(text,)], StructType([StructField("text", StringType())])
+        )
+        .select(F.expr(_SHINGLES).alias("shs"))
+        .first()["shs"]
+    )
+    got_duck = duck.execute(
+        "SELECT "
+        + _SHINGLES_DUCK
+        + " FROM (SELECT string_split(?, ' ') AS ws)",
+        [text],
+    ).fetchone()[0]
+    # SET equality, not list equality: DuckDB's list_distinct gives no
+    # order guarantee (hypothesis found '   0' ordering ['  ','  0'] in
+    # Spark vs ['  0','  '] in DuckDB) while Spark's array_distinct
+    # keeps first occurrence.  Every oracle consumes shingles through
+    # UNNEST + set-semantics aggregation, so the cross-engine contract
+    # is exactly: same distinct shingle SET, same cardinality.
+    assert len(got_spark) == len(got_duck)
+    assert set(got_spark) == set(got_duck)
