@@ -1,0 +1,91 @@
+"""Golden micro-fixture for the round-5 event analytics — hand-computed
+expectations on an 8-event timeline.  The DuckDB oracles prove Spark
+and DuckDB agree; these fixtures prove they agree on the RIGHT answer
+(a shared misreading of the semantics would pass parity and fail here).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from bigdata_gamedb_etl_spark.operators.behavior import (
+    attribution_last_touch,
+    churn_activity_flags,
+)
+from bigdata_gamedb_etl_spark.operators.temporal import ts_ohlc_hourly
+from bigdata_gamedb_etl_spark.operators.windows import (
+    w12_cumulative_distinct_users,
+)
+from bigdata_gamedb_etl_spark.sources.catalog import TABLE_SCHEMAS
+
+
+def _ts(h, m):
+    return dt.datetime(2024, 1, 1, h, m, 0)
+
+
+EVENTS = [
+    # user 1: view → click → two purchases (both credit the click)
+    (0, _ts(10, 0), 1, "view", 1.0, "{}"),
+    (1, _ts(10, 5), 1, "click", 2.0, "{}"),
+    (2, _ts(10, 30), 1, "purchase", 10.0, "{}"),
+    (3, _ts(10, 45), 1, "purchase", 5.0, "{}"),
+    # user 2: purchase BEFORE any touch → (none); later view → purchase
+    (4, _ts(9, 0), 2, "purchase", 7.0, "{}"),
+    (5, _ts(11, 0), 2, "view", 1.5, "{}"),
+    (6, _ts(11, 30), 2, "error", 0.5, "{}"),
+    (7, _ts(11, 59), 2, "purchase", 3.0, "{}"),
+]
+
+
+@pytest.fixture(scope="module")
+def golden_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden_events")
+    spark.createDataFrame(EVENTS, TABLE_SCHEMAS["events"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_attribution_golden(spark, golden_dir):
+    rows = {r["touch"]: r for r in attribution_last_touch(spark, golden_dir).collect()}
+    assert rows["click"]["purchases"] == 2
+    assert rows["click"]["revenue"] == 15.0
+    assert rows["view"]["purchases"] == 1
+    assert rows["view"]["revenue"] == 3.0
+    assert rows["(none)"]["purchases"] == 1
+    assert rows["(none)"]["revenue"] == 7.0
+
+
+def test_ohlc_golden(spark, golden_dir):
+    bars = {r["hour"]: r for r in ts_ohlc_hourly(spark, golden_dir).collect()}
+    assert set(bars) == {9, 10, 11}
+    assert (bars[9]["open"], bars[9]["close"], bars[9]["volume"]) == (7.0, 7.0, 1)
+    b10 = bars[10]
+    assert (b10["open"], b10["high"], b10["low"], b10["close"], b10["volume"]) == (
+        1.0, 10.0, 1.0, 5.0, 4,
+    )
+    b11 = bars[11]
+    assert (b11["open"], b11["high"], b11["low"], b11["close"], b11["volume"]) == (
+        1.5, 3.0, 0.5, 3.0, 3,
+    )
+
+
+def test_churn_golden(spark, golden_dir):
+    rows = {r["user_id"]: r for r in churn_activity_flags(spark, golden_dir).collect()}
+    for uid, n_events in ((1, 4), (2, 4)):
+        r = rows[uid]
+        assert r["last_day"] == dt.date(2024, 1, 1)
+        assert r["days_inactive"] == 0
+        assert r["events_last_wk"] == n_events
+        assert r["events_prior_wk"] == 0
+        assert r["wow_activity_ratio"] is None
+        assert r["churned"] is False
+
+
+def test_cumulative_users_golden(spark, golden_dir):
+    rows = w12_cumulative_distinct_users(spark, golden_dir).collect()
+    assert [(r["day"], r["new_users"], r["cum_users"]) for r in rows] == [
+        (dt.date(2024, 1, 1), 2, 2)
+    ]
