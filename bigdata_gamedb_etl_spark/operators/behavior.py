@@ -464,11 +464,19 @@ def churn_activity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("ref_day", "last_day").alias("days_inactive"),
         "events_last_wk",
         "events_prior_wk",
-        # integer/integer → one double division, NULL when no prior
-        F.round(
-            F.col("events_last_wk")
-            / F.when(F.col("events_prior_wk") > 0, F.col("events_prior_wk")),
-            4,
+        # integer/integer → one double division, NULL when no prior.
+        # 4dp via floor(x·1e4 + 0.5)/1e4, NOT ROUND: Spark and DuckDB
+        # disagree on exact-halfway doubles (e.g. prior=32 with odd
+        # last-week counts yields x.xxxx5 exactly) — stat_corr_matrix's
+        # recipe, applied to every double-ratio rounding in this repo.
+        (
+            F.floor(
+                F.col("events_last_wk")
+                / F.when(F.col("events_prior_wk") > 0, F.col("events_prior_wk"))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
         ).alias("wow_activity_ratio"),
         (
             F.datediff("ref_day", "last_day") > CHURN_INACTIVE_DAYS
@@ -496,8 +504,9 @@ SELECT user_id,
        CAST(datediff('day', last_day, ref_day) AS INTEGER) AS days_inactive,
        CAST(events_last_wk AS BIGINT) AS events_last_wk,
        CAST(events_prior_wk AS BIGINT) AS events_prior_wk,
-       ROUND(events_last_wk / (CASE WHEN events_prior_wk > 0
-                                    THEN events_prior_wk END), 4)
+       floor(events_last_wk / (CASE WHEN events_prior_wk > 0
+                                    THEN events_prior_wk END)
+             * 10000.0 + 0.5) / 10000.0
          AS wow_activity_ratio,
        datediff('day', last_day, ref_day) > {CHURN_INACTIVE_DAYS} AS churned
 FROM per_user

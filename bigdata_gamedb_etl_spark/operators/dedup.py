@@ -896,6 +896,17 @@ ORDER BY name_a, name_b
 # (second shuffle, co-partitioned with the first — AQE reuses the
 # exchange) → per-doc hash-agg.  Nothing quadratic: no posting-list
 # pair expansion, viral shingles cost one counter each.
+#
+# Collision bound (same rows-only rationale as MinHash, made explicit):
+# Spark counts doc-frequency over xxhash64(shingle) while the oracle
+# uses raw shingle strings — a 64-bit collision merges two shingles'
+# df and can flip a ≥2-docs verdict.  Expected collisions are
+# birthday-bounded: ~n²/2^65 for n distinct shingles — zero at test SF
+# (n≈10^4 → P≈10^-12) and still <3% of pairs at n=2^32 (~4·10^9
+# distinct shingles).  At larger corpora, widen the key to
+# (xxhash64(s), xxhash64(s, seed=1)) — 128 bits — rather than keeping
+# raw strings: the shuffle stays 8-16 bytes/key either way, which is
+# the point of hashing before the explode.
 def dedup_repeated_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document count of distinct 3-gram shingles and the share of
     them appearing in ≥2 documents (rounded to 4dp)."""
@@ -909,10 +920,16 @@ def dedup_repeated_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
-            F.round(
-                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
-                / F.count("*"),
-                4,
+            # floor(x·1e4+0.5)/1e4, not ROUND — halfway doubles like
+            # 3/8=0.37505 round differently across engines (w10 lesson)
+            (
+                F.floor(
+                    F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                    / F.count("*")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
             ).alias("repeated_share"),
         )
         .orderBy("doc_id")
@@ -934,7 +951,8 @@ df AS (
 )
 SELECT ex.doc_id,
        COUNT(*) AS n_shingles,
-       ROUND(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+       floor(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 10000.0 + 0.5) / 10000.0
          AS repeated_share
 FROM ex JOIN df ON ex.s = df.s
 GROUP BY ex.doc_id

@@ -974,27 +974,35 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("total_rows"),
             F.max("cnt").alias("hottest"),
         )
+        # tiebreak pins NULL keys explicitly: Spark's ASC default is
+        # NULLS FIRST while DuckDB's is NULLS LAST — a NULL key tying
+        # at the rank-10 boundary would otherwise flip top10_pct
+        # between engines (oracle carries the matching NULLS FIRST).
         top10 = (
-            per_key.orderBy(F.col("cnt").desc(), F.col("k"))
+            per_key.orderBy(F.col("cnt").desc(), F.col("k").asc_nulls_first())
             .limit(10)
             .agg(F.sum("cnt").alias("top10_rows"))
         )
+        # 4dp via floor(x·1e4 + 0.5)/1e4 in BOTH plans — the engines'
+        # ROUND primitives disagree on exact-halfway doubles (w10).
+        def _r4(x):
+            return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
         outs.append(
             totals.crossJoin(F.broadcast(top10)).select(
                 F.lit(f"{tbl}.{key}").alias("join_key"),
                 "distinct_keys",
                 "total_rows",
-                F.round(
-                    F.col("hottest") * 100.0 / F.col("total_rows"), 4
-                ).alias("hottest_pct"),
-                F.round(
-                    F.col("top10_rows") * 100.0 / F.col("total_rows"), 4
-                ).alias("top10_pct"),
-                F.round(
+                _r4(F.col("hottest") * 100.0 / F.col("total_rows")).alias(
+                    "hottest_pct"
+                ),
+                _r4(F.col("top10_rows") * 100.0 / F.col("total_rows")).alias(
+                    "top10_pct"
+                ),
+                _r4(
                     F.col("hottest")
                     * 1.0
-                    / (F.col("total_rows") / F.col("distinct_keys")),
-                    4,
+                    / (F.col("total_rows") / F.col("distinct_keys"))
                 ).alias("hot_mean_ratio"),
             )
         )
@@ -1011,12 +1019,14 @@ def _skew_oracle() -> str:
 SELECT '{tbl}.{key}' AS join_key,
        COUNT(*) AS distinct_keys,
        CAST(SUM(cnt) AS BIGINT) AS total_rows,
-       ROUND(MAX(cnt) * 100.0 / SUM(cnt), 4) AS hottest_pct,
-       ROUND(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) * 100.0
-             / SUM(cnt), 4) AS top10_pct,
-       ROUND(MAX(cnt) * 1.0 / (SUM(cnt) / COUNT(*)), 4) AS hot_mean_ratio
+       floor(MAX(cnt) * 100.0 / SUM(cnt) * 10000.0 + 0.5) / 10000.0
+         AS hottest_pct,
+       floor(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) * 100.0
+             / SUM(cnt) * 10000.0 + 0.5) / 10000.0 AS top10_pct,
+       floor(MAX(cnt) * 1.0 / (SUM(cnt) / COUNT(*)) * 10000.0 + 0.5) / 10000.0
+         AS hot_mean_ratio
 FROM (
-  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rn
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k NULLS FIRST) AS rn
   FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {tbl} GROUP BY {key})
 )""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY join_key"

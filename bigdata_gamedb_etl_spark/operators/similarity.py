@@ -598,7 +598,7 @@ LIMIT {TOP_K}
 # --------------------------------------------------------------------------
 # Product quantization (PQ/ADC): the standard rung ABOVE SQ8 on the
 # ANN compression ladder — 64 float64 dims become PQ_M single-byte
-# codes (64× smaller than float64), and query scoring never
+# codes (64×8 B → 16×1 B: 32× smaller than float64), and query scoring never
 # reconstructs a vector: the query precomputes a PQ_M×PQ_K lookup
 # table of partial dots against each sub-codebook and every corpus
 # vector's score is PQ_M table lookups + adds (the Asymmetric

@@ -229,8 +229,9 @@ def sql_window_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT n_name, s_name, revenue,
                  DENSE_RANK() OVER (PARTITION BY n_name
                                     ORDER BY revenue DESC) AS rnk,
-                 ROUND(revenue * 100.0 / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
-                       OVER (PARTITION BY n_name) AS DOUBLE), 4) AS nation_share_pct
+                 floor(revenue * 100.0 / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+                       OVER (PARTITION BY n_name) AS DOUBLE)
+                       * 10000.0 + 0.5) / 10000.0 AS nation_share_pct
           FROM rev
         )
         SELECT n_name, s_name, revenue, rnk, nation_share_pct
@@ -256,8 +257,9 @@ ranked AS (
   SELECT n_name, s_name, revenue,
          DENSE_RANK() OVER (PARTITION BY n_name
                             ORDER BY revenue DESC) AS rnk,
-         ROUND(revenue * 100.0 / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
-               OVER (PARTITION BY n_name) AS DOUBLE), 4) AS nation_share_pct
+         floor(revenue * 100.0 / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+               OVER (PARTITION BY n_name) AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS nation_share_pct
   FROM rev
 )
 SELECT n_name, s_name, revenue, rnk, nation_share_pct

@@ -232,8 +232,13 @@ LIMIT 50
 #
 # Determinism: PMI is log(lift), and log is a libm call the engines
 # round differently — but log is monotone, so RANKING by lift is
-# ranking by PMI.  The score stays in exact BIGINT products until one
-# double division (identical bits both engines), never near a log.
+# ranking by PMI.  Numerator and denominator are computed as EXACT
+# DECIMAL(38,0) products — never bare BIGINT: at corpus scale
+# (n_tokens ~1e13, hot counts ~1e9) c_xy·N overflows int64, which
+# Spark (non-ANSI) wraps silently while DuckDB raises — then each side
+# is cast once to double (correctly rounded in both engines) for one
+# division with identical operation order.  The final 4dp round uses
+# the floor(x·1e4 + 0.5)/1e4 form (w10's halfway-case lesson).
 #
 # Scale: two hash-aggs (vocab / vocab² cardinality), the count joins
 # key on tokens (vocab-sized build sides, AQE decides broadcast), and
@@ -277,9 +282,21 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
         .crossJoin(F.broadcast(total))
     )
-    lift = (F.col("c_xy") * F.col("n_tokens")) / (F.col("c_x") * F.col("c_y"))
+    num = (
+        F.col("c_xy").cast("decimal(19,0)") * F.col("n_tokens").cast("decimal(19,0)")
+    ).cast("double")
+    den = (
+        F.col("c_x").cast("decimal(19,0)") * F.col("c_y").cast("decimal(19,0)")
+    ).cast("double")
+    lift = num / den
     return (
-        joined.select("bigram", "c_xy", F.round(lift, 4).alias("lift"))
+        joined.select(
+            "bigram",
+            "c_xy",
+            (F.floor(lift * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "lift"
+            ),
+        )
         .orderBy(F.col("lift").desc(), "bigram")
         .limit(20)
     )
@@ -306,7 +323,11 @@ parts AS (
   FROM bi
 )
 SELECT bigram, c_xy,
-       ROUND((c_xy * n_tokens) / (cx.c * cy.c), 4) AS lift
+       floor(CAST(CAST(c_xy AS DECIMAL(19,0)) * CAST(n_tokens AS DECIMAL(19,0))
+                  AS DOUBLE)
+             / CAST(CAST(cx.c AS DECIMAL(19,0)) * CAST(cy.c AS DECIMAL(19,0))
+                    AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS lift
 FROM parts
 JOIN uni cx ON parts.w1 = cx.w
 JOIN uni cy ON parts.w2 = cy.w

@@ -214,7 +214,7 @@ def test_pagerank_invariants(spark):
 
 @pytest.mark.parametrize("sf", SF_DIRS)
 def test_pq_recall_vs_exact(spark, sf):
-    """PQ-ADC top-k must overlap the exact cosine top-k: 8 subspaces ×
+    """PQ-ADC top-k must overlap the exact cosine top-k: 16 subspaces ×
     16 codes on normalized 64-dim vectors — recall@20 well above the
     random baseline (20/N).  Also locks determinism: two runs produce
     identical rankings (seeded codebooks)."""
