@@ -166,11 +166,18 @@ SELECT (SELECT COUNT(*) FROM tri) AS triangles,
 # through shared shingles) vs the periphery.  Curation uses it to pick
 # the canonical keeper per cluster: highest-rank member.
 #
-# Declared rows-only: a float recurrence has no meaningful cross-engine
-# bit parity (the per-iteration sums would need the same order in both
-# engines); correctness is held by invariant tests instead — rank mass
-# conservation, positivity, and the uniform-graph fixed point (see
-# tests/test_llm_pipeline.py).
+# Oracle-backed via exact fixed-point arithmetic: a FLOAT recurrence
+# would have no cross-engine bit parity (per-iteration sums depend on
+# summation order), so rank is carried as a BIGINT numerator at scale
+# 10^12 and every step is integer-only — init rank = SCALE DIV n,
+# contribution = rank DIV degree (integer sums are order-free), damped
+# update = teleport + (17·Σ) DIV 20 (damping 0.85 as the exact ratio
+# 17/20).  Identical integer ops in Spark and DuckDB → identical
+# results; the DuckDB oracle unrolls the 8 fixed iterations into
+# chained CTEs (aggregation inside a recursive CTE term is not
+# portable).  Each DIV floors away <1 unit of 1e-12, so total mass
+# stays within ~1e-8 of 1.0 — the conservation invariants in
+# tests/test_llm_pipeline.py still hold at loose tolerance.
 #
 # Scale plan: per iteration ONE join of ranks against the static
 # (edges ⋈ degree) relation keyed on src + ONE hash-agg on dst — both
@@ -183,7 +190,10 @@ SELECT (SELECT COUNT(*) FROM tri) AS triangles,
 # graphs, checkpoint every ~5 rounds (the dedup_cluster_assign
 # machinery, dedup.py:440) to cut lineage.
 PAGERANK_ITERS = 8
-PAGERANK_DAMPING = 0.85
+PAGERANK_DAMPING = 0.85  # carried exactly as DAMP_NUM/DAMP_DEN below
+PAGERANK_SCALE = 10**12  # fixed-point denominator of the rank numerator
+_DAMP_NUM, _DAMP_DEN = 17, 20  # 0.85 as an exact integer ratio
+_TELEPORT_FIXED = PAGERANK_SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,9 +218,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge_deg.select("node").distinct(), reliable
     )
     nt = nodes.agg(F.count("*").alias("n_nodes"))
-    d = PAGERANK_DAMPING
     ranks = nodes.crossJoin(F.broadcast(nt)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        "node",
+        F.expr(f"CAST({PAGERANK_SCALE} AS BIGINT) DIV n_nodes").alias("rank"),
     )
     # materialize ranks EVERY iteration (same discipline as the CC
     # loop): without it iteration k's lazy plan nests all k-1 prior
@@ -222,7 +232,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks.join(edge_deg, "node")
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("degree")).alias("c"),
+                F.expr("rank DIV degree").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("cs"))
@@ -235,9 +245,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(nt))
             .select(
                 "node",
-                (
-                    (1.0 - d) / F.col("n_nodes")
-                    + d * F.coalesce(F.col("cs"), F.lit(0.0))
+                F.expr(
+                    f"CAST({_TELEPORT_FIXED} AS BIGINT) DIV n_nodes"
+                    f" + ({_DAMP_NUM} * coalesce(cs, CAST(0 AS BIGINT)))"
+                    f" DIV {_DAMP_DEN}"
                 ).alias("rank"),
             ),
             reliable,
@@ -245,9 +256,66 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if reliable:
             _drop_ckpt(prev_ckpt)
             prev_ckpt = _ckpt_file(ranks)
+    # 8dp round entirely in integer space: (rank + 5000) DIV 10^4 is an
+    # exact integer at scale 10^8, and integers < 2^53 convert to
+    # double identically in both engines
     return ranks.select(
-        F.col("node").alias("doc_id"), F.round("rank", 8).alias("pagerank")
+        F.col("node").alias("doc_id"),
+        (
+            F.expr("(rank + 5000) DIV 10000").cast("double")
+            / F.lit(100000000.0)
+        ).alias("pagerank"),
     ).orderBy("doc_id")
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin of graph_pagerank: the 8 fixed iterations unrolled
+    into chained CTEs (aggregation inside a recursive CTE term is not
+    portable), every step in the same exact BIGINT fixed-point
+    arithmetic as the Spark loop."""
+    ctes = [
+        f"base_pairs AS ({DEDUP_JACCARD_ORACLE})",
+        (
+            "edges AS (SELECT d1 AS node, d2 AS dst FROM base_pairs\n"
+            "  UNION ALL SELECT d2, d1 FROM base_pairs)"
+        ),
+        "deg AS (SELECT node, COUNT(*) AS degree FROM edges GROUP BY node)",
+        (
+            "edge_deg AS (SELECT e.node, e.dst, d.degree\n"
+            "  FROM edges e JOIN deg d ON e.node = d.node)"
+        ),
+        "nodes AS (SELECT DISTINCT node FROM edges)",
+        "nt AS (SELECT COUNT(*) AS n_nodes FROM nodes)",
+        (
+            f"r0 AS (SELECT node, {PAGERANK_SCALE} // n_nodes AS rank\n"
+            "  FROM nodes CROSS JOIN nt)"
+        ),
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(
+            f"s{i} AS (SELECT ed.dst AS node,\n"
+            f"  CAST(SUM(r.rank // ed.degree) AS BIGINT) AS cs\n"
+            f"  FROM r{i - 1} r JOIN edge_deg ed ON r.node = ed.node\n"
+            f"  GROUP BY ed.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,\n"
+            f"  {_TELEPORT_FIXED} // n_nodes\n"
+            f"  + ({_DAMP_NUM} * COALESCE(s{i}.cs, 0)) // {_DAMP_DEN} AS rank\n"
+            f"  FROM nodes CROSS JOIN nt\n"
+            f"  LEFT JOIN s{i} ON nodes.node = s{i}.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node AS doc_id,
+       CAST((rank + 5000) // 10000 AS DOUBLE) / 100000000.0 AS pagerank
+FROM r{PAGERANK_ITERS}
+ORDER BY doc_id
+"""
+    )
+
+
+GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
 
 
 QUERIES = {
@@ -259,6 +327,5 @@ QUERIES = {
 ORACLE = {
     "graph_2hop_reach": GRAPH_2HOP_ORACLE,
     "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
-    # graph_pagerank: rows-only (float recurrence — invariants in
-    # tests/test_llm_pipeline.py hold correctness instead)
+    "graph_pagerank": GRAPH_PAGERANK_ORACLE,
 }

@@ -181,11 +181,12 @@ def test_round5_conservation_invariants(spark):
 
 
 def test_pagerank_invariants(spark):
-    """PageRank is rows-only (float recurrence) — correctness is held
-    by its conservation laws: total mass 1, every rank positive and
-    at least the teleport floor, coverage = graph nodes, and within a
-    symmetric 2-clique both members share one rank (structural
-    symmetry => equal fixed point)."""
+    """PageRank conservation laws (now on exact fixed-point ranks —
+    also oracle-verified in test_oracle_parity): total mass 1 within
+    the integer-floor leakage bound, every rank at least the teleport
+    floor (minus the 8dp output quantization), coverage = graph nodes,
+    and within a symmetric 2-clique both members share one rank
+    (identical integer ops => exactly equal fixed point)."""
     from pyspark.sql import functions as F
 
     from bigdata_gamedb_etl_spark.operators import graph
@@ -195,9 +196,12 @@ def test_pagerank_invariants(spark):
     assert pr, "pair graph unexpectedly empty at sf0.01"
     n = len(pr)
     total = sum(r["pagerank"] for r in pr)
-    assert abs(total - 1.0) < 1e-6, f"rank mass {total} != 1"
+    # each DIV floors away <1e-12 of mass per node/edge per iteration;
+    # |E| and n are ~1e3 here so the drift bound is ~1e-7, plus n·5e-9
+    # of unbiased 8dp output rounding
+    assert abs(total - 1.0) < 1e-5, f"rank mass {total} != 1"
     floor = (1.0 - graph.PAGERANK_DAMPING) / n
-    assert all(r["pagerank"] >= floor - 1e-12 for r in pr)
+    assert all(r["pagerank"] >= floor - 1e-7 for r in pr)
 
     edges = graph._sym_edges(spark, sf)
     assert n == edges.select("src").distinct().count()
