@@ -77,10 +77,14 @@ def _force(df) -> None:
 
 
 def _testdata_fingerprint(sf_dir: str) -> dict:
-    """Sizes+mtimes of the input files, hashed — BENCH numbers are only
+    """CONTENT hash of the input files — BENCH numbers are only
     comparable round-over-round when this matches (the r3→r4 'shared-12
     regression' was a testdata regeneration, not a plan change; this
-    field makes that distinguishable without a forensic re-run)."""
+    field makes that distinguishable without a forensic re-run).
+    Content-based, not size+mtime: the r5→r6 transition re-copied
+    byte-identical files with fresh mtimes, and an mtime-sensitive
+    fingerprint would have voided five rounds of driver evidence over
+    a no-op."""
     import hashlib
 
     entries = []
@@ -88,9 +92,10 @@ def _testdata_fingerprint(sf_dir: str) -> dict:
     for name in sorted(os.listdir(sf_dir)):
         p = os.path.join(sf_dir, name)
         if os.path.isfile(p) and name.endswith(".parquet"):
-            st = os.stat(p)
-            entries.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
-            total += st.st_size
+            with open(p, "rb") as fh:
+                digest = hashlib.md5(fh.read()).hexdigest()
+            entries.append(f"{name}:{digest}")
+            total += os.path.getsize(p)
     return {
         "hash": hashlib.md5("|".join(entries).encode()).hexdigest()[:16],
         "total_bytes": total,

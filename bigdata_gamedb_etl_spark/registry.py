@@ -51,66 +51,62 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-5 head: the round-5 additions, then the 5 round-4 queries that
-# were never rotated in (r4's miss — w10/rfm also carry r5 determinism
-# and scale fixes), then the 36 queries whose only driver evidence is
-# round 1 — the testdata regenerated in r4, so r1 green deserves
-# re-confirmation against the new files — then the standing controls.
-# Names pushed past position 50 already have green rows and rotate
-# back in later rounds (r2-checked queries are next in line).
-# Appended in the same commit a query lands (enforced by
+# Round-6 head (VERDICT r5 item 1): the round-6 additions, then every
+# query whose newest driver green predates the r4 testdata
+# regeneration (51 oracle-backed + 8 rows-only, computed from
+# CORRECTNESS_r01..r05; graph_pagerank leads because its r5 row was
+# rows-only and it is oracle-backed as of r6, so it has never had a
+# hash-verified driver row).  Names past position 50 stay QUEUED — the
+# staleness guard (tests/test_harness_compat.py::
+# test_stale_evidence_queries_are_queued) requires every stale query
+# to sit in the window or in this ordered reconfirm list, so overflow
+# rotates in automatically next round as the head drops out green.
+# New queries are appended to ROUND6_NEW in the same commit that
+# registers them (enforced by
 # test_every_query_has_driver_evidence_or_is_queued).
-ROUND5_NEW: list[str] = [
-    "graph_2hop_reach",
-    "graph_triangle_count",
-    "w11_mom_revenue_growth",
-    "dq_freshness_lag",
-    "j11_acctbal_band_join",
-    "pipeline_feature_hash_profile",
-    "attribution_last_touch",
-    "w12_cumulative_distinct_users",
-    "dedup_repeated_ngram_share",
-    "stat_corr_matrix",
-    "pipeline_length_buckets",
-    "dedup_normalized_keeper",
-    "mart_incremental_refresh",
-    "dq_key_skew_profile",
-    "text_pmi_collocations",
-    "sql_window_top_suppliers",
+ROUND6_NEW: list[str] = []
+
+RECONFIRM_STALE = [
+    # newly oracle-backed — needs its first hash-verified driver row
     "graph_pagerank",
-    "ts_ohlc_hourly",
-    "ga3_grouping_sets_margins",
-    "churn_activity_flags",
-    "sim_pq_topk",
-]
-
-ROUND4_NEW = [
-    "ts_gapfill_locf",
-    "w10_ewma_monthly_revenue",
-    "rfm_customer_segments",
-    "text_tfidf_top_terms",
-    "pipeline_per_group_sample",
-]
-
-# r1-only driver evidence (computed from CORRECTNESS_r01..r04): rotate
-# through the window for re-confirmation against the r4+ testdata.
-RECONFIRM_R1 = [
-    "o6_seeded_sample", "ga1_rollup_region_nation", "w7_ntile_quartiles",
-    "f1_date_parts", "f2_string_funcs", "p1_pivot_event_counts",
-    "p2_unpivot_charges", "mart_customer_profile",
-    "mart_nation_customer_index", "a2_supplier_metrics", "a3_year_trend",
-    "a5_top_supplier", "a8_word_count_stats", "a9_month_distribution",
-    "a10_retailprice_histogram", "a11_size_histogram",
-    "a12_brand_type_revenue", "a13_global_totals", "a14_year_avg_price",
-    "a17_percentiles", "a17b_approx_aggregates",
-    "sql_supplier_distribution", "sql_json_props_stats",
-    "sql_from_json_struct", "w2_top_customers_per_nation",
-    "w3_moving_avg_events", "w4_daily_event_rollup",
-    "w5_value_delta_per_user", "w6_customer_rank_in_segment",
+    # tpch2 family (latest green r1-r3)
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q10_returned_revenue",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cardinality",
+    "tpch_q17_small_quantity", "tpch_q18_large_volume",
+    "tpch_q19_disjunctive", "tpch_q21_sole_returned",
+    "tpch_q22_dormant_rich",
+    # text family
+    "text_stats", "text_langid", "text_quality", "text_fingerprint",
+    "text_bigram_topk", "text_lang_rollup", "text_regex_token_stats",
+    # join/set family
     "j2_customers_with_orders", "j3_customers_without_orders",
     "j4_customer_order_counts", "j5_nations_with_both",
     "j6_nations_customers_only", "j7_union_acctbal_ledger",
     "j8_brand_supplier_revenue",
+    # window family
+    "w2_top_customers_per_nation", "w3_moving_avg_events",
+    "w4_daily_event_rollup", "w5_value_delta_per_user",
+    "w6_customer_rank_in_segment",
+    # dedup exact/jaccard tier
+    "dedup_exact_keeper", "dedup_exact_md5",
+    "dedup_ngram_jaccard_pairs", "dedup_shingle_docfreq_hist",
+    "dedup_cluster_assign",
+    # similarity exact tier
+    "sim_cosine_topk", "sim_cosine_dup_pairs",
+    # temporal / session / marts / pipeline / multimodal
+    "asof_purchase_click", "interval_error_click_burst",
+    "rollup_event_time_grain", "sess2_session_window",
+    "mart_nation_customer_map", "mm_payload_meta",
+    "pipeline_clean_corpus",
+    # moment/profile stats (well covered by goldens — safe overflow)
+    "sim_knn_top1", "sim_label_centroid_norms", "p4_user_value_mad",
+    "p5_lineitem_profile", "p6_statistical_moments",
+    # stale rows-only tier (weakest evidence value — rotates last)
+    "dedup_minhash_lsh_pairs", "dedup_simhash_signatures",
+    "sim_ann_lsh_topk", "sim_ivf_topk", "sketch_users_per_type",
+    "sketch_daily_merge_total", "mm_resize", "mm_frame_sample",
 ]
 
 CONTROLS = [
@@ -122,7 +118,7 @@ CONTROLS = [
     "ga2_cube_segment_priority", "p3_latest_event_per_user",
 ]
 
-PRIORITY = ROUND5_NEW + ROUND4_NEW + RECONFIRM_R1 + CONTROLS
+PRIORITY = ROUND6_NEW + RECONFIRM_STALE + CONTROLS
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

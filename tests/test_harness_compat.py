@@ -85,6 +85,73 @@ def test_every_query_has_driver_evidence_or_is_queued():
     )
 
 
+#: CONTENT fingerprint (bench.py::_testdata_fingerprint over sf0.1)
+#: of the testdata in effect since the round-4 regeneration (verified
+#: byte-identical through round 6 — the r5→r6 re-copy changed only
+#: mtimes).  BENCH_r04/r05 predate the content-based fingerprint
+#: field, so rounds >= 4 are grandfathered as fresh while this hash
+#: is live; any LATER regeneration changes the live hash and is
+#: caught by the BENCH-recorded fingerprints alone (r6+ record the
+#: content-based form).
+_R4_FINGERPRINT = "f72cd7e8cc17ee9c"
+_R4_FIRST_FRESH_ROUND = 4
+
+
+def test_stale_evidence_queries_are_queued():
+    """Staleness guard (r5 verdict item 5): an oracle-backed query
+    whose newest hash-verified driver row predates the current
+    testdata fingerprint must sit in the PRIORITY window or the
+    declared RECONFIRM_STALE rotation queue — otherwise its green is
+    evidence about data that no longer exists and nobody is scheduled
+    to re-confirm it.  Round 4 stalled exactly this way; round 5 made
+    same-round registration structural, this makes re-rotation
+    structural too."""
+    import glob
+    import json
+    import os
+    import re
+    import sys
+
+    from bigdata_gamedb_etl_spark.registry import PRIORITY, RECONFIRM_STALE
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, root)
+    from bench import _testdata_fingerprint
+
+    live = _testdata_fingerprint("/root/testdata/sf0.1")["hash"]
+
+    fresh_rounds: set[int] = set()
+    for f in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        rnd = int(re.search(r"BENCH_r(\d+)", f).group(1))
+        d = json.load(open(f))
+        recorded = (d.get("parsed") or {}).get("testdata", {}).get("hash")
+        if recorded == live:
+            fresh_rounds.add(rnd)
+        if live == _R4_FINGERPRINT and rnd >= _R4_FIRST_FRESH_ROUND:
+            fresh_rounds.add(rnd)
+
+    latest_green: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)", f).group(1))
+        for name, row in json.load(open(f)).items():
+            if row.get("hash_match") is True:
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+
+    stale = [
+        name
+        for name in sorted(ORACLE)
+        if latest_green.get(name, 0) not in fresh_rounds
+    ]
+    queued = set(PRIORITY[:50]) | set(RECONFIRM_STALE)
+    unqueued = [n for n in stale if n not in queued]
+    assert not unqueued, (
+        f"oracle-backed queries whose driver evidence predates the "
+        f"current testdata (fingerprint {live}) and that are not queued "
+        f"for rotation: {unqueued} — append them to RECONFIRM_STALE in "
+        "registry.py (the window takes the head automatically)"
+    )
+
+
 def test_readme_counts_match_registry():
     """README's 'N named queries (M oracle-backed)' claim is asserted
     against the registry so the docs can't drift from the gate again."""
