@@ -1,10 +1,14 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
-The container has no image/audio codecs, so the decode step is stubbed
-(`decode_image` raises NotImplementedError; `fake_decode_features` is
-the deterministic stand-in) — but the Spark-side plumbing is real:
-binary payload column, typed metadata, Arrow-batched `mapInPandas`
-feature extraction with an explicit output schema, partition-preserving.
+The decode tier is REAL for the codec-free formats a pure-Python
+parser can handle — binary PPM (P6) and uncompressed 24/32-bit BMP —
+and falls back to the deterministic stand-in (`fake_decode_features`)
+for anything else: the container has no JPEG/PNG/audio codecs, so
+those formats keep a clearly-marked NotImplementedError inside
+`decode_image` (swap in PIL/opencv in a full deployment).  Either
+way the Spark-side plumbing is identical and real: binary payload
+column, typed metadata, Arrow-batched `mapInPandas` feature
+extraction with an explicit output schema, partition-preserving.
 
 At 100 TB: payloads stay in executor memory as Arrow batches; the UDF
 processes `spark.sql.execution.arrow.maxRecordsPerBatch` rows per
@@ -14,6 +18,7 @@ batch, and nothing is ever collected to the driver.
 from __future__ import annotations
 
 import hashlib
+import struct
 import sys
 from collections.abc import Iterator
 
@@ -58,11 +63,103 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _channel_features(
+    rsum: int, gsum: int, bsum: int, n: int
+) -> list[float]:
+    """FEATURE_DIM pixel statistics from exact integer channel sums:
+    mean R/G/B (0-1) and Rec.601 mean luminance — integer sums make the
+    result independent of pixel iteration order."""
+    mr, mg, mb = rsum / n / 255.0, gsum / n / 255.0, bsum / n / 255.0
+    luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+    return [round(v, 6) for v in (mr, mg, mb, luma)]
+
+
+def _ppm_decode(data: bytes) -> tuple[int, int, list[float]]:
+    """Binary PPM (P6, maxval 255): header tokens separated by
+    whitespace with '#' comments, then packed RGB triplets."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            if data[pos : pos + 1].isspace():
+                pos += 1
+            elif data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        return data[start:pos]
+
+    magic = token()
+    if magic != b"P6":
+        raise NotImplementedError(f"PPM variant {magic!r} unsupported (P6 only)")
+    width, height, maxval = int(token()), int(token()), int(token())
+    if maxval != 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    n = width * height
+    px = data[pos : pos + 3 * n]
+    if len(px) < 3 * n:
+        raise ValueError("truncated PPM raster")
+    return width, height, _channel_features(
+        sum(px[0::3]), sum(px[1::3]), sum(px[2::3]), n
+    )
+
+
+def _bmp_decode(data: bytes) -> tuple[int, int, list[float]]:
+    """Uncompressed (BI_RGB) 24/32-bit BMP with a BITMAPINFOHEADER;
+    rows are bottom-up (or top-down when height < 0) and padded to
+    4-byte strides — irrelevant to channel means, so rows are summed
+    in storage order."""
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", data, 10)[0]
+    width = struct.unpack_from("<i", data, 18)[0]
+    height = abs(struct.unpack_from("<i", data, 22)[0])
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression={comp} bpp={bpp} unsupported (BI_RGB 24/32 only)"
+        )
+    # sanity-bound BEFORE looping: a text payload that merely starts
+    # with 'BM' yields garbage dims, and an unchecked height would
+    # spin a ~2^31 row loop instead of falling back to the stub
+    if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
+        raise ValueError(f"implausible BMP dims {width}x{height}")
+    bytespp = bpp // 8
+    stride = (width * bytespp + 3) // 4 * 4
+    if off + stride * height > len(data) + 3:  # final row may skip padding
+        raise ValueError("BMP raster exceeds payload")
+    rsum = gsum = bsum = 0
+    for row in range(height):
+        base = off + row * stride
+        rowdata = data[base : base + width * bytespp]
+        if len(rowdata) < width * bytespp:
+            raise ValueError("truncated BMP raster")
+        # BGR(A) storage order
+        bsum += sum(rowdata[0::bytespp])
+        gsum += sum(rowdata[1::bytespp])
+        rsum += sum(rowdata[2::bytespp])
+    return width, height, _channel_features(rsum, gsum, bsum, width * height)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decode path — requires an image codec not present in this
-    container.  Swap in PIL/opencv in a full deployment."""
+    """Real decode path for codec-free formats (pure Python, no deps):
+    binary PPM (P6) and uncompressed BMP.  Codec formats (JPEG/PNG/…)
+    raise NotImplementedError — this container has no image codecs;
+    swap in PIL/opencv in a full deployment."""
+    if payload[:2] == b"P6":
+        return _ppm_decode(payload)
+    if payload[:2] == b"BM":
+        return _bmp_decode(payload)
     raise NotImplementedError(
-        "image codecs unavailable in this environment; use fake_decode_features"
+        "codec image formats unavailable in this environment "
+        "(PPM/BMP decode natively; use fake_decode_features otherwise)"
     )
 
 
@@ -83,7 +180,15 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = bytes(payload)
-            width, height, feats = fake_decode_features(raw)
+            # real decode for codec-free formats (PPM/BMP), the
+            # deterministic stand-in for everything else — the corpus
+            # payloads here are text blobs, so they take the fallback,
+            # while fixture images exercise the real tier end-to-end
+            # (tests/test_llm_pipeline.py)
+            try:
+                width, height, feats = decode_image(raw)
+            except (NotImplementedError, ValueError):
+                width, height, feats = fake_decode_features(raw)
             rows.append((doc_id, len(raw), width, height, feats))
         yield pd.DataFrame(
             rows, columns=["doc_id", "payload_bytes", "width", "height", "features"]

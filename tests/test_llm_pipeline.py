@@ -229,3 +229,98 @@ def test_pq_recall_vs_exact(spark, sf):
     if sf.endswith("0.001"):  # determinism probe once, at the cheap SF
         pq2 = [r["vec_id"] for r in similarity.sim_pq_topk(spark, sf).collect()]
         assert pq1 == pq2, "PQ ranking is not deterministic"
+
+
+# --------------------------------------------------------------------------
+def _ppm_bytes(w, h, pixels):
+    header = b"P6\n# fixture comment\n" + f"{w} {h}\n255\n".encode()
+    return header + bytes(v for p in pixels for v in p)
+
+
+def _bmp_bytes(w, h, pixels, bpp=24, top_down=False):
+    import struct
+
+    bytespp = bpp // 8
+    stride = (w * bytespp + 3) // 4 * 4
+    rows = [pixels[r * w : (r + 1) * w] for r in range(h)]
+    raster = bytearray()
+    for row in rows if top_down else rows[::-1]:
+        rb = bytearray()
+        for r, g, b in row:
+            rb += bytes([b, g, r] + ([0] if bytespp == 4 else []))
+        rb += b"\x00" * (stride - len(rb))
+        raster += rb
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        len(raster), 0, 0, 0, 0,
+    )
+    return hdr + info + bytes(raster)
+
+
+def _expected_features(pixels):
+    n = len(pixels)
+    mr = sum(p[0] for p in pixels) / n / 255.0
+    mg = sum(p[1] for p in pixels) / n / 255.0
+    mb = sum(p[2] for p in pixels) / n / 255.0
+    luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+    return [round(v, 6) for v in (mr, mg, mb, luma)]
+
+
+def test_real_decode_tier_ppm_bmp_end_to_end(spark):
+    """The decode tier is REAL for codec-free formats: PPM (P6) and
+    uncompressed 24/32-bit BMP fixtures flow through the exact
+    mapInPandas plumbing mm_feature_extract ships, producing true
+    pixel statistics (channel means + luminance); a non-image payload
+    takes the deterministic fallback.  BMP covers stride padding,
+    BGR(A) channel order, and top-down (negative height) layouts."""
+    from bigdata_gamedb_etl_spark.operators import multimodal
+
+    ppm_px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    bmp_px = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]  # 3x1: stride pads
+    bmp32_px = [(1, 2, 3), (4, 5, 6), (200, 100, 50), (0, 0, 255)]
+    payloads = [
+        (1, _ppm_bytes(2, 2, ppm_px)),
+        (2, _bmp_bytes(3, 1, bmp_px)),
+        (3, _bmp_bytes(2, 2, bmp32_px, bpp=32, top_down=True)),
+        (4, b"just a text payload, not an image"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(
+            multimodal._extract_batches, schema=multimodal.FEATURE_SCHEMA
+        ).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert out[1]["features"] == _expected_features(ppm_px)
+    assert (out[2]["width"], out[2]["height"]) == (3, 1)
+    assert out[2]["features"] == _expected_features(bmp_px)
+    assert (out[3]["width"], out[3]["height"]) == (2, 2)
+    assert out[3]["features"] == _expected_features(bmp32_px)
+    # non-image: deterministic stand-in, not a crash
+    w, h, feats = multimodal.fake_decode_features(payloads[3][1])
+    assert (out[4]["width"], out[4]["height"]) == (w, h)
+    assert out[4]["features"] == feats
+    assert out[4]["payload_bytes"] == len(payloads[3][1])
+
+
+def test_decode_image_rejects_codec_formats_and_garbage():
+    """NotImplementedError stays scoped to codec formats; payloads that
+    merely start with the magic bytes fall out as errors (and the
+    batch path converts them to the stub) instead of looping on
+    garbage dimensions."""
+    import pytest as _pytest
+
+    from bigdata_gamedb_etl_spark.operators import multimodal
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with _pytest.raises((ValueError, NotImplementedError)):
+        multimodal.decode_image(b"BM" + b"W cars are overrated " * 4)
+    with _pytest.raises((ValueError, NotImplementedError)):
+        multimodal.decode_image(b"P6 do not parse as ints")
+    # truncated real PPM header with huge claimed dims: no giant alloc,
+    # just a clean truncation error
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n30000 30000\n255\nabc")
