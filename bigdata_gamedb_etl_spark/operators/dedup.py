@@ -961,6 +961,142 @@ ORDER BY ex.doc_id
 
 
 # --------------------------------------------------------------------------
+# Per-domain contamination scorecard: the curation dashboard that joins
+# the repeated-shingle contamination signal with the quality-filter
+# signal at the SOURCE grain — the grain at which corpus decisions are
+# actually made (drop a crawl domain, down-weight a dump, keep a
+# curated source).  Fuses dedup_repeated_ngram_share's doc-frequency
+# machinery with text_quality's token heuristic (VERDICT r5 item 8).
+#
+# Determinism: every per-source metric derives from INTEGER sums
+# (shingle counts, repeated counts, doc counts) with one double
+# division floor-rounded at the end — never an average of per-doc
+# doubles, whose summation order differs across engines.  The grade
+# thresholds compare integers cross-multiplied (sum_rep*2 > sum_sh),
+# so no float enters the verdict.  Same xxhash64-vs-raw-shingle
+# collision bound as dedup_repeated_ngram_share (documented there).
+#
+# Scale: identical shape to repeated-share (explode → df hash-agg →
+# co-partitioned join → hash-agg) with the final agg on the tiny
+# source grain; the quality signal is a pure per-row map on the same
+# documents scan.  Nothing quadratic, no Window.
+def dq_contamination_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: docs, shingle volume, corpus-level repeated-shingle
+    share, docs over 50% repeated shingles, low-quality docs (token
+    count < 50), and a clean/watch/quarantine grade."""
+    from .textops import _TOKS
+
+    d = table(spark, sf_dir, "documents")
+    ex = _shingled(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    df = ex.groupBy("s").agg(F.count("*").alias("df"))
+    per_doc = (
+        ex.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("rep"),
+        )
+    )
+    toks = F.expr(f"size({_TOKS})")
+    base = d.select(
+        "doc_id", "source", (toks < 50).cast("long").alias("low_q")
+    )
+    agg = base.join(per_doc, "doc_id", "left").groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("n_sh", F.lit(0))).alias("sum_sh"),
+        F.sum(F.coalesce("rep", F.lit(0))).alias("sum_rep"),
+        F.sum(
+            F.when(
+                F.col("n_sh").isNotNull()
+                & (F.col("rep") * 2 >= F.col("n_sh")),
+                1,
+            ).otherwise(0)
+        ).alias("high_contam_docs"),
+        F.sum("low_q").alias("low_quality_docs"),
+    )
+    share = F.when(
+        F.col("sum_sh") > 0,
+        F.floor(
+            F.col("sum_rep") / F.col("sum_sh") * F.lit(10000.0) + F.lit(0.5)
+        )
+        / F.lit(10000.0),
+    )
+    grade = (
+        F.when(
+            (F.col("sum_rep") * 2 > F.col("sum_sh"))
+            | (F.col("low_quality_docs") * 2 > F.col("n_docs")),
+            "quarantine",
+        )
+        .when(F.col("sum_rep") * 5 > F.col("sum_sh"), "watch")
+        .otherwise("clean")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_sh",
+        share.alias("repeated_share"),
+        "high_contam_docs",
+        "low_quality_docs",
+        grade.alias("grade"),
+    ).orderBy("source")
+
+
+def _contamination_oracle() -> str:
+    from .textops import _TOKS_DUCK
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs FROM w
+),
+ex AS (
+  SELECT doc_id, UNNEST(shs) AS s FROM sh WHERE len(shs) > 0
+),
+dfq AS (
+  SELECT s, COUNT(*) AS df FROM ex GROUP BY s
+),
+per_doc AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n_sh,
+         SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS rep
+  FROM ex JOIN dfq ON ex.s = dfq.s
+  GROUP BY ex.doc_id
+),
+base AS (
+  SELECT doc_id, source,
+         CASE WHEN len({_TOKS_DUCK}) < 50 THEN 1 ELSE 0 END AS low_q
+  FROM documents
+)
+SELECT base.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(n_sh, 0)) AS BIGINT) AS sum_sh,
+       CASE WHEN SUM(COALESCE(n_sh, 0)) > 0
+            THEN floor(SUM(COALESCE(rep, 0)) / SUM(COALESCE(n_sh, 0))
+                       * 10000.0 + 0.5) / 10000.0
+       END AS repeated_share,
+       CAST(SUM(CASE WHEN n_sh IS NOT NULL AND rep * 2 >= n_sh
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_contam_docs,
+       CAST(SUM(low_q) AS BIGINT) AS low_quality_docs,
+       CASE WHEN SUM(COALESCE(rep, 0)) * 2 > SUM(COALESCE(n_sh, 0))
+              OR SUM(low_q) * 2 > COUNT(*) THEN 'quarantine'
+            WHEN SUM(COALESCE(rep, 0)) * 5 > SUM(COALESCE(n_sh, 0))
+              THEN 'watch'
+            ELSE 'clean' END AS grade
+FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id
+GROUP BY base.source
+ORDER BY base.source
+"""
+
+
+DQ_CONTAMINATION_ORACLE = _contamination_oracle()
+
+
+# --------------------------------------------------------------------------
 # Normalization-aware exact dedup: two documents differing only in
 # case, punctuation, or whitespace runs are the same training example.
 # Normalize (lower → strip non-alphanumerics → collapse spaces → trim)
@@ -1027,6 +1163,7 @@ QUERIES = {
     "dedup_editdist_names": dedup_editdist_names,
     "dedup_repeated_ngram_share": dedup_repeated_ngram_share,
     "dedup_normalized_keeper": dedup_normalized_keeper,
+    "dq_contamination_scorecard": dq_contamination_scorecard,
 }
 
 ORACLE = {
@@ -1041,5 +1178,6 @@ ORACLE = {
     "dedup_editdist_names": DEDUP_EDITDIST_ORACLE,
     "dedup_repeated_ngram_share": DEDUP_REPEATED_ORACLE,
     "dedup_normalized_keeper": DEDUP_NORMALIZED_ORACLE,
+    "dq_contamination_scorecard": DQ_CONTAMINATION_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }

@@ -1036,6 +1036,89 @@ DQ_SKEW_ORACLE = _skew_oracle()
 
 
 # --------------------------------------------------------------------------
+# DQ quarantine mart: every data-quality signal the engine computes —
+# feed freshness, join-key skew, referential integrity — unioned into
+# ONE flat incident table (VERDICT r5 item 8), the single place an
+# on-call pipeline operator looks.  One row per monitored entity with
+# its headline metric and an ok/warn/critical status, so the table is
+# also a scorecard (an incidents-only table would be empty on healthy
+# data and prove nothing).
+#
+# Implementation reuses the three DQ queries verbatim (Spark: the
+# DataFrames themselves; oracle: their SQL as CTEs), so the mart can
+# never drift from the signals it summarizes.  Status thresholds
+# compare the already-deterministic rounded metrics, so the verdict is
+# engine-stable.  Scale: the union of three bounded-grain aggregates —
+# each input query is individually plan-audited (single scans,
+# TakeOrdered top-k, no global sorts); the mart adds zero shuffles on
+# top.
+def dq_quarantine_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per DQ-monitored entity: signal family, entity, headline
+    metric name/value, and ok/warn/critical status."""
+    fresh = dq_freshness_lag(spark, sf_dir).select(
+        F.lit("freshness").alias("signal"),
+        F.col("event_type").alias("entity"),
+        F.lit("staleness_hours").alias("metric"),
+        F.col("staleness_hours").alias("metric_value"),
+        F.when(F.col("staleness_hours") > 48.0, "critical")
+        .when(F.col("staleness_hours") > 12.0, "warn")
+        .otherwise("ok")
+        .alias("status"),
+    )
+    skew = dq_key_skew_profile(spark, sf_dir).select(
+        F.lit("key_skew").alias("signal"),
+        F.col("join_key").alias("entity"),
+        F.lit("top10_pct").alias("metric"),
+        F.col("top10_pct").alias("metric_value"),
+        F.when(F.col("top10_pct") > 50.0, "critical")
+        .when(F.col("top10_pct") > 20.0, "warn")
+        .otherwise("ok")
+        .alias("status"),
+    )
+    ri = dq_referential_integrity(spark, sf_dir).select(
+        F.lit("referential").alias("signal"),
+        F.col("relationship").alias("entity"),
+        F.lit("orphan_pct").alias("metric"),
+        F.col("orphan_pct").alias("metric_value"),
+        F.when(F.col("orphan_pct") > 1.0, "critical")
+        .when(F.col("orphan_rows") > 0, "warn")
+        .otherwise("ok")
+        .alias("status"),
+    )
+    return (
+        fresh.unionByName(skew).unionByName(ri).orderBy("signal", "entity")
+    )
+
+
+DQ_QUARANTINE_ORACLE = f"""
+WITH fresh AS ({DQ_FRESHNESS_ORACLE}),
+skew AS ({DQ_SKEW_ORACLE}),
+ri AS ({DQ_REFERENTIAL_ORACLE})
+SELECT * FROM (
+  SELECT 'freshness' AS signal, event_type AS entity,
+         'staleness_hours' AS metric, staleness_hours AS metric_value,
+         CASE WHEN staleness_hours > 48.0 THEN 'critical'
+              WHEN staleness_hours > 12.0 THEN 'warn'
+              ELSE 'ok' END AS status
+  FROM fresh
+  UNION ALL
+  SELECT 'key_skew', join_key, 'top10_pct', top10_pct,
+         CASE WHEN top10_pct > 50.0 THEN 'critical'
+              WHEN top10_pct > 20.0 THEN 'warn'
+              ELSE 'ok' END
+  FROM skew
+  UNION ALL
+  SELECT 'referential', relationship, 'orphan_pct', orphan_pct,
+         CASE WHEN orphan_pct > 1.0 THEN 'critical'
+              WHEN orphan_rows > 0 THEN 'warn'
+              ELSE 'ok' END
+  FROM ri
+)
+ORDER BY signal, entity
+"""
+
+
+# --------------------------------------------------------------------------
 # Pairwise Pearson correlation matrix over the lineitem numeric
 # columns — the feature-screening pass every modeling pipeline runs
 # before training.  ONE full-scan aggregate produces every moment
@@ -1162,6 +1245,7 @@ QUERIES = {
     "p7_winsorized_value": p7_winsorized_value,
     "stat_corr_matrix": stat_corr_matrix,
     "dq_key_skew_profile": dq_key_skew_profile,
+    "dq_quarantine_mart": dq_quarantine_mart,
     "ga3_grouping_sets_margins": ga3_grouping_sets_margins,
 }
 
@@ -1187,5 +1271,6 @@ ORACLE = {
     "p7_winsorized_value": P7_ORACLE,
     "stat_corr_matrix": STAT_CORR_ORACLE,
     "dq_key_skew_profile": DQ_SKEW_ORACLE,
+    "dq_quarantine_mart": DQ_QUARANTINE_ORACLE,
     "ga3_grouping_sets_margins": GA3_ORACLE,
 }

@@ -671,7 +671,76 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Two-signal near-dup verdict: LEXICAL (word-3-gram Jaccard over
+# documents.text) fused with SEMANTIC (embedding cosine) similarity —
+# the cross-check large-corpus dedup pipelines run before dropping a
+# pair, because each signal alone has a known blind spot (Jaccard
+# misses paraphrases, cosine misses entity swaps in boilerplate).
+# Pairs are classified 'both' / 'lexical_only' / 'semantic_only'; a
+# curation policy typically auto-drops 'both' and queues the
+# single-signal tiers for review.
+#
+# This is the EXACT tier of both signals (each already oracle-green on
+# its own), so the fusion itself is oracle-checked; at 100 TB each
+# side swaps in its sublinear candidate generator (MinHash-LSH for
+# Jaccard, hyperplane-LSH/IVF for cosine — both implemented above /
+# in dedup.py) and the fusion join is unchanged.  The join keys on
+# (d1, d2) pair ids — both sides are sub-quadratic, DF-capped pair
+# sets, so the full-outer join is linear in the pair count.  The
+# embedding table indexes vectors by vec_id == doc_id (TESTDATA.md).
+def dedup_semantic_fused_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with both similarity signals side by side:
+    d1, d2, jaccard (null when below lexical threshold), cosine (null
+    when below semantic threshold), and the fused verdict."""
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    lex = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    sem = sim_cosine_dup_pairs(spark, sf_dir).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2"), "cosine"
+    )
+    return (
+        lex.join(sem, ["d1", "d2"], "full_outer")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            "cosine",
+            F.when(
+                F.col("jaccard").isNotNull() & F.col("cosine").isNotNull(),
+                "both",
+            )
+            .when(F.col("jaccard").isNotNull(), "lexical_only")
+            .otherwise("semantic_only")
+            .alias("verdict"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def _fused_oracle() -> str:
+    from .dedup import DEDUP_JACCARD_ORACLE
+
+    return f"""
+WITH lex AS ({DEDUP_JACCARD_ORACLE}),
+sem AS ({SIM_DUP_ORACLE})
+SELECT COALESCE(l.d1, s.v1) AS d1,
+       COALESCE(l.d2, s.v2) AS d2,
+       l.jaccard,
+       s.cosine,
+       CASE WHEN l.d1 IS NOT NULL AND s.v1 IS NOT NULL THEN 'both'
+            WHEN l.d1 IS NOT NULL THEN 'lexical_only'
+            ELSE 'semantic_only' END AS verdict
+FROM lex l FULL OUTER JOIN sem s ON l.d1 = s.v1 AND l.d2 = s.v2
+ORDER BY d1, d2
+"""
+
+
+SIM_FUSED_ORACLE = _fused_oracle()
+
+
 QUERIES = {
+    "dedup_semantic_fused_pairs": dedup_semantic_fused_pairs,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -683,6 +752,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_semantic_fused_pairs": SIM_FUSED_ORACLE,
     "sim_cosine_topk": SIM_TOPK_ORACLE,
     "sim_label_centroid_norms": SIM_CENTROID_ORACLE,
     "sim_knn_top1": SIM_KNN_ORACLE,

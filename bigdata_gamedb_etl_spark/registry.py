@@ -64,7 +64,11 @@ MODULES = [
 # New queries are appended to ROUND6_NEW in the same commit that
 # registers them (enforced by
 # test_every_query_has_driver_evidence_or_is_queued).
-ROUND6_NEW: list[str] = []
+ROUND6_NEW: list[str] = [
+    "dedup_semantic_fused_pairs",
+    "dq_contamination_scorecard",
+    "dq_quarantine_mart",
+]
 
 RECONFIRM_STALE = [
     # newly oracle-backed — needs its first hash-verified driver row

@@ -369,3 +369,50 @@ def test_pmi_reuses_token_exchange(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_fused_pairs_join_is_equi_on_pair_key(spark, sf_dir):
+    """Fusing lexical+semantic pair sets must be an equi-join on the
+    (d1, d2) pair id — a cartesian/BNLJ of the two pair tables would be
+    quadratic in pair count at corpus scale.  (The GEMM block-pair
+    cross join inside the semantic side is count-bounded by design and
+    lives below a mapInPandas, so we assert on the fused join only:
+    the top-level SortMergeJoin/ShuffledHashJoin carries both keys.)"""
+    from bigdata_gamedb_etl_spark.operators import similarity as sim
+
+    plan = plans.physical(sim.dedup_semantic_fused_pairs(spark, sf_dir))
+    assert "FullOuter" in plan.replace(" ", "") or "full_outer" in plan.lower()
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
+        and "FullOuter" in ln
+    ]
+    assert join_lines, "fused join is not a shuffled equi-join"
+    assert all("d1" in ln and "d2" in ln for ln in join_lines)
+
+
+def test_contamination_scorecard_no_window_no_pair_explosion(spark, sf_dir):
+    """The per-source scorecard inherits repeated-share's linearity:
+    hashed-long shingle keys, equi-joins only, and the final agg on the
+    tiny source grain — no Window anywhere (per-source ratios come from
+    integer sums, not per-doc double averages)."""
+    from bigdata_gamedb_etl_spark.operators import dedup as dd
+
+    plan = plans.physical(dd.dq_contamination_scorecard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "xxhash64" in plan
+
+
+def test_quarantine_mart_adds_no_window_over_signals(spark, sf_dir):
+    """The mart is a union of the three audited DQ aggregates plus
+    per-row status CASEs: no Window, no cartesian, and the skew leg's
+    TakeOrderedAndProject survives the union."""
+    from bigdata_gamedb_etl_spark.operators import extended as ex
+
+    plan = plans.physical(ex.dq_quarantine_mart(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
