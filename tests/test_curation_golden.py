@@ -1,0 +1,153 @@
+"""Golden micro-fixtures for the round-6 curation operators —
+hand-computed expectations on crafted documents/embeddings.  The
+DuckDB oracles prove Spark and DuckDB agree; these prove they agree on
+the RIGHT answer (a shared misreading of the semantics would pass
+parity and fail here).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_gamedb_etl_spark.operators.dedup import dq_contamination_scorecard
+from bigdata_gamedb_etl_spark.operators.similarity import (
+    dedup_semantic_fused_pairs,
+)
+from bigdata_gamedb_etl_spark.sources.catalog import TABLE_SCHEMAS
+
+
+def _doc(doc_id, text, source="src"):
+    return (doc_id, text, "en", source, len(text))
+
+
+# --- fused near-dup fixture ----------------------------------------------
+# (1,2): near-identical texts (Jaccard 5/7), orthogonal embeddings
+#        -> lexical_only
+# (3,4): disjoint texts, identical embeddings (cosine 1)
+#        -> semantic_only
+# (5,6): near-identical texts (Jaccard 4/6) AND identical embeddings
+#        -> both
+FUSED_DOCS = [
+    _doc(1, "a b c d e f g h"),
+    _doc(2, "a b c d e f g x"),
+    _doc(3, "p q r s t u"),
+    _doc(4, "z y x w v u"),
+    _doc(5, "m n o p q r s"),
+    _doc(6, "m n o p q r t"),
+]
+FUSED_EMB = [
+    (1, [1.0, 0.0, 0.0, 0.0], 0),
+    (2, [0.0, 1.0, 0.0, 0.0], 0),
+    (3, [0.0, 0.0, 1.0, 0.0], 1),
+    (4, [0.0, 0.0, 1.0, 0.0], 1),
+    (5, [0.0, 0.0, 0.0, 1.0], 2),
+    (6, [0.0, 0.0, 0.0, 1.0], 2),
+]
+
+
+@pytest.fixture(scope="module")
+def fused_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden_fused")
+    spark.createDataFrame(FUSED_DOCS, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(FUSED_EMB, TABLE_SCHEMAS["embeddings"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_fused_pairs_golden(spark, fused_dir):
+    rows = {
+        (r["d1"], r["d2"]): r
+        for r in dedup_semantic_fused_pairs(spark, fused_dir).collect()
+    }
+    assert set(rows) == {(1, 2), (3, 4), (5, 6)}
+    assert rows[(1, 2)]["verdict"] == "lexical_only"
+    assert rows[(1, 2)]["jaccard"] == round(5 / 7, 4)
+    assert rows[(1, 2)]["cosine"] is None
+    assert rows[(3, 4)]["verdict"] == "semantic_only"
+    assert rows[(3, 4)]["jaccard"] is None
+    assert rows[(3, 4)]["cosine"] == 1.0
+    assert rows[(5, 6)]["verdict"] == "both"
+    assert rows[(5, 6)]["jaccard"] == round(4 / 6, 4)
+    assert rows[(5, 6)]["cosine"] == 1.0
+
+
+# --- contamination scorecard fixture -------------------------------------
+# srcA: two IDENTICAL 60-token docs -> every shingle repeated -> share
+#       1.0, both docs over the 50%% per-doc bar -> quarantine
+# srcB: two fully disjoint 60-token docs -> share 0 -> clean
+# srcC: 60-token docs sharing a 20-token run -> 18 repeated shingles of
+#       58 per doc (36/116 = 31%%) -> watch
+# srcD: two 10-token docs (token_count < 50 -> low quality) -> majority
+#       low-quality -> quarantine even with zero repetition
+def _tokens(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+CONTAM_DOCS = [
+    _doc(10, _tokens("a", 60), "srcA"),
+    _doc(11, _tokens("a", 60), "srcA"),
+    _doc(12, _tokens("b", 60), "srcB"),
+    _doc(13, _tokens("c", 60), "srcB"),
+    _doc(14, _tokens("d", 20) + " " + _tokens("s", 20) + " " + _tokens("e", 20), "srcC"),
+    _doc(15, _tokens("f", 20) + " " + _tokens("s", 20) + " " + _tokens("g", 20), "srcC"),
+    _doc(16, _tokens("x", 10), "srcD"),
+    _doc(17, _tokens("y", 10), "srcD"),
+]
+
+
+@pytest.fixture(scope="module")
+def contam_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden_contam")
+    spark.createDataFrame(CONTAM_DOCS, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_contamination_scorecard_golden(spark, contam_dir):
+    rows = {
+        r["source"]: r
+        for r in dq_contamination_scorecard(spark, contam_dir).collect()
+    }
+    assert set(rows) == {"srcA", "srcB", "srcC", "srcD"}
+    a = rows["srcA"]
+    assert (a["n_docs"], a["sum_sh"]) == (2, 116)
+    assert a["repeated_share"] == 1.0
+    assert a["high_contam_docs"] == 2
+    assert a["low_quality_docs"] == 0
+    assert a["grade"] == "quarantine"
+    b = rows["srcB"]
+    assert b["repeated_share"] == 0.0
+    assert b["grade"] == "clean"
+    c = rows["srcC"]
+    assert c["sum_sh"] == 116
+    # 18 interior shingles of the shared 20-token run repeat per doc
+    assert c["repeated_share"] == 0.3103
+    assert c["high_contam_docs"] == 0
+    assert c["grade"] == "watch"
+    dd = rows["srcD"]
+    assert (dd["n_docs"], dd["sum_sh"]) == (2, 16)
+    assert dd["low_quality_docs"] == 2
+    assert dd["grade"] == "quarantine"
+
+
+# --- quarantine mart sanity ----------------------------------------------
+def test_quarantine_mart_shape(spark, sf_dir):
+    """13 monitored entities (5 event types, 4 join keys, 4 FK edges)
+    with valid statuses, and the referential legs all ok on the
+    generated star schema (it has no orphans by construction)."""
+    from bigdata_gamedb_etl_spark.operators.extended import dq_quarantine_mart
+
+    rows = dq_quarantine_mart(spark, sf_dir).collect()
+    by_signal: dict[str, list] = {}
+    for r in rows:
+        by_signal.setdefault(r["signal"], []).append(r)
+    assert set(by_signal) == {"freshness", "key_skew", "referential"}
+    assert len(by_signal["key_skew"]) == 4
+    assert len(by_signal["referential"]) == 4
+    assert all(r["status"] in ("ok", "warn", "critical") for r in rows)
+    assert all(r["status"] == "ok" for r in by_signal["referential"])
+    assert all(r["metric_value"] is not None for r in rows)
