@@ -67,6 +67,14 @@ EXTRAS = [
     "dq_key_skew_profile",
     "ts_ohlc_hourly",
     "attribution_last_touch",
+    # round-6 heavies: two-signal pair fusion (jaccard + GEMM), the
+    # source-grain contamination join, the 3-signal DQ union, the
+    # materialize-once wedge join, and fixed-point PageRank
+    "dedup_semantic_fused_pairs",
+    "dq_contamination_scorecard",
+    "dq_quarantine_mart",
+    "graph_2hop_reach",
+    "graph_pagerank",
 ]
 
 HEADLINE = SHARED12 + EXTRAS

@@ -189,6 +189,34 @@ def ohlc_hourly_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def freshness_monitor_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators.extended.dq_freshness_lag: per
+    event_type, watermarked hourly windows carrying the row count and
+    the latest event time seen in the window.  A live monitoring job
+    consumes the update stream and derives staleness as
+    (trigger clock − max windowed latest_us) per type — the same
+    arithmetic the batch audit performs against the corpus max; the
+    batch-twin test folds the windows back to per-type totals and
+    matches them against the batch scan exactly.
+
+    Scale: state is |event_types| × |open windows| rows — bounded by
+    the 1-hour watermark regardless of input rate."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.unix_micros("ts")).alias("latest_us"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "latest_us",
+        )
+    )
+
+
 def _running_totals(
     key: tuple, batches: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:

@@ -424,3 +424,50 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, events_dir):
         for r in ts_ohlc_hourly(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_freshness_monitor_matches_batch(spark, sf_dir, events_dir):
+    """Folding the hourly freshness windows back to per-type totals
+    must reproduce the batch dq_freshness_lag inputs exactly: same
+    per-type row counts and same latest event time (so the derived
+    staleness is identical)."""
+    from bigdata_gamedb_etl_spark.operators.extended import dq_freshness_lag
+
+    events = streaming.read_events_stream(spark, events_dir)
+    monitor = streaming.freshness_monitor_stream(events)
+    streaming.run_stream_to_memory(monitor, "freshness_t", "complete")
+
+    folded = {
+        r["event_type"]: (r["n"], r["latest"])
+        for r in spark.table("freshness_t")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.max("latest_us").alias("latest"),
+        )
+        .collect()
+    }
+    batch = {
+        r["event_type"]: (r["n_events"], r["latest_us"])
+        for r in (
+            table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.max(F.unix_micros("ts")).alias("latest_us"),
+            )
+            .collect()
+        )
+    }
+    assert folded == batch
+    # and the derived per-type staleness matches the registered audit
+    global_us = max(v[1] for v in batch.values())
+    derived = {
+        t: round((global_us - v[1]) / 3_600_000_000.0, 4)
+        for t, v in folded.items()
+    }
+    audit = {
+        r["event_type"]: r["staleness_hours"]
+        for r in dq_freshness_lag(spark, sf_dir).collect()
+    }
+    assert derived == audit
