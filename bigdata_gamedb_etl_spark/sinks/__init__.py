@@ -1,0 +1,7 @@
+from .figures import (  # noqa: F401
+    render_bar_chart,
+    save_bar_chart_png,
+    save_panel_grid_png,
+    save_reference_figures,
+    write_png,
+)
