@@ -23,6 +23,9 @@ FIXED_ROWS = {
     "dq_key_skew_profile": 4,
     # one row per column pair (null corr on empty input)
     "stat_corr_matrix": 6,
+    # 4 skew keys + 4 FK edges keep their rows; the freshness legs are
+    # per-OBSERVED event type, so they vanish with the data
+    "dq_quarantine_mart": 8,
 }
 
 
