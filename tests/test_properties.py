@@ -219,3 +219,71 @@ def test_shingles_cross_engine(spark, duck, text):
     # is exactly: same distinct shingle SET, same cardinality.
     assert len(got_spark) == len(got_duck)
     assert set(got_spark) == set(got_duck)
+
+
+# --------------------------------------------------------------------------
+# Pure-Python image decoders: property round-trip against an
+# independent reference.  Encode arbitrary small RGB images to PPM and
+# BMP bytes here (independent encoders), decode with the engine's
+# parsers, and compare dims + channel statistics computed directly
+# from the pixel list.  No Spark needed — the parsers are plain
+# functions; their Arrow plumbing is covered in test_llm_pipeline.
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+    bpp=st.sampled_from([24, 32]),
+    top_down=st.booleans(),
+)
+def test_image_decoders_roundtrip_property(w, h, data, bpp, top_down):
+    import struct as _struct
+
+    from bigdata_gamedb_etl_spark.operators import multimodal as mm
+
+    px = [
+        tuple(
+            data.draw(st.integers(min_value=0, max_value=255))
+            for _ in range(3)
+        )
+        for _ in range(w * h)
+    ]
+    n = w * h
+    want = [
+        round(sum(p[c] for p in px) / n / 255.0, 6) for c in range(3)
+    ]
+    want.append(
+        round(0.299 * (sum(p[0] for p in px) / n / 255.0)
+              + 0.587 * (sum(p[1] for p in px) / n / 255.0)
+              + 0.114 * (sum(p[2] for p in px) / n / 255.0), 6)
+    )
+
+    ppm = (f"P6\n# c\n{w} {h}\n255\n").encode() + bytes(
+        v for p in px for v in p
+    )
+    got_w, got_h, feats = mm.decode_image(ppm)
+    assert (got_w, got_h) == (w, h)
+    assert feats == want
+
+    bytespp = bpp // 8
+    stride = (w * bytespp + 3) // 4 * 4
+    rows = [px[r * w : (r + 1) * w] for r in range(h)]
+    raster = bytearray()
+    for row in rows if top_down else rows[::-1]:
+        rb = bytearray()
+        for r, g, b in row:
+            rb += bytes([b, g, r] + ([0] if bytespp == 4 else []))
+        rb += b"\x00" * (stride - len(rb))
+        raster += rb
+    bmp = (
+        b"BM"
+        + _struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + _struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+            len(raster), 0, 0, 0, 0,
+        )
+        + bytes(raster)
+    )
+    got_w, got_h, feats = mm.decode_image(bmp)
+    assert (got_w, got_h) == (w, h)
+    assert feats == want
