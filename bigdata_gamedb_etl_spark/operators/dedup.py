@@ -571,6 +571,71 @@ ORDER BY doc_id
 """
 
 # --------------------------------------------------------------------------
+# Keeper selection — the step that actually ENDS the dedup story: for
+# every near-dup cluster, choose ONE canonical survivor by a quality
+# criterion instead of the arbitrary min-id convention, and report
+# what gets dropped.  Curation pipelines keep the longest/highest-
+# quality member (dropping boilerplate-trimmed variants); the
+# deterministic rule here is max token count, ties to the smallest
+# doc_id — expressed as Spark `max_by(doc_id, struct(token_count,
+# -doc_id))` with the DuckDB ordered-aggregate twin
+# `FIRST(doc_id ORDER BY token_count DESC, doc_id)` (arg_max rejects
+# composite keys — the ts_ohlc_hourly recipe).
+#
+# Scale: the cluster assignment is the iterative CC operator above
+# (its own audited shape); keeper selection adds one broadcast-ready
+# join to the per-doc token counts and one hash-agg on cluster_id.
+def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: size, the quality-chosen keeper, its
+    token count, and how many docs the cluster drops."""
+    from .textops import _TOKS
+
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"size({_TOKS})").alias("token_count")
+    )
+    key = F.struct(
+        F.col("token_count").alias("tc"), (-F.col("doc_id")).alias("nid")
+    )
+    return (
+        clusters.join(toks, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max_by("doc_id", key).alias("keeper_id"),
+            F.max_by("token_count", key).alias("keeper_token_count"),
+            (F.count("*") - 1).alias("dropped_docs"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _keeper_oracle() -> str:
+    from .textops import _TOKS_DUCK
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
+toks AS (
+  SELECT doc_id, CAST(len({_TOKS_DUCK}) AS INTEGER) AS token_count
+  FROM documents
+)
+SELECT c.cluster_id,
+       COUNT(*) AS cluster_size,
+       FIRST(t.doc_id ORDER BY t.token_count DESC, t.doc_id)
+         AS keeper_id,
+       FIRST(t.token_count ORDER BY t.token_count DESC, t.doc_id)
+         AS keeper_token_count,
+       COUNT(*) - 1 AS dropped_docs
+FROM clusters c JOIN toks t ON c.doc_id = t.doc_id
+GROUP BY c.cluster_id
+ORDER BY c.cluster_id
+"""
+
+
+DEDUP_KEEPER_ORACLE = _keeper_oracle()
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: eval-set membership is doc_id % DECON_MOD
 # == 0 — a deterministic stand-in for a real benchmark table (the query
 # shape is identical when the eval side is its own source).
@@ -1164,6 +1229,7 @@ QUERIES = {
     "dedup_repeated_ngram_share": dedup_repeated_ngram_share,
     "dedup_normalized_keeper": dedup_normalized_keeper,
     "dq_contamination_scorecard": dq_contamination_scorecard,
+    "dedup_keeper_selection": dedup_keeper_selection,
 }
 
 ORACLE = {
@@ -1179,5 +1245,6 @@ ORACLE = {
     "dedup_repeated_ngram_share": DEDUP_REPEATED_ORACLE,
     "dedup_normalized_keeper": DEDUP_NORMALIZED_ORACLE,
     "dq_contamination_scorecard": DQ_CONTAMINATION_ORACLE,
+    "dedup_keeper_selection": DEDUP_KEEPER_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }

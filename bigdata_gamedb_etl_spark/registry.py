@@ -68,6 +68,7 @@ ROUND6_NEW: list[str] = [
     "dedup_semantic_fused_pairs",
     "dq_contamination_scorecard",
     "dq_quarantine_mart",
+    "dedup_keeper_selection",
 ]
 
 RECONFIRM_STALE = [
