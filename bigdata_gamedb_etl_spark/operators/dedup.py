@@ -1,7 +1,7 @@
 """Deduplication operators over the `documents` table — the
 training-data-pipeline surface (BASELINE.json north_star).
 
-Four tiers, in increasing scale-friendliness:
+Four similarity tiers, in increasing scale-friendliness:
   1. exact dedup by full text (hash groupBy)
   2. exact dedup by md5 fingerprint (groupBy on a 16-byte key instead of
      the full text — at 100 TB you shuffle 16-byte hashes, not documents)
@@ -11,6 +11,11 @@ Four tiers, in increasing scale-friendliness:
      is linear in documents × bands, verification only touches
      candidates).  Rows-only checked: LSH is probabilistic recall by
      design.
+Plus the pipeline the tiers feed: connected-components cluster
+assignment, quality-argmax keeper selection per cluster, benchmark
+decontamination, incremental-batch dedup, boilerplate detection,
+repeated-shingle contamination, and the per-source contamination
+scorecard.
 
 All shingling is built-in higher-order functions (transform/sequence) —
 no Python UDFs anywhere in the hot path.
