@@ -416,3 +416,16 @@ def test_quarantine_mart_adds_no_window_over_signals(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_keeper_selection_no_window_no_cartesian(spark, sf_dir):
+    """Keeper choice is a hash-agg with max_by over a struct key on the
+    cluster grain — no Window (an argmax-by-row_number formulation
+    would sort every cluster) and no cartesian anywhere above the
+    audited CC subtree."""
+    from bigdata_gamedb_etl_spark.operators import dedup as dd
+
+    plan = plans.physical(dd.dedup_keeper_selection(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "max_by" in plan
