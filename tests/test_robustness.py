@@ -159,3 +159,30 @@ def test_cluster_assign_reliable_checkpoint_path(spark, sf_dir):
     assert len(remaining) <= 3, (
         f"checkpoint dir leaks superseded iterations: {sorted(remaining)}"
     )
+
+
+def test_graph_queries_reliable_checkpoint_path(spark, sf_dir):
+    """The graph family's materialize-once edge lists honor the same
+    fault-tolerant checkpoint switch as the CC loop: identical results
+    on both paths, including PageRank's per-iteration checkpoint
+    rotation (exact-ownership cleanup) under the reliable conf."""
+    from bigdata_gamedb_etl_spark.operators.dedup import RELIABLE_CKPT_CONF
+    from bigdata_gamedb_etl_spark.operators.graph import (
+        graph_2hop_reach,
+        graph_pagerank,
+    )
+
+    base_2hop = sorted(tuple(r) for r in graph_2hop_reach(spark, sf_dir).collect())
+    base_pr = sorted(tuple(r) for r in graph_pagerank(spark, sf_dir).collect())
+    spark.conf.set(RELIABLE_CKPT_CONF, "true")
+    try:
+        rel_2hop = sorted(
+            tuple(r) for r in graph_2hop_reach(spark, sf_dir).collect()
+        )
+        rel_pr = sorted(
+            tuple(r) for r in graph_pagerank(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.unset(RELIABLE_CKPT_CONF)
+    assert rel_2hop == base_2hop
+    assert rel_pr == base_pr
