@@ -3,6 +3,7 @@
   python -m bigdata_gamedb_etl_spark list
   python -m bigdata_gamedb_etl_spark run <query> [--sf-dir DIR] [--limit N]
   python -m bigdata_gamedb_etl_spark explain <query> [--sf-dir DIR]
+  python -m bigdata_gamedb_etl_spark figures [--sf-dir DIR] [--out DIR]
 """
 
 from __future__ import annotations
@@ -21,7 +22,24 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--sf-dir", default="/root/testdata/sf0.001")
         if cmd == "run":
             c.add_argument("--limit", type=int, default=20)
+    f = sub.add_parser(
+        "figures", help="render the reference figure set (S9) as PNGs"
+    )
+    f.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    f.add_argument("--out", default="./figs")
     args = parser.parse_args(argv)
+
+    if args.cmd == "figures":
+        from .session import get_spark
+        from .sinks import save_reference_figures
+
+        spark = get_spark(app_name="cli-figures")
+        spark.sparkContext.setLogLevel("ERROR")
+        for name, path in save_reference_figures(
+            spark, args.sf_dir, args.out
+        ).items():
+            print(f"{name}\t{path}")
+        return 0
 
     from .registry import all_oracle, all_queries
 
