@@ -151,3 +151,53 @@ def test_quarantine_mart_shape(spark, sf_dir):
     assert all(r["status"] in ("ok", "warn", "critical") for r in rows)
     assert all(r["status"] == "ok" for r in by_signal["referential"])
     assert all(r["metric_value"] is not None for r in rows)
+
+
+# --- quarantine status thresholds ----------------------------------------
+def test_quarantine_freshness_statuses_golden(spark, tmp_path_factory):
+    """Crafted event feeds crossing the warn (12 h) and critical (48 h)
+    staleness thresholds get the right statuses; the skew/RI legs run
+    on empty tables and stay 'ok' (null metrics trip no threshold)."""
+    import datetime as dt
+
+    from bigdata_gamedb_etl_spark.operators.extended import dq_quarantine_mart
+    from bigdata_gamedb_etl_spark.sources.catalog import (
+        TABLE_NAMES,
+        TABLE_SCHEMAS,
+    )
+
+    d = tmp_path_factory.mktemp("golden_quarantine")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    events = [
+        # fresh feed: latest == corpus max -> staleness 0 -> ok
+        (0, base, 1, "fresh_feed", 1.0, "{}"),
+        # 20 h stale -> warn
+        (1, base - dt.timedelta(hours=20), 1, "warn_feed", 1.0, "{}"),
+        # 60 h stale -> critical
+        (2, base - dt.timedelta(hours=60), 2, "critical_feed", 1.0, "{}"),
+    ]
+    for name in TABLE_NAMES:
+        rows = events if name == "events" else []
+        spark.createDataFrame(rows, TABLE_SCHEMAS[name]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{name}.parquet"))
+
+    rows = {
+        (r["signal"], r["entity"]): r
+        for r in dq_quarantine_mart(spark, str(d)).collect()
+    }
+    assert rows[("freshness", "fresh_feed")]["status"] == "ok"
+    assert rows[("freshness", "fresh_feed")]["metric_value"] == 0.0
+    assert rows[("freshness", "warn_feed")]["status"] == "warn"
+    assert rows[("freshness", "warn_feed")]["metric_value"] == 20.0
+    assert rows[("freshness", "critical_feed")]["status"] == "critical"
+    assert rows[("freshness", "critical_feed")]["metric_value"] == 60.0
+    # legs over EMPTY tables trip no threshold (null metrics -> ok);
+    # the events.user_id skew leg runs on the 3 crafted rows, where 2
+    # of 3 belong to one user -> top-10 mass is 100% -> critical is
+    # the CORRECT verdict for this degenerate micro-feed
+    for (signal, entity), r in rows.items():
+        if signal != "freshness" and entity != "events.user_id":
+            assert r["status"] == "ok", (signal, entity)
+    assert rows[("key_skew", "events.user_id")]["status"] == "critical"
+    assert rows[("key_skew", "events.user_id")]["metric_value"] == 100.0

@@ -287,3 +287,40 @@ def test_image_decoders_roundtrip_property(w, h, data, bpp, top_down):
     got_w, got_h, feats = mm.decode_image(bmp)
     assert (got_w, got_h) == (w, h)
     assert feats == want
+
+
+def test_pmi_lift_decimal_path_survives_int64_overflow(spark):
+    """The lift numerator/denominator are DECIMAL products cast to
+    double — at corpus scale (counts ~4e9) the bare BIGINT product
+    wraps int64 (1.6e19 > 9.2e18).  Feed overflow-scale counts through
+    the exact expression shape text_pmi_collocations uses and assert
+    the mathematically-correct lift comes back."""
+    from pyspark.sql import functions as F
+
+    c = 4_000_000_000  # 4e9: c*c = 1.6e19, past int64
+    df = spark.createDataFrame(
+        [(c, c, 2_000_000_000, 2_000_000_000)],
+        "c_xy long, n_tokens long, c_x long, c_y long",
+    )
+    num = (
+        F.col("c_xy").cast("decimal(19,0)") * F.col("n_tokens").cast("decimal(19,0)")
+    ).cast("double")
+    den = (
+        F.col("c_x").cast("decimal(19,0)") * F.col("c_y").cast("decimal(19,0)")
+    ).cast("double")
+    lift = df.select(
+        (F.floor(num / den * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "lift"
+        )
+    ).first()["lift"]
+    assert lift == 4.0  # (4e9*4e9)/(2e9*2e9) exactly
+
+    # and DuckDB computes the identical value through the oracle's form
+    import duckdb
+
+    (dlift,) = duckdb.connect().execute(
+        f"""SELECT floor(CAST(CAST({c} AS DECIMAL(19,0)) * CAST({c} AS DECIMAL(19,0)) AS DOUBLE)
+                   / CAST(CAST(2000000000 AS DECIMAL(19,0)) * CAST(2000000000 AS DECIMAL(19,0)) AS DOUBLE)
+                   * 10000.0 + 0.5) / 10000.0"""
+    ).fetchone()
+    assert dlift == lift
