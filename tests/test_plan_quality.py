@@ -429,3 +429,21 @@ def test_keeper_selection_no_window_no_cartesian(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "max_by" in plan
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
+    """Fleet-wide structural ban: no registered query may plan a
+    CartesianProduct — the one join operator with no scale story.
+    (BroadcastNestedLoopJoin is allowed: Spark only emits it with a
+    broadcast side, which is how the one-row global-aggregate
+    crossJoins and the bounded band/block joins are built; an
+    unbroadcastable full product always surfaces as CartesianProduct,
+    which this catches.)"""
+    from bigdata_gamedb_etl_spark.registry import all_queries
+
+    offenders = []
+    for name, fn in all_queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products planned by: {offenders}"
