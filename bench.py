@@ -97,6 +97,10 @@ SCALE_PROBE_QUERIES = [
     "graph_2hop_reach",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
+    # the iterative representative: O(component-diameter) rounds over a
+    # once-materialized edge list — diameter doesn't grow with corpus
+    # replication, so the probe isolates the per-round linear cost
+    "dedup_cluster_assign",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
