@@ -202,10 +202,11 @@ def _testdata_fingerprint(sf_dir: str) -> dict:
 def main() -> None:
     queries = dict(all_queries())
     # SHARED12 comparability pin: the registry's "mm_feature_extract"
-    # was re-pointed (round 3) to the harness-safe JSON twin, which adds
-    # to_json + a global orderBy the r1/r2 numbers never measured.
-    # Bench keeps timing the typed-array variant under the pinned name;
-    # the shipped JSON twin gets its own EXTRAS series.
+    # was re-pointed (round 3) to a harness-safe twin (JSON string in
+    # r3-r5; flat scalar columns + oracle since r6).  Bench keeps
+    # timing the typed-array variant under the pinned name; the
+    # SHIPPED twin keeps its own EXTRAS series (named *_json for
+    # series continuity, measuring whatever form the registry serves).
     queries["mm_feature_extract_json"] = queries["mm_feature_extract"]
     queries["mm_feature_extract"] = multimodal.mm_feature_extract
     spark = get_spark(app_name="bench")

@@ -240,16 +240,75 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_feature_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Harness-safe registered twin of mm_feature_extract: the
-    `features array<double>` column crashes the driver's row
-    canonicalizer (pandas sort on list cells → 'unhashable type:
-    list'), so the registered form serializes it to a JSON string.
-    Library callers use mm_feature_extract for the typed array."""
+    """Harness-safe twin of mm_feature_extract: the `features
+    array<double>` column crashes the driver's row canonicalizer
+    (pandas sort on list cells → 'unhashable type: list'), so this
+    form serializes it to a JSON string.  Library callers use
+    mm_feature_extract for the typed array."""
     return (
         mm_feature_extract(spark, sf_dir)
         .withColumn("features", F.to_json("features"))
         .orderBy("doc_id")
     )
+
+
+def mm_feature_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (and now ORACLE-BACKED) form: FEATURE_DIM scalar
+    double columns instead of the array.
+
+    Oracle-ability argument: corpus payloads here are text blobs, so
+    every row takes the deterministic md5-derived fallback, which is
+    pure arithmetic over the md5 hex digest — expressible in DuckDB
+    (hex-nibble parsing; see MM_FEATURES_ORACLE).  The real PPM/BMP
+    tier cannot fire on these payloads (a text would need to be a
+    byte-exact image header + raster to parse — the guards reject
+    near-misses), and is pinned separately by fixture-image tests.
+    round(b/255, 6) has NO halfway cases (b·10⁶/255 is integer only
+    for b ∈ {0,51,...,255}, where the 6dp value is exact), so
+    Python/Spark/DuckDB rounding modes agree on every byte value."""
+    base = mm_feature_extract(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        "payload_bytes",
+        "width",
+        "height",
+        *[
+            F.col("features").getItem(i).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    ).orderBy("doc_id")
+
+
+def _mm_features_oracle() -> str:
+    """DuckDB twin of the md5-derived fallback decoder: parse digest
+    bytes out of the md5 hex string with nibble arithmetic."""
+
+    def byte(i: int) -> str:  # 0-based digest byte from hex chars
+        hi = f"strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1"
+        lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
+        return f"(({hi}) * 16 + ({lo}))"
+
+    feats = ",\n       ".join(
+        f"round({byte(2 + i)} / 255.0, 6) AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    return f"""
+WITH hx AS (
+  SELECT doc_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS payload_bytes,
+         md5(text) AS h
+  FROM documents
+)
+SELECT doc_id, payload_bytes,
+       CAST(64 + {byte(0)} % 64 AS INTEGER) AS width,
+       CAST(64 + {byte(1)} % 64 AS INTEGER) AS height,
+       {feats}
+FROM hx
+ORDER BY doc_id
+"""
+
+
+MM_FEATURES_ORACLE = _mm_features_oracle()
 
 
 
@@ -315,12 +374,15 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataF
 
 QUERIES = {
     "mm_payload_meta": mm_payload_meta,
-    "mm_feature_extract": mm_feature_extract_json,
+    "mm_feature_extract": mm_feature_extract_flat,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLE = {
     "mm_payload_meta": MM_META_ORACLE,
-    # mm_feature_extract: rows-only (stubbed decoder, not SQL-expressible)
+    # fallback-tier arithmetic is SQL-expressible (hex-nibble parsing
+    # of the md5 digest); the real PPM/BMP tier is pinned by fixture
+    # tests instead (tests/test_llm_pipeline.py)
+    "mm_feature_extract": MM_FEATURES_ORACLE,
 }

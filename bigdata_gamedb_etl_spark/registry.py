@@ -69,6 +69,9 @@ ROUND6_NEW: list[str] = [
     "dq_contamination_scorecard",
     "dq_quarantine_mart",
     "dedup_keeper_selection",
+    # converted rows-only -> oracle-backed in r6 (flat schema + md5
+    # fallback-tier oracle): needs its first hash-verified driver row
+    "mm_feature_extract",
 ]
 
 RECONFIRM_STALE = [
