@@ -372,6 +372,29 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataF
 
     return with_payload(spark, sf_dir).mapInPandas(batches, schema).orderBy("doc_id", "frame_idx")
 
+
+# Oracle twin of the frame sampler: 16-byte frames via substring + md5.
+# DuckDB's md5/substring are VARCHAR(character)-based while the UDF
+# slices BYTES — identical on this corpus, whose documents are pure
+# ASCII at every SF (verified: octet_length == length for all rows).
+# A non-ASCII corpus would demote this back to rows-only; the UDF's
+# byte semantics are the contract.
+MM_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         UNNEST(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 4))
+           AS frame_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16))
+         AS frame_md5
+FROM f
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "mm_payload_meta": mm_payload_meta,
     "mm_feature_extract": mm_feature_extract_flat,
@@ -385,4 +408,7 @@ ORACLE = {
     # of the md5 digest); the real PPM/BMP tier is pinned by fixture
     # tests instead (tests/test_llm_pipeline.py)
     "mm_feature_extract": MM_FEATURES_ORACLE,
+    "mm_frame_sample": MM_FRAMES_ORACLE,
+    # mm_resize stays rows-only: the stub's output is target-constant,
+    # so an oracle row would verify nothing real
 }

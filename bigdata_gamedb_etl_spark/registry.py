@@ -72,6 +72,7 @@ ROUND6_NEW: list[str] = [
     # converted rows-only -> oracle-backed in r6 (flat schema + md5
     # fallback-tier oracle): needs its first hash-verified driver row
     "mm_feature_extract",
+    "mm_frame_sample",
 ]
 
 RECONFIRM_STALE = [
