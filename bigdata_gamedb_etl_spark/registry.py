@@ -112,10 +112,11 @@ RECONFIRM_STALE = [
     # moment/profile stats (well covered by goldens — safe overflow)
     "sim_knn_top1", "sim_label_centroid_norms", "p4_user_value_mad",
     "p5_lineitem_profile", "p6_statistical_moments",
-    # stale rows-only tier (weakest evidence value — rotates last)
+    # stale rows-only tier (weakest evidence value — rotates last;
+    # mm_frame_sample moved to ROUND6_NEW on oracle conversion)
     "dedup_minhash_lsh_pairs", "dedup_simhash_signatures",
     "sim_ann_lsh_topk", "sim_ivf_topk", "sketch_users_per_type",
-    "sketch_daily_merge_total", "mm_resize", "mm_frame_sample",
+    "sketch_daily_merge_total", "mm_resize",
 ]
 
 CONTROLS = [
