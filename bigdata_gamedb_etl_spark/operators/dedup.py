@@ -401,6 +401,48 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", simhash64("text").alias("simhash")).orderBy("doc_id")
 
+
+# Oracle twin of the numpy bit-vote (converted rows-only → oracle in
+# r6): each of the 64 signature bits is a majority vote over the
+# document's distinct tokens, and a token hash BIT needs no 64-bit
+# integer parsing — bit k lives in hex nibble k//4 (from the LSB, i.e.
+# hex char 16 − k//4 of the md5's first 16 chars), shifted by k%4.
+# The signed reinterpretation of the uint64 fold (numpy .view(int64))
+# maps to bit 63 contributing −2⁶³.  Tokenization matches _TOKS
+# (split on ' ', drop empties — the corpus has no other whitespace).
+DEDUP_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM toks),
+expanded AS (
+  SELECT doc_id, hx, UNNEST(range(64)) AS k FROM h
+),
+votes AS (
+  SELECT doc_id, k,
+         SUM(((strpos('0123456789abcdef',
+                      substr(hx, CAST(16 - k // 4 AS BIGINT), 1)) - 1)
+              >> (k % 4)) & 1) AS ones,
+         COUNT(*) AS n
+  FROM expanded GROUP BY doc_id, k
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN 2 * ones > n THEN
+                    CASE WHEN k = 63 THEN -9223372036854775807 - 1
+                         ELSE (CAST(1 AS BIGINT) << k) END
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 CLUSTER_MAX_ITERS = 20
 
@@ -1251,5 +1293,6 @@ ORACLE = {
     "dedup_normalized_keeper": DEDUP_NORMALIZED_ORACLE,
     "dq_contamination_scorecard": DQ_CONTAMINATION_ORACLE,
     "dedup_keeper_selection": DEDUP_KEEPER_ORACLE,
+    "dedup_simhash_signatures": DEDUP_SIMHASH_ORACLE,
     # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
 }

@@ -73,6 +73,7 @@ ROUND6_NEW: list[str] = [
     # fallback-tier oracle): needs its first hash-verified driver row
     "mm_feature_extract",
     "mm_frame_sample",
+    "dedup_simhash_signatures",
 ]
 
 RECONFIRM_STALE = [
@@ -114,7 +115,7 @@ RECONFIRM_STALE = [
     "p5_lineitem_profile", "p6_statistical_moments",
     # stale rows-only tier (weakest evidence value — rotates last;
     # mm_frame_sample moved to ROUND6_NEW on oracle conversion)
-    "dedup_minhash_lsh_pairs", "dedup_simhash_signatures",
+    "dedup_minhash_lsh_pairs",
     "sim_ann_lsh_topk", "sim_ivf_topk", "sketch_users_per_type",
     "sketch_daily_merge_total", "mm_resize",
 ]
