@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table, write_parquet
@@ -292,6 +292,95 @@ ORDER BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Type-2 slowly-changing-dimension build from a change-event stream —
+# the warehouse-history capability the HBase marts lack: each user's
+# event_type sequence collapses into versioned state intervals
+# [valid_from, valid_to) with an open-ended current row, the standard
+# SCD2 layout a serving layer joins point-in-time facts against.
+#
+# Scale shape: every window is partitioned by user_id (per-user event
+# counts are bounded), so the whole build is ONE shuffle on user_id —
+# lag-based change detection, running-sum versioning, and the lead()
+# that closes each interval all reuse that single sort order.  No
+# corpus-wide window, no driver state.  Determinism: the per-user
+# order is total ((us, event_id) — event_id is unique), so run
+# boundaries are engine-independent.
+def mart_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 state history per user: one row per run of consecutive
+    identical event_type values, versioned in time order, with
+    micro-second validity bounds (valid_to_us NULL = current row)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = (
+        e.withColumn("prev", F.lag("event_type").over(order))
+        .withColumn(
+            "version",
+            F.sum(
+                (
+                    F.col("prev").isNull()
+                    | (F.col("prev") != F.col("event_type"))
+                ).cast("long")
+            ).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    dim = runs.groupBy("user_id", "version").agg(
+        F.max("event_type").alias("state"),
+        F.min("us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    seq = Window.partitionBy("user_id").orderBy("version")
+    return (
+        dim.withColumn("valid_to_us", F.lead("valid_from_us").over(seq))
+        .select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from_us",
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+MART_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+c AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            AS prev
+  FROM e
+),
+r AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+  FROM c
+),
+d AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, MAX(event_type) AS state,
+         MIN(us) AS valid_from_us, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+         AS is_current,
+       n_events
+FROM d
+ORDER BY user_id, version
+"""
+
+
 QUERIES = {
     "mart_customer_profile": mart_customer_profile,
     "mart_supplier_summary": mart_supplier_summary,
@@ -299,6 +388,7 @@ QUERIES = {
     "mart_nation_customer_map": mart_nation_customer_map,
     "mart_put_script": mart_put_script,
     "mart_incremental_refresh": mart_incremental_refresh,
+    "mart_scd2_user_state": mart_scd2_user_state,
 }
 
 ORACLE = {
@@ -308,4 +398,5 @@ ORACLE = {
     "mart_nation_customer_map": MART_MAP_ORACLE,
     "mart_put_script": MART_PUT_ORACLE,
     "mart_incremental_refresh": MART_INCREMENTAL_ORACLE,
+    "mart_scd2_user_state": MART_SCD2_ORACLE,
 }

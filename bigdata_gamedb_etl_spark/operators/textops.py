@@ -807,6 +807,84 @@ ORDER BY doc_id, rk
 """
 
 
+# --------------------------------------------------------------------------
+# Order-2 language-model scoring: each document's mean log-probability
+# of its bigrams under the corpus's own bigram model — the next rung
+# above text_unigram_logprob on the KenLM-style perplexity-filter
+# ladder.  p(y|x) = c(x,y) / c(x ·) where c(x ·) sums c(x,y) over
+# observed continuations, so the conditional is properly normalized
+# and every doc bigram is in-model by construction (self-supervised:
+# no smoothing constant to tune, no OOV path).
+#
+# Scale shape: one bigram explode feeds BOTH the model (two chained
+# hash-aggs: (x,y) counts, then x margins) and the scoring stream; the
+# stream joins the assembled model on the bigram key.  Unlike the
+# unigram model the bigram table is NOT broadcast-sized (vocab² upper
+# bound), so this is a plain shuffle equi-join on (x, y) — one extra
+# exchange vs the unigram op, which is the honest cost of order-2.
+# Determinism: per-bigram log-probs cast to DECIMAL(18,9) before the
+# per-doc sum (partition-order-free exact accumulation), one double
+# division at the end — the text_unigram_logprob recipe.
+_BIGRAMS_DOC = """CASE WHEN size(split(text, ' ')) >= 2 THEN
+     zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+              slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+              (a, b) -> struct(a AS x, b AS y))
+   ELSE array() END"""
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram LM (docs with < 2 tokens carry no bigram and are absent, as
+    in the oracle)."""
+    d = table(spark, sf_dir, "documents")
+    stream = d.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_DOC)).alias("bg")
+    ).select("doc_id", F.col("bg.x").alias("x"), F.col("bg.y").alias("y"))
+    c_xy = stream.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    c_x = c_xy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    model = c_xy.join(c_x, "x").select(
+        "x",
+        "y",
+        F.log(F.col("c_xy") / F.col("c_x")).cast("decimal(18,9)").alias("logp"),
+    )
+    return (
+        stream.join(model, ["x", "y"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("logp").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("s").cast("double") / F.col("n_bigrams"), 4).alias(
+                "avg_logp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_LM_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+stream AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i])) AS x,
+         UNNEST(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i+1])) AS y
+  FROM w WHERE len(ws) >= 2
+),
+cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM stream GROUP BY x, y),
+cx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY x),
+model AS (
+  SELECT x, y,
+         CAST(ln(CAST(c_xy AS DOUBLE) / c_x) AS DECIMAL(18,9)) AS logp
+  FROM cxy JOIN cx USING (x)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+FROM stream JOIN model USING (x, y)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -822,6 +900,7 @@ QUERIES = {
     "text_chunk_udtf": text_chunk_udtf,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_pmi_collocations": text_pmi_collocations,
+    "text_bigram_logprob": text_bigram_logprob,
 }
 
 ORACLE = {
@@ -839,4 +918,5 @@ ORACLE = {
     "text_chunk_udtf": TEXT_CHUNK_ORACLE,
     "text_tfidf_top_terms": TEXT_TFIDF_ORACLE,
     "text_pmi_collocations": TEXT_PMI_ORACLE,
+    "text_bigram_logprob": TEXT_BIGRAM_LM_ORACLE,
 }

@@ -74,6 +74,8 @@ ROUND6_NEW: list[str] = [
     "mm_feature_extract",
     "mm_frame_sample",
     "dedup_simhash_signatures",
+    "mart_scd2_user_state",
+    "text_bigram_logprob",
 ]
 
 RECONFIRM_STALE = [

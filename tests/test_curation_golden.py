@@ -201,3 +201,70 @@ def test_quarantine_freshness_statuses_golden(spark, tmp_path_factory):
             assert r["status"] == "ok", (signal, entity)
     assert rows[("key_skew", "events.user_id")]["status"] == "critical"
     assert rows[("key_skew", "events.user_id")]["metric_value"] == 100.0
+
+
+# --- SCD2 user-state history fixture -------------------------------------
+# user 1: view, click, purchase, purchase  -> 3 runs (last has 2 events)
+# user 2: purchase, view, error, purchase  -> 4 runs
+def test_scd2_user_state_golden(spark, tmp_path_factory):
+    import datetime as dt
+
+    from bigdata_gamedb_etl_spark.operators.marts import mart_scd2_user_state
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    events = [
+        (0, ts(10, 0), 1, "view", 1.0, "{}"),
+        (1, ts(10, 5), 1, "click", 2.0, "{}"),
+        (2, ts(10, 30), 1, "purchase", 10.0, "{}"),
+        (3, ts(10, 45), 1, "purchase", 5.0, "{}"),
+        (4, ts(9, 0), 2, "purchase", 7.0, "{}"),
+        (5, ts(11, 0), 2, "view", 1.5, "{}"),
+        (6, ts(11, 30), 2, "error", 0.5, "{}"),
+        (7, ts(11, 59), 2, "purchase", 3.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("golden_scd2")
+    spark.createDataFrame(events, TABLE_SCHEMAS["events"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    rows = mart_scd2_user_state(spark, str(d)).collect()
+    assert [(r["user_id"], r["version"], r["state"], r["n_events"]) for r in rows] == [
+        (1, 1, "view", 1),
+        (1, 2, "click", 1),
+        (1, 3, "purchase", 2),
+        (2, 1, "purchase", 1),
+        (2, 2, "view", 1),
+        (2, 3, "error", 1),
+        (2, 4, "purchase", 1),
+    ]
+    by_key = {(r["user_id"], r["version"]): r for r in rows}
+    # consecutive purchases collapse into ONE current interval
+    cur = by_key[(1, 3)]
+    assert cur["is_current"] and cur["valid_to_us"] is None
+    assert cur["valid_from_us"] == int(ts(10, 30).timestamp() * 1_000_000)
+    # each closed interval's valid_to equals the next version's valid_from
+    assert by_key[(1, 1)]["valid_to_us"] == by_key[(1, 2)]["valid_from_us"]
+    assert by_key[(2, 3)]["valid_to_us"] == by_key[(2, 4)]["valid_from_us"]
+    assert sum(r["is_current"] for r in rows) == 2
+
+
+# --- bigram-LM scoring fixture -------------------------------------------
+# corpus: doc 1 = "a b a b", doc 2 = "a b c"
+#   c(a,b)=3 c(b,a)=1 c(b,c)=1; margins c(a .)=3, c(b .)=2
+#   p(b|a)=1 -> ln 0; p(a|b)=p(c|b)=1/2 -> ln 0.5 = -0.6931471805...
+# doc 1 mean = ln(.5)/3 = -0.2310; doc 2 mean = ln(.5)/2 = -0.3466
+def test_bigram_logprob_golden(spark, tmp_path_factory):
+    from bigdata_gamedb_etl_spark.operators.textops import text_bigram_logprob
+
+    docs = [_doc(1, "a b a b"), _doc(2, "a b c")]
+    d = tmp_path_factory.mktemp("golden_bigram_lm")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in text_bigram_logprob(spark, str(d)).collect()}
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 2
+    assert rows[1]["avg_logp"] == -0.2310
+    assert rows[2]["avg_logp"] == -0.3466
