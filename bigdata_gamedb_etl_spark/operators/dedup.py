@@ -230,6 +230,105 @@ ORDER BY d1, d2
 
 
 # --------------------------------------------------------------------------
+# Asymmetric containment: C(a in b) = |S(a) ∩ S(b)| / |S(a)| — the
+# quote/subset signal Jaccard structurally misses (a 100-token doc
+# fully embedded in a 10k-token doc has Jaccard ≈ 0.01 but
+# containment 1.0).  Same posting-list combination shape as the
+# Jaccard op — one shuffle, df-capped — but the oracle applies the
+# SAME df cap, so the cap is part of the declared semantics rather
+# than a data-dependent approximation.
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shingle containment >= CONTAINMENT_THRESHOLD:
+    for each undirected pair, the score is max of the two directed
+    containments (i.e. intersection over the SMALLER set) and
+    `contained_id` names the doc whose shingle set is the contained
+    side (ties -> the lower doc_id, deterministically)."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select(
+        "doc_id",
+        F.size("shs").alias("n"),
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    postings = (
+        ex.groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= SHINGLE_DF_CAP))
+    )
+    pairs = postings.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(
+                  sequence(1, size(docs) - 1),
+                  i -> transform(
+                    slice(docs, i + 1, size(docs) - i),
+                    x -> CASE WHEN docs[i-1].doc_id < x.doc_id
+                         THEN struct(docs[i-1].doc_id AS d1, docs[i-1].n AS n1,
+                                     x.doc_id AS d2, x.n AS n2)
+                         ELSE struct(x.doc_id AS d1, x.n AS n1,
+                                     docs[i-1].doc_id AS d2, docs[i-1].n AS n2)
+                         END
+                  )
+                ))
+                """
+            )
+        ).alias("p")
+    ).select("p.d1", "p.n1", "p.d2", "p.n2")
+    agg = pairs.groupBy("d1", "d2").agg(
+        F.count("*").alias("common"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    cont = F.col("common") / F.least("n1", "n2")
+    return (
+        agg.where(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "d1",
+            "d2",
+            F.when(F.col("n1") <= F.col("n2"), F.col("d1"))
+            .otherwise(F.col("d2"))
+            .alias("contained_id"),
+            F.round(cont, 4).alias("containment"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs FROM w
+),
+ex AS (
+  SELECT doc_id, len(shs) AS n, UNNEST(shs) AS s FROM sh WHERE len(shs) > 0
+),
+dfs AS (
+  SELECT s FROM ex GROUP BY s
+  HAVING COUNT(*) BETWEEN 2 AND {SHINGLE_DF_CAP}
+),
+exf AS (SELECT ex.* FROM ex JOIN dfs USING (s)),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         COUNT(*) AS common,
+         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_id,
+       ROUND(common * 1.0 / least(n1, n2), 4) AS containment
+FROM pairs
+WHERE common * 1.0 / least(n1, n2) >= {CONTAINMENT_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, then exact-Jaccard verification of
     candidates only.  Rows-only checked (probabilistic recall).
@@ -1265,6 +1364,7 @@ QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
     "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
+    "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_shingle_docfreq_hist": dedup_token_jaccard_stats,
     "dedup_simhash_signatures": dedup_simhash_signatures,
@@ -1283,6 +1383,7 @@ ORACLE = {
     "dedup_exact_keeper": DEDUP_EXACT_ORACLE,
     "dedup_exact_md5": DEDUP_MD5_ORACLE,
     "dedup_ngram_jaccard_pairs": DEDUP_JACCARD_ORACLE,
+    "dedup_containment_pairs": DEDUP_CONTAINMENT_ORACLE,
     "dedup_shingle_docfreq_hist": DEDUP_DF_ORACLE,
     "dedup_cluster_assign": DEDUP_CLUSTER_ORACLE,
     "dedup_decontaminate": DEDUP_DECON_ORACLE,

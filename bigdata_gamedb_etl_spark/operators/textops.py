@@ -885,6 +885,66 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Character-level Shannon entropy per document — the gibberish /
+# compression-artifact detector (near-zero entropy = repeated-char
+# padding, abnormally high = random bytes / base64 blobs).  Uses the
+# H = ln(n) − (Σ c·ln c)/n identity so the whole op is ONE explode and
+# ONE two-level hash-agg — no per-doc total join, no window.
+# Determinism: each c·ln(c) term is cast to DECIMAL(18,9) before the
+# per-doc sum (partition-order-free), one double division at the end —
+# the text_unigram_logprob recipe.
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy in nats, with character counts
+    (empty documents carry no characters and are absent, as in the
+    oracle)."""
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.count("*").alias("distinct_chars"),
+            F.sum(
+                (F.col("c") * F.log("c")).cast("decimal(18,9)")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "distinct_chars",
+            F.round(
+                F.log("n_chars") - F.col("s").cast("double") / F.col("n_chars"),
+                4,
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+),
+cnt AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> ''
+  GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(18,9)))
+                    AS DOUBLE) / SUM(c), 4) AS entropy
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_rollup": text_lang_rollup,
@@ -901,6 +961,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_pmi_collocations": text_pmi_collocations,
     "text_bigram_logprob": text_bigram_logprob,
+    "text_char_entropy": text_char_entropy,
 }
 
 ORACLE = {
@@ -919,4 +980,5 @@ ORACLE = {
     "text_tfidf_top_terms": TEXT_TFIDF_ORACLE,
     "text_pmi_collocations": TEXT_PMI_ORACLE,
     "text_bigram_logprob": TEXT_BIGRAM_LM_ORACLE,
+    "text_char_entropy": TEXT_ENTROPY_ORACLE,
 }

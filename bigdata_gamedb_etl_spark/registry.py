@@ -76,6 +76,8 @@ ROUND6_NEW: list[str] = [
     "dedup_simhash_signatures",
     "mart_scd2_user_state",
     "text_bigram_logprob",
+    "dedup_containment_pairs",
+    "text_char_entropy",
 ]
 
 RECONFIRM_STALE = [

@@ -268,3 +268,46 @@ def test_bigram_logprob_golden(spark, tmp_path_factory):
     assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 2
     assert rows[1]["avg_logp"] == -0.2310
     assert rows[2]["avg_logp"] == -0.3466
+
+
+# --- containment-pairs fixture -------------------------------------------
+# doc 1 ("a b c d e", 3 shingles) is fully contained in doc 2
+# ("a b c d e f g h", 6 shingles): common=3, containment = 3/3 = 1.0
+# but Jaccard = 3/6 = 0.5 — the subset case Jaccard under-scores.
+# doc 3 shares nothing.
+def test_containment_pairs_golden(spark, tmp_path_factory):
+    from bigdata_gamedb_etl_spark.operators.dedup import dedup_containment_pairs
+
+    docs = [
+        _doc(1, "a b c d e"),
+        _doc(2, "a b c d e f g h"),
+        _doc(3, "x y z w"),
+    ]
+    d = tmp_path_factory.mktemp("golden_containment")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = dedup_containment_pairs(spark, str(d)).collect()
+    assert [(r["d1"], r["d2"], r["contained_id"], r["containment"]) for r in rows] == [
+        (1, 2, 1, 1.0)
+    ]
+
+
+# --- character-entropy fixture -------------------------------------------
+# "aaaa" -> H = 0; "ab" and "aabb" -> H = ln 2 = 0.6931
+def test_char_entropy_golden(spark, tmp_path_factory):
+    from bigdata_gamedb_etl_spark.operators.textops import text_char_entropy
+
+    docs = [_doc(1, "aaaa"), _doc(2, "ab"), _doc(3, "aabb")]
+    d = tmp_path_factory.mktemp("golden_entropy")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in text_char_entropy(spark, str(d)).collect()}
+    assert (rows[1]["n_chars"], rows[1]["distinct_chars"]) == (4, 1)
+    assert rows[1]["entropy"] == 0.0
+    assert rows[2]["entropy"] == 0.6931
+    assert rows[3]["entropy"] == 0.6931
+    assert (rows[3]["n_chars"], rows[3]["distinct_chars"]) == (4, 2)
