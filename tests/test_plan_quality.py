@@ -447,3 +447,37 @@ def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products planned by: {offenders}"
+
+
+def test_scd2_single_data_shuffle(spark, sf_dir):
+    """The SCD2 build's lag/version windows, the run groupBy, and the
+    interval-closing lead window must all reuse ONE user_id exchange
+    (hash on user_id satisfies every downstream clustering); the only
+    other exchange is the presentation ORDER BY's range partitioning.
+    Every Window must be partitioned by user_id — an unpartitioned
+    window would single-task the whole event log."""
+    from bigdata_gamedb_etl_spark.operators import marts
+
+    df = marts.mart_scd2_user_state(spark, sf_dir)
+    assert plans.num_exchanges(df) <= 2, "SCD2 grew an extra shuffle"
+    plan = plans.physical(df)
+    assert "Window" in plan
+    for frag in plan.split("Window")[1:]:
+        head = frag.split("]", 1)[0]
+        if "partition" in head.lower():
+            assert "user_id" in head
+
+
+def test_char_entropy_shuffles_partial_counts(spark, sf_dir):
+    """Entropy must shuffle (doc, char) PARTIAL counts, never the raw
+    exploded character stream: both aggregates are two-phase
+    (partial_count below the exchange), and there is no Window and no
+    per-doc-total join (the ln(n) − Σc·ln c / n identity removes it)."""
+    from bigdata_gamedb_etl_spark.operators import textops
+
+    df = textops.text_char_entropy(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "Window" not in plan
+    assert plan.count("partial_count") >= 1, "lost map-side combine"
+    tree = plans.explain_str(df, "formatted").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, "documents scanned more than once"
