@@ -75,6 +75,12 @@ EXTRAS = [
     "dq_quarantine_mart",
     "graph_2hop_reach",
     "graph_pagerank",
+    # round-6 late additions: per-user SCD2 windows, order-2 LM
+    # shuffle-join, posting-list containment, per-char entropy aggs
+    "mart_scd2_user_state",
+    "text_bigram_logprob",
+    "dedup_containment_pairs",
+    "text_char_entropy",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
