@@ -1223,6 +1223,90 @@ def _corr_oracle() -> str:
 STAT_CORR_ORACLE = _corr_oracle()
 
 
+# --------------------------------------------------------------------------
+# Temporal distribution-drift audit: split the feed at the midpoint of
+# its time range and compare each event_type's share of traffic in the
+# early vs late half — the detector for mix shift (a type silently
+# surging or dying) that per-type freshness cannot see.
+#
+# Scale shape: one tiny min/max aggregate broadcast back, then ONE
+# conditional hash-agg to the event_type grain (no window, no sort,
+# no self-join).  Determinism: the cut is integer microsecond
+# arithmetic; counts are exact integers; the only doubles are the
+# final share divisions, rounded with the floor(x·1e4+0.5)/1e4 recipe
+# both engines agree on.
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type early-half vs late-half traffic share and the
+    drift in percentage points (late − early, computed on unrounded
+    shares).  Events at the exact midpoint fall in the early half."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    # integer DIV on both sides: double division + CAST would truncate
+    # in Spark but round in DuckDB on odd lo+hi (off-by-one cut).
+    span = e.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    ).select(F.expr("(lo + hi) DIV 2").alias("cut"))
+    per_type = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("us") <= F.col("cut")).cast("long")).alias("early_cnt"),
+            F.sum((F.col("us") > F.col("cut")).cast("long")).alias("late_cnt"),
+        )
+    )
+    tot = per_type.agg(
+        F.sum("early_cnt").alias("tot_early"), F.sum("late_cnt").alias("tot_late")
+    )
+
+    def _r4(x):
+        return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    early_share = F.col("early_cnt") * 100.0 / F.col("tot_early")
+    late_share = F.col("late_cnt") * 100.0 / F.col("tot_late")
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "early_cnt",
+            "late_cnt",
+            _r4(early_share).alias("early_share_pct"),
+            _r4(late_share).alias("late_share_pct"),
+            _r4(late_share - early_share).alias("drift_pp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_DRIFT_ORACLE = """
+WITH span AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut
+  FROM events
+),
+per_type AS (
+  SELECT event_type,
+         SUM(CASE WHEN epoch_us(ts) <= cut THEN 1 ELSE 0 END) AS early_cnt,
+         SUM(CASE WHEN epoch_us(ts) > cut THEN 1 ELSE 0 END) AS late_cnt
+  FROM events CROSS JOIN span
+  GROUP BY event_type
+),
+tot AS (
+  SELECT SUM(early_cnt) AS tot_early, SUM(late_cnt) AS tot_late FROM per_type
+)
+SELECT event_type,
+       CAST(early_cnt AS BIGINT) AS early_cnt,
+       CAST(late_cnt AS BIGINT) AS late_cnt,
+       floor(early_cnt * 100.0 / tot_early * 10000.0 + 0.5) / 10000.0
+         AS early_share_pct,
+       floor(late_cnt * 100.0 / tot_late * 10000.0 + 0.5) / 10000.0
+         AS late_share_pct,
+       floor((late_cnt * 100.0 / tot_late - early_cnt * 100.0 / tot_early)
+             * 10000.0 + 0.5) / 10000.0 AS drift_pp
+FROM per_type CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -1240,6 +1324,7 @@ QUERIES = {
     "dq_orders_profile": dq_orders_profile,
     "dq_referential_integrity": dq_referential_integrity,
     "dq_freshness_lag": dq_freshness_lag,
+    "dq_distribution_drift": dq_distribution_drift,
     "seq_markov_transitions": seq_markov_transitions,
     "sess3_top_paths": sess3_top_paths,
     "p7_winsorized_value": p7_winsorized_value,
@@ -1266,6 +1351,7 @@ ORACLE = {
     "dq_orders_profile": DQ_ORDERS_ORACLE,
     "dq_referential_integrity": DQ_REFERENTIAL_ORACLE,
     "dq_freshness_lag": DQ_FRESHNESS_ORACLE,
+    "dq_distribution_drift": DQ_DRIFT_ORACLE,
     "seq_markov_transitions": SEQ_MARKOV_ORACLE,
     "sess3_top_paths": SESS3_ORACLE,
     "p7_winsorized_value": P7_ORACLE,

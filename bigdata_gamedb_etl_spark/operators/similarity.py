@@ -739,6 +739,141 @@ ORDER BY d1, d2
 SIM_FUSED_ORACLE = _fused_oracle()
 
 
+# --------------------------------------------------------------------------
+# One Lloyd iteration of KMeans, seeded from the per-label centroids —
+# the distributed building block behind the IVF/PQ codebooks above,
+# surfaced as its own auditable operator: assign every vector to its
+# nearest seed centroid, recompute the centroids from the assignment,
+# and report per-centroid membership, migration, and movement.
+#
+# Scale shape: centroids live at the (k × d) grain — always broadcast-
+# sized — so assignment is a broadcast nested-loop over k candidates
+# per vector (linear in corpus, the same shape sim_knn_top1 uses);
+# both centroid computations are posexplode → (key, dim) hash-aggs, no
+# driver collect, no iteration here (the full KMeans loop is this
+# operator applied repeatedly, as the IVF builder does internally).
+# Determinism: squared distance is a left-fold over the diff array in
+# BOTH engines (F.aggregate ≡ list_dot_product order); argmin ties
+# break on centroid label.
+def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One KMeans assignment+update step from label-seeded centroids:
+    per centroid, members assigned, members that migrated from another
+    seed label, and the L2 movement of the recomputed centroid."""
+    emb = _emb_double(spark, sf_dir)
+    per_dim = (
+        emb.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("mean_v"))
+    )
+    cents = (
+        per_dim.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, mean_v))),"
+                " x -> x.mean_v)"
+            ).alias("c")
+        )
+        .select(F.col("label").alias("c_label"), "c")
+    )
+    diff = F.zip_with(F.col("emb"), F.col("c"), lambda x, y: x - y)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "emb", "c_label", _dot(diff, diff).alias("dist2")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.min_by("c_label", F.struct("dist2", "c_label")).alias("assigned"),
+        F.first("label").alias("label"),
+        F.first("emb").alias("emb"),
+    )
+    new_dim = (
+        assigned.select("assigned", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("assigned", "dim")
+        .agg(F.avg("v").alias("new_v"))
+    )
+    move = (
+        new_dim.join(
+            per_dim,
+            (per_dim.label == new_dim.assigned) & (per_dim.dim == new_dim.dim),
+        )
+        .groupBy("assigned")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("new_v") - F.col("mean_v")) ** 2)), 4
+            ).alias("movement")
+        )
+    )
+    counts = assigned.groupBy("assigned").agg(
+        F.count("*").alias("n_assigned"),
+        F.sum((F.col("label") != F.col("assigned")).cast("long")).alias(
+            "n_migrated"
+        ),
+    )
+    return (
+        counts.join(move, "assigned")
+        .select(
+            F.col("assigned").alias("centroid"),
+            "n_assigned",
+            "n_migrated",
+            "movement",
+        )
+        .orderBy("centroid")
+    )
+
+
+SIM_LLOYD_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+per_dim AS (
+  SELECT label, dim, AVG(v) AS mean_v
+  FROM (
+    SELECT label, UNNEST(emb) AS v, UNNEST(range(1, len(emb) + 1)) AS dim
+    FROM e
+  )
+  GROUP BY label, dim
+),
+cents AS (
+  SELECT label AS c_label, list(mean_v ORDER BY dim) AS c
+  FROM per_dim GROUP BY label
+),
+scored AS (
+  SELECT vec_id, label, emb, c_label,
+         list_dot_product(
+           list_transform(range(1, len(emb) + 1), i -> emb[i] - c[i]),
+           list_transform(range(1, len(emb) + 1), i -> emb[i] - c[i])) AS dist2
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id,
+         FIRST(c_label ORDER BY dist2, c_label) AS assigned,
+         ANY_VALUE(label) AS label,
+         ANY_VALUE(emb) AS emb
+  FROM scored GROUP BY vec_id
+),
+new_dim AS (
+  SELECT assigned, dim, AVG(v) AS new_v
+  FROM (
+    SELECT assigned, UNNEST(emb) AS v, UNNEST(range(1, len(emb) + 1)) AS dim
+    FROM assigned
+  )
+  GROUP BY assigned, dim
+),
+move AS (
+  SELECT n.assigned, ROUND(sqrt(SUM((n.new_v - p.mean_v) ^ 2)), 4) AS movement
+  FROM new_dim n JOIN per_dim p ON p.label = n.assigned AND p.dim = n.dim
+  GROUP BY n.assigned
+),
+counts AS (
+  SELECT assigned, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         CAST(SUM(CASE WHEN label <> assigned THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_migrated
+  FROM assigned GROUP BY assigned
+)
+SELECT c.assigned AS centroid, n_assigned, n_migrated, movement
+FROM counts c JOIN move m ON m.assigned = c.assigned
+ORDER BY centroid
+"""
+
+
 QUERIES = {
     "dedup_semantic_fused_pairs": dedup_semantic_fused_pairs,
     "sim_cosine_topk": sim_cosine_topk,
@@ -749,6 +884,7 @@ QUERIES = {
     "sim_cosine_dup_pairs": sim_cosine_dup_pairs,
     "sim_sq8_topk": sim_sq8_topk,
     "sim_pq_topk": sim_pq_topk,
+    "sim_kmeans_lloyd_step": sim_kmeans_lloyd_step,
 }
 
 ORACLE = {
@@ -758,6 +894,7 @@ ORACLE = {
     "sim_knn_top1": SIM_KNN_ORACLE,
     "sim_cosine_dup_pairs": SIM_DUP_ORACLE,
     "sim_sq8_topk": SIM_SQ8_ORACLE,
+    "sim_kmeans_lloyd_step": SIM_LLOYD_ORACLE,
     # sim_ann_lsh_topk, sim_ivf_topk, sim_pq_topk: rows-only
     # (approximate recall by design)
 }

@@ -78,6 +78,8 @@ ROUND6_NEW: list[str] = [
     "text_bigram_logprob",
     "dedup_containment_pairs",
     "text_char_entropy",
+    "dq_distribution_drift",
+    "sim_kmeans_lloyd_step",
 ]
 
 RECONFIRM_STALE = [

@@ -311,3 +311,64 @@ def test_char_entropy_golden(spark, tmp_path_factory):
     assert rows[2]["entropy"] == 0.6931
     assert rows[3]["entropy"] == 0.6931
     assert (rows[3]["n_chars"], rows[3]["distinct_chars"]) == (4, 2)
+
+
+# --- distribution-drift fixture ------------------------------------------
+# span 10:00..11:00 -> midpoint 10:30 (inclusive early).  Type A: both
+# events early; type B: both late -> A drifts -100pp, B +100pp.
+def test_distribution_drift_golden(spark, tmp_path_factory):
+    import datetime as dt
+
+    from bigdata_gamedb_etl_spark.operators.extended import dq_distribution_drift
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    events = [
+        (0, ts(10, 0), 1, "A", 1.0, "{}"),
+        (1, ts(10, 30), 1, "A", 1.0, "{}"),   # exactly at the cut -> early
+        (2, ts(10, 31), 2, "B", 1.0, "{}"),
+        (3, ts(11, 0), 2, "B", 1.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("golden_drift")
+    spark.createDataFrame(events, TABLE_SCHEMAS["events"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    rows = {r["event_type"]: r for r in dq_distribution_drift(spark, str(d)).collect()}
+    a, b = rows["A"], rows["B"]
+    assert (a["early_cnt"], a["late_cnt"]) == (2, 0)
+    assert (b["early_cnt"], b["late_cnt"]) == (0, 2)
+    assert (a["early_share_pct"], a["late_share_pct"], a["drift_pp"]) == (
+        100.0, 0.0, -100.0,
+    )
+    assert (b["early_share_pct"], b["late_share_pct"], b["drift_pp"]) == (
+        0.0, 100.0, 100.0,
+    )
+
+
+# --- Lloyd-step fixture --------------------------------------------------
+# seeds from labels: c0 = mean{(2,0),(4,0),(9,0)} = (5,0);
+# c1 = mean{(10,0),(12,0)} = (11,0).  The (9,0) vector (labelled 0) is
+# nearer c1 -> migrates; new centroids (3,0) and (31/3,0) move by 2.0
+# and 0.6667.
+def test_kmeans_lloyd_step_golden(spark, tmp_path_factory):
+    from bigdata_gamedb_etl_spark.operators.similarity import sim_kmeans_lloyd_step
+
+    emb = [
+        (1, [2.0, 0.0], 0),
+        (2, [4.0, 0.0], 0),
+        (3, [9.0, 0.0], 0),
+        (4, [10.0, 0.0], 1),
+        (5, [12.0, 0.0], 1),
+    ]
+    d = tmp_path_factory.mktemp("golden_lloyd")
+    spark.createDataFrame(emb, TABLE_SCHEMAS["embeddings"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    rows = {r["centroid"]: r for r in sim_kmeans_lloyd_step(spark, str(d)).collect()}
+    assert (rows[0]["n_assigned"], rows[0]["n_migrated"]) == (2, 0)
+    assert (rows[1]["n_assigned"], rows[1]["n_migrated"]) == (3, 1)
+    assert rows[0]["movement"] == 2.0
+    assert rows[1]["movement"] == 0.6667
