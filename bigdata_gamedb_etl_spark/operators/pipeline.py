@@ -618,6 +618,77 @@ ORDER BY bucket_lo
 """
 
 
+# --------------------------------------------------------------------------
+# Curriculum ordering: easy→hard training phases by lexical-diversity
+# quartiles (the curriculum-learning data layout), with a deterministic
+# hash shuffle key WITHIN each phase so epoch order is reproducible
+# without any RNG.  The per-doc score is an exact integer
+# (distinct·10⁴ DIV tokens), so the percentile_disc quartile cuts see
+# identical values in both engines — the RFM broadcast-cuts pattern,
+# which needs no global sort; the within-phase order key is
+# md5-derived, so a trainer ORDER BY (phase, order_key) streams a
+# stable curriculum at any scale.
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curriculum phase (1 = least lexically diverse =
+    easiest, 4 = hardest) from quartile cuts of the integer diversity
+    score, plus the deterministic within-phase order key.  Empty
+    documents carry no tokens and are excluded."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            f"size(array_distinct({_TOKS})) * 10000 DIV size({_TOKS})"
+        ).alias("score"),
+    ).where(F.expr(f"size({_TOKS})") > 0)
+    cuts = scored.agg(
+        *[
+            F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY score)").alias(
+                f"c{int(p * 100)}"
+            )
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    phase = (
+        F.lit(1)
+        + F.when(F.col("score") > F.col("c25"), 1).otherwise(0)
+        + F.when(F.col("score") > F.col("c50"), 1).otherwise(0)
+        + F.when(F.col("score") > F.col("c75"), 1).otherwise(0)
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "score",
+            phase.alias("phase"),
+            F.md5(F.col("doc_id").cast("string")).alias("order_key"),
+        )
+        .orderBy("phase", "order_key", "doc_id")
+    )
+
+
+CURRICULUM_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_distinct({_TOKS_DUCK})) * 10000 // len({_TOKS_DUCK}) AS score
+  FROM documents
+  WHERE len({_TOKS_DUCK}) > 0
+),
+cuts AS (
+  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY score) AS c25,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY score) AS c50,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY score) AS c75
+  FROM scored
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       1 + (CASE WHEN score > c25 THEN 1 ELSE 0 END)
+         + (CASE WHEN score > c50 THEN 1 ELSE 0 END)
+         + (CASE WHEN score > c75 THEN 1 ELSE 0 END) AS phase,
+       md5(CAST(doc_id AS VARCHAR)) AS order_key
+FROM scored CROSS JOIN cuts
+ORDER BY phase, order_key, doc_id
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_examples": pipeline_training_examples,
@@ -628,6 +699,7 @@ QUERIES = {
     "pipeline_per_group_sample": pipeline_per_group_sample,
     "pipeline_feature_hash_profile": pipeline_feature_hash_profile,
     "pipeline_length_buckets": pipeline_length_buckets,
+    "pipeline_curriculum_order": pipeline_curriculum_order,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
@@ -639,4 +711,5 @@ ORACLE = {
     "pipeline_per_group_sample": PER_GROUP_SAMPLE_ORACLE,
     "pipeline_feature_hash_profile": FEATURE_HASH_ORACLE,
     "pipeline_length_buckets": LENGTH_BUCKETS_ORACLE,
+    "pipeline_curriculum_order": CURRICULUM_ORACLE,
 }

@@ -155,6 +155,68 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Classifier-evaluation capability: the confusion matrix of the
+# heuristic language-ID against the labelled `lang` column, with
+# per-cell share of the labelled class (row-normalized recall view).
+# One projection + one hash-agg at the (label, prediction) grain —
+# the evaluation pattern for ANY cheap classifier audited at corpus
+# scale.  Shares use the floor(x·1e4+0.5)/1e4 recipe.
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, predicted_lang) confusion cells: count and share of the
+    labelled class."""
+    d = table(spark, sf_dir, "documents")
+    hits = F.expr(f"size(filter({_TOKS}, t -> t IN ({_STOP_LIST})))")
+    predicted = (
+        F.when(hits >= 3, "en").when(hits >= 1, "en-maybe").otherwise("unknown")
+    )
+    cells = d.select("lang", predicted.alias("predicted_lang")).groupBy(
+        "lang", "predicted_lang"
+    ).agg(F.count("*").alias("n_docs"))
+    class_tot = cells.groupBy("lang").agg(F.sum("n_docs").alias("class_total"))
+    return (
+        cells.join(F.broadcast(class_tot), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            (
+                F.floor(
+                    F.col("n_docs") * 100.0 / F.col("class_total") * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("class_share_pct"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+TEXT_LANGID_CONF_ORACLE = f"""
+WITH cells AS (
+  SELECT lang,
+         CASE
+           WHEN len(list_filter({_TOKS_DUCK}, t -> t IN ({_STOP_LIST}))) >= 3
+             THEN 'en'
+           WHEN len(list_filter({_TOKS_DUCK}, t -> t IN ({_STOP_LIST}))) >= 1
+             THEN 'en-maybe'
+           ELSE 'unknown'
+         END AS predicted_lang
+  FROM documents
+),
+agg AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n_docs
+  FROM cells GROUP BY lang, predicted_lang
+),
+tot AS (SELECT lang, SUM(n_docs) AS class_total FROM agg GROUP BY lang)
+SELECT lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       floor(n_docs * 100.0 / class_total * 10000.0 + 0.5) / 10000.0
+         AS class_share_pct
+FROM agg JOIN tot USING (lang)
+ORDER BY lang, predicted_lang
+"""
+
+
+# --------------------------------------------------------------------------
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional polynomial fingerprint (rolling-hash family): a
     64-bit-safe deterministic digest computed identically by both
@@ -962,6 +1024,7 @@ QUERIES = {
     "text_pmi_collocations": text_pmi_collocations,
     "text_bigram_logprob": text_bigram_logprob,
     "text_char_entropy": text_char_entropy,
+    "text_langid_confusion": text_langid_confusion,
 }
 
 ORACLE = {
@@ -981,4 +1044,5 @@ ORACLE = {
     "text_pmi_collocations": TEXT_PMI_ORACLE,
     "text_bigram_logprob": TEXT_BIGRAM_LM_ORACLE,
     "text_char_entropy": TEXT_ENTROPY_ORACLE,
+    "text_langid_confusion": TEXT_LANGID_CONF_ORACLE,
 }

@@ -80,6 +80,8 @@ ROUND6_NEW: list[str] = [
     "text_char_entropy",
     "dq_distribution_drift",
     "sim_kmeans_lloyd_step",
+    "text_langid_confusion",
+    "pipeline_curriculum_order",
 ]
 
 RECONFIRM_STALE = [
