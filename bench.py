@@ -107,6 +107,11 @@ SCALE_PROBE_QUERIES = [
     # once-materialized edge list — diameter doesn't grow with corpus
     # replication, so the probe isolates the per-round linear cost
     "dedup_cluster_assign",
+    # round-6 late heavies: posting-list containment (same one-shuffle
+    # claim as jaccard) and the order-2 LM whose model table grows with
+    # the corpus (the probe checks the shuffle join stays ~linear)
+    "dedup_containment_pairs",
+    "text_bigram_logprob",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
