@@ -874,6 +874,61 @@ ORDER BY centroid
 """
 
 
+# --------------------------------------------------------------------------
+# One power-iteration step toward the dominant principal direction of
+# the raw (uncentered) second-moment matrix — the distributed linear-
+# algebra primitive behind PCA whitening / spectral embedding-quality
+# audits, expressed without collecting the data: w = Σᵢ (xᵢ·v₀) xᵢ is
+# one broadcast dot per row plus a posexplode → per-dim hash-agg, and
+# the full PCA loop is this operator applied repeatedly (PageRank's
+# shape, on vectors).  v₀ = e₀ (the first axis, deterministic seed).
+# Determinism: per-dim sums are doubles (partition-order noise ~1e-13
+# relative), rounded at 4dp like every other embedding aggregate.
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration update from the e₀ seed: per-dimension
+    loading of the normalized new direction, with the Rayleigh-style
+    eigenvalue estimate |w| (= v₀ᵀ M v₀ scale) repeated per row."""
+    emb = _emb_double(spark, sf_dir)
+    # x·e0 is just the first coordinate — the general v0 would be a
+    # broadcast array; e0 keeps the seed literal and engine-identical
+    s = emb.select("vec_id", F.col("emb")[0].alias("s"), "emb")
+    per_dim = (
+        s.select(F.posexplode("emb").alias("dim", "x"), "s")
+        .groupBy("dim")
+        .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+    )
+    nrm = per_dim.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return (
+        per_dim.crossJoin(F.broadcast(nrm))
+        .select(
+            "dim",
+            F.round(F.col("w") / F.col("nrm"), 4).alias("loading"),
+            F.round("nrm", 4).alias("eigenvalue_est"),
+        )
+        .orderBy("dim")
+    )
+
+
+SIM_PCA_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+s AS (SELECT vec_id, emb[1] AS s, emb FROM e),
+per_dim AS (
+  SELECT dim - 1 AS dim, SUM(s * x) AS w
+  FROM (
+    SELECT s, UNNEST(emb) AS x, UNNEST(range(1, len(emb) + 1)) AS dim
+    FROM s
+  )
+  GROUP BY dim
+),
+nrm AS (SELECT sqrt(SUM(w * w)) AS nrm FROM per_dim)
+SELECT dim, ROUND(w / nrm, 4) AS loading, ROUND(nrm, 4) AS eigenvalue_est
+FROM per_dim CROSS JOIN nrm
+ORDER BY dim
+"""
+
+
 QUERIES = {
     "dedup_semantic_fused_pairs": dedup_semantic_fused_pairs,
     "sim_cosine_topk": sim_cosine_topk,
@@ -885,6 +940,7 @@ QUERIES = {
     "sim_sq8_topk": sim_sq8_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_kmeans_lloyd_step": sim_kmeans_lloyd_step,
+    "sim_pca_power_iteration": sim_pca_power_iteration,
 }
 
 ORACLE = {
@@ -895,6 +951,7 @@ ORACLE = {
     "sim_cosine_dup_pairs": SIM_DUP_ORACLE,
     "sim_sq8_topk": SIM_SQ8_ORACLE,
     "sim_kmeans_lloyd_step": SIM_LLOYD_ORACLE,
+    "sim_pca_power_iteration": SIM_PCA_ORACLE,
     # sim_ann_lsh_topk, sim_ivf_topk, sim_pq_topk: rows-only
     # (approximate recall by design)
 }

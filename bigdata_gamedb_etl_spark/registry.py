@@ -82,6 +82,7 @@ ROUND6_NEW: list[str] = [
     "sim_kmeans_lloyd_step",
     "text_langid_confusion",
     "pipeline_curriculum_order",
+    "sim_pca_power_iteration",
 ]
 
 RECONFIRM_STALE = [

@@ -372,3 +372,22 @@ def test_kmeans_lloyd_step_golden(spark, tmp_path_factory):
     assert (rows[1]["n_assigned"], rows[1]["n_migrated"]) == (3, 1)
     assert rows[0]["movement"] == 2.0
     assert rows[1]["movement"] == 0.6667
+
+
+# --- PCA power-iteration fixture -----------------------------------------
+# x1=(1,0), x2=(2,0), x3=(0,1); s = x[0] -> w = 1·x1 + 2·x2 + 0·x3 =
+# (5,0); |w| = 5 -> loading (1,0), eigenvalue estimate 5.
+def test_pca_power_iteration_golden(spark, tmp_path_factory):
+    from bigdata_gamedb_etl_spark.operators.similarity import (
+        sim_pca_power_iteration,
+    )
+
+    emb = [(1, [1.0, 0.0], 0), (2, [2.0, 0.0], 0), (3, [0.0, 1.0], 1)]
+    d = tmp_path_factory.mktemp("golden_pca")
+    spark.createDataFrame(emb, TABLE_SCHEMAS["embeddings"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    rows = {r["dim"]: r for r in sim_pca_power_iteration(spark, str(d)).collect()}
+    assert (rows[0]["loading"], rows[1]["loading"]) == (1.0, 0.0)
+    assert rows[0]["eigenvalue_est"] == 5.0
