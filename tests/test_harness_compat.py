@@ -165,3 +165,18 @@ def test_readme_counts_match_registry():
     assert m, "README correctness-contract sentence not found"
     assert int(m.group(1)) == len(QUERIES)
     assert int(m.group(2)) == len(ORACLE)
+
+
+def test_bench_names_are_registered():
+    """Every bench series (headline + scale probe) must name a
+    registered query — a typo here would crash the driver's per-round
+    bench run instead of failing locally."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import HEADLINE, SCALE_PROBE_QUERIES
+
+    registered = set(QUERIES)
+    missing = (set(HEADLINE) | set(SCALE_PROBE_QUERIES)) - registered
+    assert not missing, f"bench names not in registry: {sorted(missing)}"
