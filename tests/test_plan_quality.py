@@ -481,3 +481,39 @@ def test_char_entropy_shuffles_partial_counts(spark, sf_dir):
     assert plan.count("partial_count") >= 1, "lost map-side combine"
     tree = plans.explain_str(df, "formatted").split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, "documents scanned more than once"
+
+
+def test_lloyd_assignment_is_broadcast(spark, sf_dir):
+    """KMeans assignment must probe BROADCAST centroids (k×d grain):
+    no sort-merge join and no shuffle of the vector table keyed on
+    anything but its final aggregates.  A SortMergeJoin here would
+    mean the centroid table stopped being treated as broadcast-sized."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    df = similarity.sim_kmeans_lloyd_step(spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    plan = plans.physical(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_power_iteration_no_window_no_collect_shape(spark, sf_dir):
+    """The power-iteration step is posexplode → per-dim hash-agg with
+    a broadcast norm: no Window, map-side partial aggregation present
+    (the per-dim sums combine before the shuffle)."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    df = similarity.sim_pca_power_iteration(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "Window" not in plan
+    assert "partial_sum" in plan, "per-dim sums lost map-side combine"
+
+
+def test_curriculum_uses_broadcast_cuts_no_window(spark, sf_dir):
+    """Curriculum phases come from broadcast percentile_disc cuts (the
+    RFM pattern): no Window operator anywhere — a global ntile-style
+    sort would single-task the corpus at 100 TB."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    plan = plans.physical(pipeline.pipeline_curriculum_order(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
