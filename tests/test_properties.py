@@ -324,3 +324,49 @@ def test_pmi_lift_decimal_path_survives_int64_overflow(spark):
                    * 10000.0 + 0.5) / 10000.0"""
     ).fetchone()
     assert dlift == lift
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00"
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_char_entropy_matches_python(spark, text):
+    """text_char_entropy's ln(n) − Σc·ln c / n identity (with the
+    per-term DECIMAL(18,9) quantization) must equal a plain-Python
+    Shannon entropy computed the same quantized way on arbitrary
+    unicode — pinning both the split('')-per-character semantics and
+    the decimal accumulation against an independent reference."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigdata_gamedb_etl_spark.operators.textops import text_char_entropy
+    from bigdata_gamedb_etl_spark.sources.catalog import TABLE_SCHEMAS
+
+    d = spark.createDataFrame(
+        [(1, text, "en", "src", len(text))],
+        TABLE_SCHEMAS["documents"],
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        row = text_char_entropy(spark, tmp).collect()[0]
+
+    counts = Counter(text)  # split('') yields every character
+    n = sum(counts.values())
+    q = Decimal("0.000000001")
+    s = sum(
+        Decimal(c * math.log(c)).quantize(q, rounding=ROUND_HALF_UP)
+        for c in counts.values()
+    )
+    expected = round(math.log(n) - float(s) / n, 4)
+    assert row["n_chars"] == n
+    assert row["distinct_chars"] == len(counts)
+    assert row["entropy"] == expected
