@@ -643,6 +643,14 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
     )
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    return _min_label_components(pairs, reliable)
+
+
+def _min_label_components(pairs: DataFrame, reliable: bool) -> DataFrame:
+    """Min-label-propagation connected components over an undirected
+    (d1, d2) pair DataFrame — shared by the exact-Jaccard and the
+    LSH-candidate cluster assignments (identical loop, different edge
+    generators)."""
     # materialize the edge list ONCE: without this every iteration's
     # join re-executes the whole shingle/posting-list pair generation
     # (measured 4 s of the loop's 9.5 s at sf0.1, once per round).
@@ -715,6 +723,29 @@ FROM walk
 GROUP BY node
 ORDER BY doc_id
 """
+
+# --------------------------------------------------------------------------
+# The 100 TB composition end-to-end: LSH candidate generation → exact-
+# Jaccard verification of candidates only → connected components.
+# Same loop as dedup_cluster_assign, but the edge generator is the
+# banded MinHash pipeline whose candidate count stays LINEAR in the
+# corpus (the exact posting-list generator is the small-scale tier).
+# Rows-only by design (LSH banding isn't SQL-expressible), with two
+# structural guarantees pinned by pytest instead of an oracle:
+# determinism (fixed hash seeds, no RNG) and the REFINEMENT invariant —
+# every LSH edge is exact-verified at ≥ the same Jaccard threshold, so
+# the LSH edge set is a subset of the exact edge set and every LSH
+# cluster maps into exactly one exact cluster.
+def dedup_lsh_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH-candidate near-dup graph —
+    the cluster assignment that scales to 100 TB; refines (never
+    merges across) the exact-tier clusters."""
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    return _min_label_components(pairs, reliable)
+
 
 # --------------------------------------------------------------------------
 # Keeper selection — the step that actually ENDS the dedup story: for
@@ -1365,6 +1396,7 @@ QUERIES = {
     "dedup_exact_md5": dedup_exact_md5,
     "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
     "dedup_containment_pairs": dedup_containment_pairs,
+    "dedup_lsh_cluster_assign": dedup_lsh_cluster_assign,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_shingle_docfreq_hist": dedup_token_jaccard_stats,
     "dedup_simhash_signatures": dedup_simhash_signatures,

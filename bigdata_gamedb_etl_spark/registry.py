@@ -83,6 +83,7 @@ ROUND6_NEW: list[str] = [
     "text_langid_confusion",
     "pipeline_curriculum_order",
     "sim_pca_power_iteration",
+    "dedup_lsh_cluster_assign",
 ]
 
 RECONFIRM_STALE = [

@@ -324,3 +324,34 @@ def test_decode_image_rejects_codec_formats_and_garbage():
     # just a clean truncation error
     with _pytest.raises(ValueError):
         multimodal.decode_image(b"P6\n30000 30000\n255\nabc")
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_lsh_cluster_assign_refines_exact_clusters(spark, sf):
+    """Every LSH edge is exact-verified at >= the same Jaccard
+    threshold, so LSH clusters must REFINE the exact clusters: each
+    LSH cluster's members all share one exact cluster (no merge across
+    exact components is possible), and membership is a subset of the
+    exact tier's."""
+    lsh = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_lsh_cluster_assign(spark, sf).collect()
+    }
+    exact = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_cluster_assign(spark, sf).collect()
+    }
+    assert set(lsh) <= set(exact), "LSH tier clustered a doc the exact tier didn't"
+    mapped: dict[int, int] = {}
+    for doc, lc in lsh.items():
+        ec = exact[doc]
+        assert mapped.setdefault(lc, ec) == ec, (
+            f"LSH cluster {lc} spans exact clusters {mapped[lc]} and {ec}"
+        )
+
+
+def test_lsh_cluster_assign_is_deterministic(spark):
+    sf = SF_DIRS[0]
+    a = [tuple(r) for r in dedup.dedup_lsh_cluster_assign(spark, sf).collect()]
+    b = [tuple(r) for r in dedup.dedup_lsh_cluster_assign(spark, sf).collect()]
+    assert a == b
