@@ -217,6 +217,32 @@ def freshness_monitor_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_active_users_stream(events: DataFrame) -> DataFrame:
+    """Watermarked streaming DAU: per tumbling day window, the row
+    count and the APPROXIMATE distinct-user count.  Exact
+    count_distinct is structurally unsupported in streaming
+    aggregations (it would need unbounded per-window user sets in the
+    state store); approx_count_distinct keeps state at one
+    HLL-sketch-per-window — the same mergeable-sketch trade the batch
+    tier makes in operators/sketches.py, here as the streaming-legal
+    form of w9's DAU column.  The batch-twin test bounds the sketch
+    against the exact batch count (±5%, HLL's standard error at the
+    default rsd) instead of asserting equality."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.to_date(F.col("win.start")).alias("day"),
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
 def _running_totals(
     key: tuple, batches: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:

@@ -471,3 +471,34 @@ def test_streaming_freshness_monitor_matches_batch(spark, sf_dir, events_dir):
         for r in dq_freshness_lag(spark, sf_dir).collect()
     }
     assert derived == audit
+
+
+def test_streaming_dau_sketch_bounds_exact_batch(spark, sf_dir, events_dir):
+    """daily_active_users_stream: n_events must equal the batch count
+    exactly; approx_users must land within HLL's ±5% of the exact
+    batch distinct-user count for every day."""
+    events = streaming.read_events_stream(spark, events_dir)
+    dau = streaming.daily_active_users_stream(events)
+    streaming.run_stream_to_memory(dau, "dau_stream_t", "complete")
+
+    got = {
+        r["day"]: (r["n_events"], r["approx_users"])
+        for r in spark.table("dau_stream_t").collect()
+    }
+    exact = {
+        r["day"]: (r["n_events"], r["exact_users"])
+        for r in streaming.read_events_batch(spark, events_dir)
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for day, (n, approx) in got.items():
+        n_exact, u_exact = exact[day]
+        assert n == n_exact, f"{day}: row count {n} != {n_exact}"
+        assert abs(approx - u_exact) <= max(1, 0.05 * u_exact), (
+            f"{day}: approx {approx} outside ±5% of exact {u_exact}"
+        )
