@@ -243,6 +243,32 @@ def daily_active_users_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_heavy_users_stream(events: DataFrame, k: int = 5) -> DataFrame:
+    """Watermarked streaming heavy hitters: per tumbling day window,
+    the approx_top_k users by event count — the streaming twin of the
+    sketch tier (operators/sketches.py): state per window is ONE
+    bounded frequent-items sketch, never a per-user count map, so the
+    job survives unbounded user cardinality.  With the tracker sized
+    above the true cardinality the sketch is exact (the same
+    exact-below-cardinality property sketch_approx_topk_tokens'
+    pytest asserts), which is what the batch-twin test pins."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.expr(f"approx_top_k(user_id, {k}, 16384)").alias("tk"))
+        .select(
+            F.to_date(F.col("win.start")).alias("day"),
+            F.posexplode("tk").alias("rank", "entry"),
+        )
+        .select(
+            "day",
+            (F.col("rank") + 1).cast("int").alias("rank"),
+            F.col("entry.item").alias("user_id"),
+            F.col("entry.count").alias("est_count"),
+        )
+    )
+
+
 def _running_totals(
     key: tuple, batches: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:

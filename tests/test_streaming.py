@@ -502,3 +502,42 @@ def test_streaming_dau_sketch_bounds_exact_batch(spark, sf_dir, events_dir):
         assert abs(approx - u_exact) <= max(1, 0.05 * u_exact), (
             f"{day}: approx {approx} outside ±5% of exact {u_exact}"
         )
+
+
+def test_streaming_heavy_users_exact_below_cardinality(spark, sf_dir, events_dir):
+    """daily_heavy_users_stream with the tracker sized above the true
+    user cardinality: every reported count must equal the user's exact
+    daily count, and the reported top-k floor must dominate the exact
+    k-th count (ties may permute, counts may not drift)."""
+    events = streaming.read_events_stream(spark, events_dir)
+    hh = streaming.daily_heavy_users_stream(events, k=5)
+    streaming.run_stream_to_memory(hh, "heavy_users_t", "complete")
+
+    got = [
+        (r["day"], r["user_id"], r["est_count"])
+        for r in spark.table("heavy_users_t").collect()
+    ]
+    assert got, "stream produced no heavy-hitter rows"
+    exact = {
+        (r["day"], r["user_id"]): r["n"]
+        for r in streaming.read_events_batch(spark, events_dir)
+        .groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    per_day_counts: dict = {}
+    for (day, _), n in exact.items():
+        per_day_counts.setdefault(day, []).append(n)
+    for day, user, est in got:
+        assert est == exact[(day, user)], (
+            f"{day}/{user}: sketch count {est} != exact {exact[(day, user)]}"
+        )
+    from collections import Counter
+
+    got_days = Counter(d for d, _, _ in got)
+    for day, n_rows in got_days.items():
+        kth = sorted(per_day_counts[day], reverse=True)[: n_rows][-1]
+        floor = min(est for d, _, est in got if d == day)
+        assert floor >= kth, (day, floor, kth)
