@@ -636,8 +636,12 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
+        # BIGINT up front: size() is int32 and ×10⁴ wraps past ~214k
+        # tokens in Spark (non-ANSI) while DuckDB's len() is already
+        # BIGINT — same-class hazard as the PMI lift overflow.
         F.expr(
-            f"size(array_distinct({_TOKS})) * 10000 DIV size({_TOKS})"
+            f"CAST(size(array_distinct({_TOKS})) AS BIGINT) * 10000"
+            f" DIV size({_TOKS})"
         ).alias("score"),
     ).where(F.expr(f"size({_TOKS})") > 0)
     cuts = scored.agg(
