@@ -245,7 +245,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each undirected pair, the score is max of the two directed
     containments (i.e. intersection over the SMALLER set) and
     `contained_id` names the doc whose shingle set is the contained
-    side (ties -> the lower doc_id, deterministically)."""
+    side (ties -> the lower doc_id, deterministically).
+
+    Intersections count 64-bit shingle hashes (the oracle counts raw
+    strings): a collision merges two shingles' postings — expected
+    collisions ~n²/2⁶⁵, negligible below ~2³² distinct shingles (the
+    same documented bound as dedup_repeated_ngram_share)."""
     sh = _shingled(spark, sf_dir)
     ex = sh.select(
         "doc_id",
