@@ -370,3 +370,64 @@ def test_char_entropy_matches_python(spark, text):
     assert row["n_chars"] == n
     assert row["distinct_chars"] == len(counts)
     assert row["entropy"] == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # minute offset
+            st.integers(min_value=1, max_value=3),   # user
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_scd2_run_collapse_matches_python(spark, rows):
+    """mart_scd2_user_state's lag/run-sum/lead chain must equal a
+    plain-Python run-length collapse over (us, event_id)-ordered
+    per-user timelines — including duplicate timestamps (tie-break on
+    event_id) and single-event users."""
+    import datetime as dt
+    import tempfile
+
+    from bigdata_gamedb_etl_spark.operators.marts import mart_scd2_user_state
+    from bigdata_gamedb_etl_spark.sources.catalog import TABLE_SCHEMAS
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = [
+        (i, base + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, (m, u, t) in enumerate(rows)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(events, TABLE_SCHEMAS["events"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = [
+            (
+                r["user_id"], r["version"], r["state"],
+                r["valid_from_us"], r["valid_to_us"], r["n_events"],
+            )
+            for r in mart_scd2_user_state(spark, tmp).collect()
+        ]
+
+    def us(ts):
+        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    by_user: dict = {}
+    for eid, ts, u, t, _, _ in events:
+        by_user.setdefault(u, []).append((us(ts), eid, t))
+    want = []
+    for u in sorted(by_user):
+        timeline = sorted(by_user[u])
+        runs = []
+        for tus, _, t in timeline:
+            if runs and runs[-1][0] == t:
+                runs[-1][2] += 1
+            else:
+                runs.append([t, tus, 1])
+        for v, (state, vfrom, n) in enumerate(runs, start=1):
+            vto = runs[v][1] if v < len(runs) else None
+            want.append((u, v, state, vfrom, vto, n))
+    assert got == want
