@@ -132,30 +132,18 @@ ORDER BY keeper_id
 
 
 # --------------------------------------------------------------------------
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.5 via a shingle
-    inverted-index self-join (explode → join on shingle → count common).
+def _posting_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pair generator for the Jaccard and containment tiers:
+    (d1, d2, common, n1, n2) per unordered doc pair sharing ≥1
+    df-capped shingle, d1 < d2.
 
-    Scale plan — posting-list combination explode, not a self-join:
-      explode (doc, shingle-hash) → groupBy hash collecting the posting
-      list → keep lists with 2 ≤ df ≤ SHINGLE_DF_CAP → emit the C(df,2)
-      ordered doc pairs per list → count pairs per (d1, d2).
-    One shuffle of the exploded index (the self-join shape shuffles it
-    twice), singleton shingles — the vast majority of any real corpus —
-    die at the groupBy filter instead of being joined, and the df cap
-    bounds the worst posting list to C(cap,2) pairs (one viral shingle
-    can't go quadratic; a shingle shared by >cap docs carries no
-    near-dup signal).  `n` is the FULL shingle-set size, so surviving
-    pairs keep exact Jaccard.  The LSH variant below is still the
-    100 TB path.
-    """
+    64-bit shingle hashes, computed INSIDE the array before explode:
+    exploding 8-byte longs is measurably cheaper than exploding the
+    ~30-byte strings and hashing after (string explode allocates a
+    row copy per shingle).  The shuffle then moves longs; collision
+    odds at 2^64 are ~1e-7 for millions of shingles — below oracle
+    noise."""
     sh = _shingled(spark, sf_dir)
-    # 64-bit shingle hashes, computed INSIDE the array before explode:
-    # exploding 8-byte longs is measurably cheaper than exploding the
-    # ~30-byte strings and hashing after (string explode allocates a
-    # row copy per shingle).  The shuffle then moves longs; collision
-    # odds at 2^64 are ~1e-7 for millions of shingles — below oracle
-    # noise.
     ex = sh.select(
         "doc_id",
         F.size("shs").alias("n"),
@@ -191,11 +179,31 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.d1", "p.n1", "p.d2", "p.n2")
-    agg = pairs.groupBy("d1", "d2").agg(
+    return pairs.groupBy("d1", "d2").agg(
         F.count("*").alias("common"),
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
     )
+
+
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.5 via a shingle
+    inverted-index self-join (explode → join on shingle → count common).
+
+    Scale plan — posting-list combination explode, not a self-join:
+      explode (doc, shingle-hash) → groupBy hash collecting the posting
+      list → keep lists with 2 ≤ df ≤ SHINGLE_DF_CAP → emit the C(df,2)
+      ordered doc pairs per list → count pairs per (d1, d2).
+    One shuffle of the exploded index (the self-join shape shuffles it
+    twice), singleton shingles — the vast majority of any real corpus —
+    die at the groupBy filter instead of being joined, and the df cap
+    bounds the worst posting list to C(cap,2) pairs (one viral shingle
+    can't go quadratic; a shingle shared by >cap docs carries no
+    near-dup signal).  `n` is the FULL shingle-set size, so surviving
+    pairs keep exact Jaccard.  The LSH variant below is still the
+    100 TB path.
+    """
+    agg = _posting_pair_counts(spark, sf_dir)
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
         agg.where(jac >= JACCARD_THRESHOLD)
@@ -251,42 +259,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings): a collision merges two shingles' postings — expected
     collisions ~n²/2⁶⁵, negligible below ~2³² distinct shingles (the
     same documented bound as dedup_repeated_ngram_share)."""
-    sh = _shingled(spark, sf_dir)
-    ex = sh.select(
-        "doc_id",
-        F.size("shs").alias("n"),
-        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
-    )
-    postings = (
-        ex.groupBy("s")
-        .agg(F.collect_list(F.struct("doc_id", "n")).alias("docs"))
-        .where((F.size("docs") >= 2) & (F.size("docs") <= SHINGLE_DF_CAP))
-    )
-    pairs = postings.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(
-                  sequence(1, size(docs) - 1),
-                  i -> transform(
-                    slice(docs, i + 1, size(docs) - i),
-                    x -> CASE WHEN docs[i-1].doc_id < x.doc_id
-                         THEN struct(docs[i-1].doc_id AS d1, docs[i-1].n AS n1,
-                                     x.doc_id AS d2, x.n AS n2)
-                         ELSE struct(x.doc_id AS d1, x.n AS n1,
-                                     docs[i-1].doc_id AS d2, docs[i-1].n AS n2)
-                         END
-                  )
-                ))
-                """
-            )
-        ).alias("p")
-    ).select("p.d1", "p.n1", "p.d2", "p.n2")
-    agg = pairs.groupBy("d1", "d2").agg(
-        F.count("*").alias("common"),
-        F.first("n1").alias("n1"),
-        F.first("n2").alias("n2"),
-    )
+    agg = _posting_pair_counts(spark, sf_dir)
     cont = F.col("common") / F.least("n1", "n2")
     return (
         agg.where(cont >= CONTAINMENT_THRESHOLD)
@@ -736,15 +709,24 @@ ORDER BY doc_id
 # banded MinHash pipeline whose candidate count stays LINEAR in the
 # corpus (the exact posting-list generator is the small-scale tier).
 # Rows-only by design (LSH banding isn't SQL-expressible), with two
-# structural guarantees pinned by pytest instead of an oracle:
-# determinism (fixed hash seeds, no RNG) and the REFINEMENT invariant —
-# every LSH edge is exact-verified at ≥ the same Jaccard threshold, so
-# the LSH edge set is a subset of the exact edge set and every LSH
-# cluster maps into exactly one exact cluster.
+# guarantees pinned by pytest instead of an oracle: determinism (fixed
+# hash seeds, no RNG) and the REFINEMENT invariant — every LSH edge is
+# exact-verified at ≥ the same Jaccard threshold, so the LSH edge set
+# is a subset of the exact edge set and every LSH cluster maps into
+# exactly one exact cluster.  The subset claim holds when the shingle
+# df cap is not binding (asserted at test SF by
+# test_shingle_df_cap_is_inactive_at_test_sf): the exact tier computes
+# Jaccard from df-CAPPED postings while LSH verification intersects
+# the full shingle sets, so on a corpus where a shared block exceeds
+# the cap the two tiers count `common` differently and an edge can
+# exist in one but not the other — at that scale the tiers are two
+# different declared approximations, not subset-ordered.
 def dedup_lsh_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH-candidate near-dup graph —
     the cluster assignment that scales to 100 TB; refines (never
-    merges across) the exact-tier clusters."""
+    merges across) the exact-tier clusters wherever the df cap is not
+    binding (see the block comment above for the capped-corpus
+    caveat)."""
     reliable = (
         spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
     )

@@ -1262,8 +1262,20 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _r4(x):
         return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
 
-    early_share = F.col("early_cnt") * 100.0 / F.col("tot_early")
-    late_share = F.col("late_cnt") * 100.0 / F.col("tot_late")
+    # NULL-guard the divisors (churn's pattern): a single-timestamp
+    # feed puts every event early, and tot_late = 0 would be an ANSI
+    # DIVIDE_BY_ZERO crash in Spark but NULL/inf in DuckDB — guarded,
+    # both engines emit NULL shares for the empty half.
+    early_share = (
+        F.col("early_cnt")
+        * 100.0
+        / F.when(F.col("tot_early") > 0, F.col("tot_early"))
+    )
+    late_share = (
+        F.col("late_cnt")
+        * 100.0
+        / F.when(F.col("tot_late") > 0, F.col("tot_late"))
+    )
     return (
         per_type.crossJoin(F.broadcast(tot))
         .select(
@@ -1296,12 +1308,16 @@ tot AS (
 SELECT event_type,
        CAST(early_cnt AS BIGINT) AS early_cnt,
        CAST(late_cnt AS BIGINT) AS late_cnt,
-       floor(early_cnt * 100.0 / tot_early * 10000.0 + 0.5) / 10000.0
-         AS early_share_pct,
-       floor(late_cnt * 100.0 / tot_late * 10000.0 + 0.5) / 10000.0
-         AS late_share_pct,
-       floor((late_cnt * 100.0 / tot_late - early_cnt * 100.0 / tot_early)
-             * 10000.0 + 0.5) / 10000.0 AS drift_pp
+       CASE WHEN tot_early > 0 THEN
+         floor(early_cnt * 100.0 / tot_early * 10000.0 + 0.5) / 10000.0
+       END AS early_share_pct,
+       CASE WHEN tot_late > 0 THEN
+         floor(late_cnt * 100.0 / tot_late * 10000.0 + 0.5) / 10000.0
+       END AS late_share_pct,
+       CASE WHEN tot_early > 0 AND tot_late > 0 THEN
+         floor((late_cnt * 100.0 / tot_late - early_cnt * 100.0 / tot_early)
+               * 10000.0 + 0.5) / 10000.0
+       END AS drift_pp
 FROM per_type CROSS JOIN tot
 ORDER BY event_type
 """

@@ -119,15 +119,28 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# the classifier under BOTH text_langid and its confusion matrix —
+# one definition so retuning the thresholds can't silently leave the
+# evaluation measuring a different classifier than the one shipped
+# (expression strings, not Columns: building a Column at import time
+# needs an active SparkContext)
+_LANGID_HITS = f"size(filter({_TOKS}, t -> t IN ({_STOP_LIST})))"
+
+
+def _langid_cols():
+    hits = F.expr(_LANGID_HITS)
+    predicted = (
+        F.when(hits >= 3, "en").when(hits >= 1, "en-maybe").otherwise("unknown")
+    )
+    return hits, predicted
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID by stopword hits (n-gram/stopword-vote
     heuristic; real corpora would carry per-language stopword sets —
     deterministic and engine-portable here)."""
     d = table(spark, sf_dir, "documents")
-    hits = F.expr(f"size(filter({_TOKS}, t -> t IN ({_STOP_LIST})))")
-    predicted = (
-        F.when(hits >= 3, "en").when(hits >= 1, "en-maybe").otherwise("unknown")
-    )
+    hits, predicted = _langid_cols()
     return (
         d.select(
             "doc_id",
@@ -165,10 +178,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, predicted_lang) confusion cells: count and share of the
     labelled class."""
     d = table(spark, sf_dir, "documents")
-    hits = F.expr(f"size(filter({_TOKS}, t -> t IN ({_STOP_LIST})))")
-    predicted = (
-        F.when(hits >= 3, "en").when(hits >= 1, "en-maybe").otherwise("unknown")
-    )
+    _, predicted = _langid_cols()
     cells = d.select("lang", predicted.alias("predicted_lang")).groupBy(
         "lang", "predicted_lang"
     ).agg(F.count("*").alias("n_docs"))
@@ -878,15 +888,18 @@ ORDER BY doc_id, rk
 # and every doc bigram is in-model by construction (self-supervised:
 # no smoothing constant to tune, no OOV path).
 #
-# Scale shape: one bigram explode feeds BOTH the model (two chained
-# hash-aggs: (x,y) counts, then x margins) and the scoring stream; the
-# stream joins the assembled model on the bigram key.  Unlike the
+# Scale shape: documents is scanned ONCE — the explode collapses to
+# the (doc, x, y) count grain first, and that one exchange feeds BOTH
+# the model (two chained hash-aggs: (x,y) counts, then x margins) and
+# the scoring join (Spark reuses the exchange — the PMI pattern);
+# scoring weights each bigram's log-prob by its in-doc multiplicity,
+# which is value-identical to scoring every occurrence.  Unlike the
 # unigram model the bigram table is NOT broadcast-sized (vocab² upper
 # bound), so this is a plain shuffle equi-join on (x, y) — one extra
 # exchange vs the unigram op, which is the honest cost of order-2.
 # Determinism: per-bigram log-probs cast to DECIMAL(18,9) before the
-# per-doc sum (partition-order-free exact accumulation), one double
-# division at the end — the text_unigram_logprob recipe.
+# exact decimal cnt·logp accumulation (partition-order-free), one
+# double division at the end — the text_unigram_logprob recipe.
 _BIGRAMS_DOC = """CASE WHEN size(split(text, ' ')) >= 2 THEN
      zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
               slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
@@ -902,7 +915,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = d.select(
         "doc_id", F.explode(F.expr(_BIGRAMS_DOC)).alias("bg")
     ).select("doc_id", F.col("bg.x").alias("x"), F.col("bg.y").alias("y"))
-    c_xy = stream.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    doc_bg = stream.groupBy("doc_id", "x", "y").agg(F.count("*").alias("cnt"))
+    c_xy = doc_bg.groupBy("x", "y").agg(F.sum("cnt").alias("c_xy"))
     c_x = c_xy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
     model = c_xy.join(c_x, "x").select(
         "x",
@@ -910,9 +924,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("c_xy") / F.col("c_x")).cast("decimal(18,9)").alias("logp"),
     )
     return (
-        stream.join(model, ["x", "y"])
+        doc_bg.join(model, ["x", "y"])
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("logp").alias("s"))
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("logp")).alias("s"),
+        )
         .select(
             "doc_id",
             "n_bigrams",
@@ -970,8 +987,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").alias("n_chars"),
             F.count("*").alias("distinct_chars"),
+            # DECIMAL(28,9), not (18,9): c·ln c is unbounded in doc
+            # size (a 60M-repeat padding doc overflows 9 integer
+            # digits and ANSI mode turns that into a crash); 19
+            # integer digits cover c ≈ 3e17
             F.sum(
-                (F.col("c") * F.log("c")).cast("decimal(18,9)")
+                (F.col("c") * F.log("c")).cast("decimal(28,9)")
             ).alias("s"),
         )
         .select(
@@ -999,7 +1020,7 @@ SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_chars,
        CAST(COUNT(*) AS BIGINT) AS distinct_chars,
        ROUND(ln(CAST(SUM(c) AS DOUBLE))
-             - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(18,9)))
+             - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,9)))
                     AS DOUBLE) / SUM(c), 4) AS entropy
 FROM cnt
 GROUP BY doc_id

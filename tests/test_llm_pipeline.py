@@ -332,7 +332,11 @@ def test_lsh_cluster_assign_refines_exact_clusters(spark, sf):
     threshold, so LSH clusters must REFINE the exact clusters: each
     LSH cluster's members all share one exact cluster (no merge across
     exact components is possible), and membership is a subset of the
-    exact tier's."""
+    exact tier's.  This subset relation relies on the shingle df cap
+    being inactive (the exact tier counts `common` over CAPPED
+    postings, LSH verification over full sets) — which
+    test_shingle_df_cap_is_inactive_at_test_sf asserts for these
+    SF_DIRS."""
     lsh = {
         r["doc_id"]: r["cluster_id"]
         for r in dedup.dedup_lsh_cluster_assign(spark, sf).collect()

@@ -458,14 +458,20 @@ def test_scd2_single_data_shuffle(spark, sf_dir):
     window would single-task the whole event log."""
     from bigdata_gamedb_etl_spark.operators import marts
 
+    import re
+
     df = marts.mart_scd2_user_state(spark, sf_dir)
     assert plans.num_exchanges(df) <= 2, "SCD2 grew an extra shuffle"
     plan = plans.physical(df)
     assert "Window" in plan
-    for frag in plan.split("Window")[1:]:
-        head = frag.split("]", 1)[0]
-        if "partition" in head.lower():
-            assert "user_id" in head
+    # every windowspecdefinition's FIRST argument is its partition key
+    # (an unpartitioned window has an ordering spec first instead)
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs, "no window specs found in the SCD2 plan"
+    for first_arg in specs:
+        assert first_arg == "user_id", (
+            f"window partitioned on {first_arg!r}, not user_id"
+        )
 
 
 def test_char_entropy_shuffles_partial_counts(spark, sf_dir):
@@ -517,3 +523,17 @@ def test_curriculum_uses_broadcast_cuts_no_window(spark, sf_dir):
     plan = plans.physical(pipeline.pipeline_curriculum_order(spark, sf_dir))
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_bigram_lm_reuses_doc_bigram_exchange(spark, sf_dir):
+    """The (doc, x, y) count exchange must feed BOTH the model build
+    and the scoring join.  Static canonicalization can't match the
+    lambda-bearing explode subtrees, so — like the PMI contract — this
+    asserts ReusedExchange on the EXECUTED plan (AQE stage reuse): the
+    expensive explode+count shuffle runs once, not once per branch."""
+    from bigdata_gamedb_etl_spark.operators import textops
+
+    df = textops.text_bigram_logprob(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed

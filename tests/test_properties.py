@@ -413,7 +413,11 @@ def test_scd2_run_collapse_matches_python(spark, rows):
         ]
 
     def us(ts):
-        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        # LOCAL .timestamp(), not a UTC re-tag: PySpark converts naive
+        # datetimes through the system-local zone on createDataFrame,
+        # so a UTC assumption here fails on any non-UTC host (the
+        # golden test at test_curation_golden.py uses the same form)
+        return int(ts.timestamp() * 1_000_000)
 
     by_user: dict = {}
     for eid, ts, u, t, _, _ in events:
