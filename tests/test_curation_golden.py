@@ -391,3 +391,26 @@ def test_pca_power_iteration_golden(spark, tmp_path_factory):
     rows = {r["dim"]: r for r in sim_pca_power_iteration(spark, str(d)).collect()}
     assert (rows[0]["loading"], rows[1]["loading"]) == (1.0, 0.0)
     assert rows[0]["eigenvalue_est"] == 5.0
+
+
+# --- drift degenerate-feed regression ------------------------------------
+# single shared timestamp: every event is early, tot_late = 0 — the
+# shares must come back NULL (both engines), never DIVIDE_BY_ZERO.
+def test_distribution_drift_single_timestamp_feed(spark, tmp_path_factory):
+    import datetime as dt
+
+    from bigdata_gamedb_etl_spark.operators.extended import dq_distribution_drift
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = [(i, ts, 1, "A", 1.0, "{}") for i in range(3)]
+    d = tmp_path_factory.mktemp("golden_drift_degenerate")
+    spark.createDataFrame(events, TABLE_SCHEMAS["events"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    rows = dq_distribution_drift(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["early_cnt"], r["late_cnt"]) == (3, 0)
+    assert r["early_share_pct"] == 100.0
+    assert r["late_share_pct"] is None and r["drift_pp"] is None
