@@ -1323,6 +1323,96 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Fleet-wide completeness audit — the DQ signal the quarantine mart's
+# freshness/skew/RI legs don't carry: per-column null rates across
+# every star-schema table.  One full-scan aggregate per table (all
+# null counters partial-agg in the same pass as the row count), then
+# a stack() unpivot of the one-row result to the (table, column)
+# grain — no shuffle anywhere except the final presentation sort of a
+# ~20-row frame.
+_COMPLETENESS_SPECS: list[tuple[str, list[str]]] = [
+    ("customer", ["c_acctbal", "c_nationkey"]),
+    ("documents", ["lang", "text"]),
+    ("embeddings", ["embedding", "label"]),
+    ("events", ["props", "user_id", "value"]),
+    ("lineitem", ["l_quantity", "l_shipdate"]),
+    ("nation", ["n_regionkey"]),
+    ("orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+    ("part", ["p_retailprice"]),
+    ("region", ["r_name"]),
+    ("supplier", ["s_acctbal"]),
+]
+
+
+def dq_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column (table, column, n_rows, n_null, null_pct) across the
+    audited star-schema columns; null_pct NULL for an empty table."""
+    outs = []
+    for tbl, cols in _COMPLETENESS_SPECS:
+        t = table(spark, sf_dir, tbl)
+        agg = t.agg(
+            F.count("*").alias("n_rows"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(c)
+                for c in cols
+            ],
+        )
+        stack_args = ", ".join(f"'{c}', coalesce({c}, 0L)" for c in cols)
+        outs.append(
+            agg.select(
+                F.lit(tbl).alias("table_name"),
+                F.expr(
+                    f"stack({len(cols)}, {stack_args}) AS (column_name, n_null)"
+                ),
+                "n_rows",
+            )
+        )
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_null",
+        (
+            F.floor(
+                F.col("n_null")
+                * 100.0
+                / F.when(F.col("n_rows") > 0, F.col("n_rows"))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("null_pct"),
+    ).orderBy("table_name", "column_name")
+
+
+def _completeness_oracle() -> str:
+    parts = []
+    for tbl, cols in _COMPLETENESS_SPECS:
+        for c in cols:
+            parts.append(
+                f"""SELECT '{tbl}' AS table_name, '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_null,
+       CASE WHEN COUNT(*) > 0 THEN
+         floor(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) * 100.0
+               / COUNT(*) * 10000.0 + 0.5) / 10000.0
+       END AS null_pct
+FROM {tbl}"""
+            )
+    return (
+        "\nUNION ALL\n".join(parts)
+        + "\nORDER BY table_name, column_name"
+    )
+
+
+DQ_COMPLETENESS_ORACLE = _completeness_oracle()
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -1341,6 +1431,7 @@ QUERIES = {
     "dq_referential_integrity": dq_referential_integrity,
     "dq_freshness_lag": dq_freshness_lag,
     "dq_distribution_drift": dq_distribution_drift,
+    "dq_completeness_profile": dq_completeness_profile,
     "seq_markov_transitions": seq_markov_transitions,
     "sess3_top_paths": sess3_top_paths,
     "p7_winsorized_value": p7_winsorized_value,
@@ -1368,6 +1459,7 @@ ORACLE = {
     "dq_referential_integrity": DQ_REFERENTIAL_ORACLE,
     "dq_freshness_lag": DQ_FRESHNESS_ORACLE,
     "dq_distribution_drift": DQ_DRIFT_ORACLE,
+    "dq_completeness_profile": DQ_COMPLETENESS_ORACLE,
     "seq_markov_transitions": SEQ_MARKOV_ORACLE,
     "sess3_top_paths": SESS3_ORACLE,
     "p7_winsorized_value": P7_ORACLE,

@@ -84,6 +84,7 @@ ROUND6_NEW: list[str] = [
     "pipeline_curriculum_order",
     "sim_pca_power_iteration",
     "dedup_lsh_cluster_assign",
+    "dq_completeness_profile",
 ]
 
 RECONFIRM_STALE = [

@@ -26,6 +26,8 @@ FIXED_ROWS = {
     # 4 skew keys + 4 FK edges keep their rows; the freshness legs are
     # per-OBSERVED event type, so they vanish with the data
     "dq_quarantine_mart": 8,
+    # one row per audited (table, column) pair, null_pct NULL on empty
+    "dq_completeness_profile": 18,
 }
 
 
