@@ -693,6 +693,71 @@ ORDER BY phase, order_key, doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis–
+# Spirakis A-ES): each doc draws u ∈ (0,1] from an md5-derived hash
+# (engine-portable, RNG-free — the stratified sampler's trick) and the
+# k docs with the LARGEST u^(1/w) win, equivalently the SMALLEST
+# -ln(u)/w — so heavier docs (here: longer, weight = token count) are
+# proportionally likelier, yet every engine and every rerun draws the
+# identical sample.  Scale shape: narrow map to compute the key, then
+# TakeOrderedAndProject top-k — no shuffle, no global sort, no RNG
+# state; each task offers its partition's candidates independently.
+WEIGHTED_SAMPLE_K = 50
+WEIGHTED_SAMPLE_SEED = 20240814
+
+
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-WEIGHTED_SAMPLE_K docs under hash-deterministic weighted
+    sampling with weight = token count (empty docs carry no weight and
+    are excluded)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.expr(f"size({_TOKS})")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(WEIGHTED_SAMPLE_SEED), "doc_id")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / w
+    return (
+        d.select(
+            "doc_id",
+            w.alias("weight"),
+            key.alias("sample_key"),
+        )
+        .where(F.col("weight") > 0)
+        .orderBy("sample_key", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "weight", F.round("sample_key", 6).alias("sample_key"))
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len({_TOKS_DUCK}) AS weight,
+         -ln((CAST(concat('0x',
+                 substring(md5({WEIGHTED_SAMPLE_SEED} || '_' || doc_id), 1, 8))
+               AS BIGINT) + 1) / 4294967296.0)
+           / len({_TOKS_DUCK}) AS sample_key
+  FROM documents
+  WHERE len({_TOKS_DUCK}) > 0
+)
+SELECT doc_id, CAST(weight AS INTEGER) AS weight,
+       ROUND(sample_key, 6) AS sample_key
+FROM scored
+ORDER BY scored.sample_key, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_examples": pipeline_training_examples,
@@ -704,6 +769,7 @@ QUERIES = {
     "pipeline_feature_hash_profile": pipeline_feature_hash_profile,
     "pipeline_length_buckets": pipeline_length_buckets,
     "pipeline_curriculum_order": pipeline_curriculum_order,
+    "pipeline_weighted_sample": pipeline_weighted_sample,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
@@ -716,4 +782,5 @@ ORACLE = {
     "pipeline_feature_hash_profile": FEATURE_HASH_ORACLE,
     "pipeline_length_buckets": LENGTH_BUCKETS_ORACLE,
     "pipeline_curriculum_order": CURRICULUM_ORACLE,
+    "pipeline_weighted_sample": WEIGHTED_SAMPLE_ORACLE,
 }

@@ -85,6 +85,7 @@ ROUND6_NEW: list[str] = [
     "sim_pca_power_iteration",
     "dedup_lsh_cluster_assign",
     "dq_completeness_profile",
+    "pipeline_weighted_sample",
 ]
 
 RECONFIRM_STALE = [

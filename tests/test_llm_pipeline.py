@@ -359,3 +359,26 @@ def test_lsh_cluster_assign_is_deterministic(spark):
     a = [tuple(r) for r in dedup.dedup_lsh_cluster_assign(spark, sf).collect()]
     b = [tuple(r) for r in dedup.dedup_lsh_cluster_assign(spark, sf).collect()]
     assert a == b
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """With weight = token count, the A-ES sample's mean weight must
+    exceed the corpus mean (deterministic given the fixed seed and
+    testdata — this pins that the weighting actually biases the draw,
+    not just that both engines agree)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators import pipeline
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    sf = SF_DIRS[0]
+    sample = pipeline.pipeline_weighted_sample(spark, sf)
+    sample_mean = sample.agg(F.avg("weight")).first()[0]
+    corpus_mean = (
+        table(spark, sf, "documents")
+        .select(F.expr("size(filter(split(text, ' '), t -> t <> ''))").alias("w"))
+        .where(F.col("w") > 0)
+        .agg(F.avg("w"))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)

@@ -537,3 +537,15 @@ def test_bigram_lm_reuses_doc_bigram_exchange(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_weighted_sample_is_topk_no_shuffle(spark, sf_dir):
+    """A-ES weighted sampling must plan as a narrow map +
+    TakeOrderedAndProject: no hash exchange, no Window, no global
+    Sort — each task offers its partition's candidates independently."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    plan = plans.physical(pipeline.pipeline_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
