@@ -1378,6 +1378,146 @@ ORDER BY keeper_id
 """
 
 
+# --------------------------------------------------------------------------
+# Survivorship funnel — the one-page report a curation run publishes:
+# how many documents (and tokens) survive each rung of the dedup
+# ladder, raw → byte-exact → normalized-exact → near-dup-clustered.
+# Each rung's survivor predicate is a keeper rule already shipped
+# above; here they compose into one declarative four-row frame.
+# Scale shape: the md5/norm-md5 keeper windows are digest-partitioned
+# (bounded groups), the cluster tier joins the CC labels at doc grain,
+# and each tier collapses to ONE summary row before the union — the
+# output is always exactly 4 rows.
+_FUNNEL_TIERS = ["1_raw", "2_exact", "3_normalized", "4_clustered"]
+
+
+def dedup_survivorship_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tier, n_docs, n_tokens, docs_kept_pct) for the four dedup
+    rungs; percentages are vs raw with the floor(x·1e4+0.5)/1e4
+    recipe."""
+    from .textops import _TOKS
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(f"size({_TOKS})").cast("long").alias("token_count"),
+    )
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w_norm = Window.partitionBy(F.md5(_normalize_expr("text"))).orderBy(
+        "doc_id"
+    )
+    flagged = (
+        d.withColumn("rn_exact", F.row_number().over(w_exact))
+        .withColumn("rn_norm", F.row_number().over(w_norm))
+        .join(
+            dedup_cluster_assign(spark, sf_dir).select("doc_id", "cluster_id"),
+            "doc_id",
+            "left",
+        )
+    )
+    cluster_keeper = F.col("cluster_id").isNull() | (
+        F.col("cluster_id") == F.col("doc_id")
+    )
+    tiers = {
+        "1_raw": F.lit(True),
+        "2_exact": F.col("rn_exact") == 1,
+        "3_normalized": F.col("rn_norm") == 1,
+        "4_clustered": (F.col("rn_exact") == 1) & cluster_keeper,
+    }
+    summary = flagged.agg(
+        *[
+            F.sum(pred.cast("long")).alias(f"docs_{t}")
+            for t, pred in tiers.items()
+        ],
+        *[
+            F.sum(F.when(pred, F.col("token_count")).otherwise(0)).alias(
+                f"toks_{t}"
+            )
+            for t, pred in tiers.items()
+        ],
+    )
+    stack = ", ".join(
+        f"'{t}', docs_{t}, toks_{t}" for t in _FUNNEL_TIERS
+    )
+    return summary.select(
+        F.expr(
+            f"stack({len(_FUNNEL_TIERS)}, {stack})"
+            " AS (tier, n_docs, n_tokens)"
+        ),
+        F.col("docs_1_raw").alias("raw_docs"),
+    ).select(
+        "tier",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("n_docs")
+                * 100.0
+                / F.when(F.col("raw_docs") > 0, F.col("raw_docs"))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
+        ).alias("docs_kept_pct"),
+    ).orderBy("tier")
+
+
+def _funnel_oracle() -> str:
+    from .textops import _TOKS_DUCK
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
+flagged AS (
+  SELECT d.doc_id,
+         len({_TOKS_DUCK}) AS token_count,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+           AS rn_exact,
+         ROW_NUMBER() OVER (PARTITION BY md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g'))) ORDER BY doc_id) AS rn_norm,
+         c.cluster_id
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+summary AS (
+  SELECT
+    COUNT(*) AS docs_raw,
+    SUM(CASE WHEN rn_exact = 1 THEN 1 ELSE 0 END) AS docs_exact,
+    SUM(CASE WHEN rn_norm = 1 THEN 1 ELSE 0 END) AS docs_norm,
+    SUM(CASE WHEN rn_exact = 1
+              AND (cluster_id IS NULL OR cluster_id = doc_id)
+         THEN 1 ELSE 0 END) AS docs_clustered,
+    SUM(token_count) AS toks_raw,
+    SUM(CASE WHEN rn_exact = 1 THEN token_count ELSE 0 END) AS toks_exact,
+    SUM(CASE WHEN rn_norm = 1 THEN token_count ELSE 0 END) AS toks_norm,
+    SUM(CASE WHEN rn_exact = 1
+              AND (cluster_id IS NULL OR cluster_id = doc_id)
+         THEN token_count ELSE 0 END) AS toks_clustered
+  FROM flagged
+),
+tiers AS (
+  SELECT '1_raw' AS tier, docs_raw AS n_docs, toks_raw AS n_tokens,
+         docs_raw FROM summary
+  UNION ALL
+  SELECT '2_exact', docs_exact, toks_exact, docs_raw FROM summary
+  UNION ALL
+  SELECT '3_normalized', docs_norm, toks_norm, docs_raw FROM summary
+  UNION ALL
+  SELECT '4_clustered', docs_clustered, toks_clustered, docs_raw
+  FROM summary
+)
+SELECT tier, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN docs_raw > 0 THEN
+         floor(n_docs * 100.0 / docs_raw * 10000.0 + 0.5) / 10000.0
+       END AS docs_kept_pct
+FROM tiers
+ORDER BY tier
+"""
+
+
+DEDUP_FUNNEL_ORACLE = _funnel_oracle()
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_exact_md5": dedup_exact_md5,
@@ -1396,6 +1536,7 @@ QUERIES = {
     "dedup_normalized_keeper": dedup_normalized_keeper,
     "dq_contamination_scorecard": dq_contamination_scorecard,
     "dedup_keeper_selection": dedup_keeper_selection,
+    "dedup_survivorship_funnel": dedup_survivorship_funnel,
 }
 
 ORACLE = {
@@ -1411,6 +1552,7 @@ ORACLE = {
     "dedup_editdist_names": DEDUP_EDITDIST_ORACLE,
     "dedup_repeated_ngram_share": DEDUP_REPEATED_ORACLE,
     "dedup_normalized_keeper": DEDUP_NORMALIZED_ORACLE,
+    "dedup_survivorship_funnel": DEDUP_FUNNEL_ORACLE,
     "dq_contamination_scorecard": DQ_CONTAMINATION_ORACLE,
     "dedup_keeper_selection": DEDUP_KEEPER_ORACLE,
     "dedup_simhash_signatures": DEDUP_SIMHASH_ORACLE,

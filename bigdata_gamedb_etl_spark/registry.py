@@ -86,6 +86,7 @@ ROUND6_NEW: list[str] = [
     "dedup_lsh_cluster_assign",
     "dq_completeness_profile",
     "pipeline_weighted_sample",
+    "dedup_survivorship_funnel",
 ]
 
 RECONFIRM_STALE = [

@@ -28,6 +28,8 @@ FIXED_ROWS = {
     "dq_quarantine_mart": 8,
     # one row per audited (table, column) pair, null_pct NULL on empty
     "dq_completeness_profile": 18,
+    # one row per dedup rung, null metrics on an empty corpus
+    "dedup_survivorship_funnel": 4,
 }
 
 
