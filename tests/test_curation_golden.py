@@ -414,3 +414,66 @@ def test_distribution_drift_single_timestamp_feed(spark, tmp_path_factory):
     assert (r["early_cnt"], r["late_cnt"]) == (3, 0)
     assert r["early_share_pct"] == 100.0
     assert r["late_share_pct"] is None and r["drift_pp"] is None
+
+
+# --- survivorship-funnel fixture -----------------------------------------
+# d1="a b c", d2 byte-dup of d1, d3 normalized-dup ("A B C!"),
+# d4/d5 near-dups (jaccard 4/6).  raw 5 docs / 23 tokens;
+# exact drops d2 (4/20); normalized also drops d3 (3/17); clustered
+# drops d5 from the exact tier (3/13).
+def test_survivorship_funnel_golden(spark, tmp_path_factory):
+    from bigdata_gamedb_etl_spark.operators.dedup import dedup_survivorship_funnel
+
+    docs = [
+        _doc(1, "a b c"),
+        _doc(2, "a b c"),
+        _doc(3, "A B C!"),
+        _doc(4, "m n o p q r s"),
+        _doc(5, "m n o p q r t"),
+    ]
+    d = tmp_path_factory.mktemp("golden_funnel")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {r["tier"]: r for r in dedup_survivorship_funnel(spark, str(d)).collect()}
+    assert (rows["1_raw"]["n_docs"], rows["1_raw"]["n_tokens"]) == (5, 23)
+    assert (rows["2_exact"]["n_docs"], rows["2_exact"]["n_tokens"]) == (4, 20)
+    assert (rows["3_normalized"]["n_docs"], rows["3_normalized"]["n_tokens"]) == (3, 17)
+    assert (rows["4_clustered"]["n_docs"], rows["4_clustered"]["n_tokens"]) == (3, 13)
+    assert rows["1_raw"]["docs_kept_pct"] == 100.0
+    assert rows["2_exact"]["docs_kept_pct"] == 80.0
+    assert rows["3_normalized"]["docs_kept_pct"] == 60.0
+    assert rows["4_clustered"]["docs_kept_pct"] == 60.0
+
+
+# --- weighted-sample ranking fixture -------------------------------------
+# the A-ES keys are md5-derived and reproducible in plain Python; the
+# operator's top-k must equal the Python-computed ranking exactly.
+def test_weighted_sample_matches_python_ranking(spark, tmp_path_factory):
+    import hashlib
+    import math
+
+    from bigdata_gamedb_etl_spark.operators.pipeline import (
+        WEIGHTED_SAMPLE_K,
+        WEIGHTED_SAMPLE_SEED,
+        pipeline_weighted_sample,
+    )
+
+    docs = [_doc(i, " ".join(["t"] * (i % 7 + 1))) for i in range(1, 30)]
+    d = tmp_path_factory.mktemp("golden_weighted")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = [r["doc_id"] for r in pipeline_weighted_sample(spark, str(d)).collect()]
+
+    def key(doc_id, weight):
+        h = hashlib.md5(f"{WEIGHTED_SAMPLE_SEED}_{doc_id}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / 4294967296.0
+        return -math.log(u) / weight
+
+    ranked = sorted(
+        ((key(i, i % 7 + 1), i) for i in range(1, 30)),
+    )[:WEIGHTED_SAMPLE_K]
+    assert got == [i for _, i in ranked]
