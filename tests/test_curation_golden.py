@@ -477,3 +477,73 @@ def test_weighted_sample_matches_python_ranking(spark, tmp_path_factory):
         ((key(i, i % 7 + 1), i) for i in range(1, 30)),
     )[:WEIGHTED_SAMPLE_K]
     assert got == [i for _, i in ranked]
+
+
+# --- lang-ID confusion fixture -------------------------------------------
+# hits >= 3 -> 'en'; 1-2 -> 'en-maybe'; 0 -> 'unknown'
+def test_langid_confusion_golden(spark, tmp_path_factory):
+    from bigdata_gamedb_etl_spark.operators.textops import text_langid_confusion
+
+    docs = [
+        (1, "the a of and to in x", "en", "s", 10),   # 6 hits -> en
+        (2, "the x y", "en", "s", 7),                 # 1 hit  -> en-maybe
+        (3, "x y z", "zh", "s", 5),                   # 0 hits -> unknown
+        (4, "the a of w", "zh", "s", 9),              # 3 hits -> en
+    ]
+    d = tmp_path_factory.mktemp("golden_confusion")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {
+        (r["lang"], r["predicted_lang"]): r
+        for r in text_langid_confusion(spark, str(d)).collect()
+    }
+    assert rows[("en", "en")]["n_docs"] == 1
+    assert rows[("en", "en")]["class_share_pct"] == 50.0
+    assert rows[("en", "en-maybe")]["class_share_pct"] == 50.0
+    assert rows[("zh", "unknown")]["class_share_pct"] == 50.0
+    assert rows[("zh", "en")]["class_share_pct"] == 50.0
+    assert len(rows) == 4
+
+
+# --- completeness-profile fixture ----------------------------------------
+def test_completeness_profile_golden(spark, tmp_path_factory):
+    import datetime as dt
+
+    from bigdata_gamedb_etl_spark.operators.extended import dq_completeness_profile
+    from bigdata_gamedb_etl_spark.sources.catalog import TABLE_NAMES
+
+    d = tmp_path_factory.mktemp("golden_completeness")
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = [
+        (0, ts, 1, "view", 1.0, None),   # null props
+        (1, ts, 2, "view", None, "{}"),  # null value
+        (2, ts, 3, "view", 2.0, "{}"),
+    ]
+    docs = [(1, "x", None, "s", 1), (2, "y", "en", "s", 1)]  # one null lang
+    for name in TABLE_NAMES:
+        if name == "events":
+            rows = events
+        elif name == "documents":
+            rows = docs
+        else:
+            rows = []
+        spark.createDataFrame(rows, TABLE_SCHEMAS[name]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d / f"{name}.parquet"))
+
+    out = {
+        (r["table_name"], r["column_name"]): r
+        for r in dq_completeness_profile(spark, str(d)).collect()
+    }
+    assert len(out) == 18
+    assert out[("events", "props")]["n_null"] == 1
+    assert out[("events", "value")]["n_null"] == 1
+    assert out[("events", "user_id")]["n_null"] == 0
+    assert out[("events", "props")]["null_pct"] == 33.3333
+    assert out[("documents", "lang")]["n_null"] == 1
+    assert out[("documents", "lang")]["null_pct"] == 50.0
+    # empty tables keep their rows with NULL pct
+    assert out[("orders", "o_custkey")]["n_rows"] == 0
+    assert out[("orders", "o_custkey")]["null_pct"] is None
