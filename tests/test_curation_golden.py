@@ -547,3 +547,31 @@ def test_completeness_profile_golden(spark, tmp_path_factory):
     # empty tables keep their rows with NULL pct
     assert out[("orders", "o_custkey")]["n_rows"] == 0
     assert out[("orders", "o_custkey")]["null_pct"] is None
+
+
+# --- curriculum-phase fixture --------------------------------------------
+# integer scores: 2500, 5000, 10000, 10000, 5000; percentile_disc cuts
+# c25=c50=5000, c75=10000 -> scores <= 5000 land in phase 1, the
+# 10000s exceed c25 and c50 but not c75 -> phase 3.
+def test_curriculum_order_golden(spark, tmp_path_factory):
+    from bigdata_gamedb_etl_spark.operators.pipeline import (
+        pipeline_curriculum_order,
+    )
+
+    docs = [
+        _doc(1, "a a a a"),
+        _doc(2, "a a b b"),
+        _doc(3, "a b c d"),
+        _doc(4, "a b"),
+        _doc(5, "a a a b"),
+    ]
+    d = tmp_path_factory.mktemp("golden_curriculum")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in pipeline_curriculum_order(spark, str(d)).collect()}
+    assert {i: rows[i]["score"] for i in rows} == {
+        1: 2500, 2: 5000, 3: 10000, 4: 10000, 5: 5000,
+    }
+    assert {i: rows[i]["phase"] for i in rows} == {1: 1, 2: 1, 5: 1, 3: 3, 4: 3}
