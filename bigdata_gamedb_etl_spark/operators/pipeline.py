@@ -735,7 +735,18 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("weight") > 0)
         .orderBy("sample_key", "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
-        .select("doc_id", "weight", F.round("sample_key", 6).alias("sample_key"))
+        # floor(x·1e6+0.5)/1e6, not ROUND: the repo-wide double-ratio
+        # recipe (w10 lesson) — keys are ln-derived so halfway doubles
+        # are vanishingly unlikely, but uniformity keeps parity
+        # structural rather than probabilistic
+        .select(
+            "doc_id",
+            "weight",
+            (
+                F.floor(F.col("sample_key") * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("sample_key"),
+        )
     )
 
 
@@ -751,7 +762,7 @@ WITH scored AS (
   WHERE len({_TOKS_DUCK}) > 0
 )
 SELECT doc_id, CAST(weight AS INTEGER) AS weight,
-       ROUND(sample_key, 6) AS sample_key
+       floor(sample_key * 1000000.0 + 0.5) / 1000000.0 AS sample_key
 FROM scored
 ORDER BY scored.sample_key, doc_id
 LIMIT {WEIGHTED_SAMPLE_K}
