@@ -888,9 +888,11 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One power-iteration update from the e₀ seed: per-dimension
     loading of the normalized new direction, with the Rayleigh-style
     eigenvalue estimate |w| (= v₀ᵀ M v₀ scale) repeated per row."""
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir).where(F.size("emb") > 0)
     # x·e0 is just the first coordinate — the general v0 would be a
-    # broadcast array; e0 keeps the seed literal and engine-identical
+    # broadcast array; e0 keeps the seed literal and engine-identical.
+    # The size guard keeps emb[0] defined on a degenerate zero-length
+    # row (ANSI array indexing throws; DuckDB would yield NULL).
     s = emb.select("vec_id", F.col("emb")[0].alias("s"), "emb")
     per_dim = (
         s.select(F.posexplode("emb").alias("dim", "x"), "s")
@@ -912,6 +914,7 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_PCA_ORACLE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE len(embedding) > 0
 ),
 s AS (SELECT vec_id, emb[1] AS s, emb FROM e),
 per_dim AS (
