@@ -218,6 +218,46 @@ def read_csv(
     return spark.read.csv(path, header=True, schema=schema, escape=escape)
 
 
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    escape: str = '"',
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingestion that survives malformed rows — the shape a 100 TB
+    feed needs (real dumps always contain broken lines, and FAILFAST
+    would kill a day-long job on row one billion).
+
+    PERMISSIVE mode parses what it can and captures each unparseable
+    raw line in a `_corrupt_record` column; returns (clean, corrupt)
+    splits of ONE underlying scan so the caller can load the clean
+    rows and quarantine the bad lines (e.g. via write_parquet) in the
+    same job.  The corrupt split carries the FULL augmented row
+    (partially-parsed fields + the raw line) — both because that is
+    the more useful quarantine record and because Spark disallows
+    querying ONLY the corrupt column from a raw scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    augmented = StructType(
+        schema.fields + [StructField("_corrupt_record", StringType())]
+    )
+    raw = spark.read.csv(
+        path,
+        header=True,
+        schema=augmented,
+        escape=escape,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    clean = raw.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = raw.where(F.col("_corrupt_record").isNotNull())
+    return clean, corrupt
+
+
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.json(path, schema=schema)
 

@@ -130,3 +130,38 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
         merged.where(F.col("quality_len") > 100), "formatted"
     )
     assert "PushedFilters" in plan and "quality_len" in plan
+
+
+def test_csv_permissive_quarantines_malformed_rows(spark, tmp_path):
+    """read_csv_permissive: well-formed rows parse into the clean
+    split; rows that cannot be coerced to the schema land verbatim in
+    the corrupt split — neither is silently dropped, and a FAILFAST
+    crash never happens."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_gamedb_etl_spark.sources.catalog import read_csv_permissive
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"   # score fails the int cast
+        "3,gamma,30\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("score", IntegerType()),
+        ]
+    )
+    clean, corrupt = read_csv_permissive(spark, str(p), schema)
+    rows = {r["id"]: (r["name"], r["score"]) for r in clean.collect()}
+    assert rows == {1: ("alpha", 10), 3: ("gamma", 30)}
+    bad = [r["_corrupt_record"] for r in corrupt.collect()]
+    assert bad == ["2,beta,not_a_number"]
