@@ -182,7 +182,10 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "n",
-            F.round(mean, 4).alias("trailing_mean"),
+            (
+                F.floor(mean * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("trailing_mean"),
             F.round(z, 4).alias("z"),
         )
         .where(var > 0)
@@ -206,7 +209,7 @@ win AS (
                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, day, n,
-       ROUND(s / 7.0, 4) AS trailing_mean,
+       floor(s / 7.0 * 10000.0 + 0.5) / 10000.0 AS trailing_mean,
        ROUND((n - s / 7.0) / sqrt((ss - 7.0 * (s / 7.0) * (s / 7.0)) / 6.0), 4) AS z
 FROM win
 WHERE w_days = 7
@@ -291,7 +294,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score")
         .agg(
             F.count("*").alias("customers"),
-            F.round(F.avg("m_score"), 4).alias("avg_m_score"),
+            (
+                F.floor(F.avg("m_score") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("avg_m_score"),
             # exact decimal total, then one double division+round done
             # identically by both engines (decimal÷int rounding rules
             # differ between Spark and DuckDB; double division doesn't)
@@ -345,7 +351,7 @@ scored AS (
 )
 SELECT r_score, f_score,
        COUNT(*) AS customers,
-       ROUND(AVG(m_score), 4) AS avg_m_score,
+       floor(AVG(m_score) * 10000.0 + 0.5) / 10000.0 AS avg_m_score,
        ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS avg_spend
 FROM scored
 GROUP BY r_score, f_score

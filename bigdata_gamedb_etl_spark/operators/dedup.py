@@ -86,6 +86,15 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _fr4(x):
+    """floor(x*1e4+0.5)/1e4 — identical to HALF_UP for the non-negative
+    ratios it rounds, but engine-agreed at exact dyadic halfway values
+    (e.g. common/union = 68/128 = 0.53125) where Spark's ROUND rounds
+    up and DuckDB's rounds to even.  Oracle twins carry the same form."""
+    return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 # --------------------------------------------------------------------------
 def dedup_exact_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one keeper (min doc_id) per distinct text."""
@@ -207,7 +216,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
         agg.where(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .select("d1", "d2", _fr4(jac).alias("jaccard"))
         .orderBy("d1", "d2")
     )
 
@@ -230,7 +239,8 @@ pairs AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT d1, d2,
-       ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+       floor(common * 1.0 / (n1 + n2 - common) * 10000.0 + 0.5) / 10000.0
+         AS jaccard
 FROM pairs
 WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
 ORDER BY d1, d2
@@ -269,7 +279,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n1") <= F.col("n2"), F.col("d1"))
             .otherwise(F.col("d2"))
             .alias("contained_id"),
-            F.round(cont, 4).alias("containment"),
+            _fr4(cont).alias("containment"),
         )
         .orderBy("d1", "d2")
     )
@@ -299,7 +309,8 @@ pairs AS (
 )
 SELECT d1, d2,
        CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_id,
-       ROUND(common * 1.0 / least(n1, n2), 4) AS containment
+       floor(common * 1.0 / least(n1, n2) * 10000.0 + 0.5) / 10000.0
+         AS containment
 FROM pairs
 WHERE common * 1.0 / least(n1, n2) >= {CONTAINMENT_THRESHOLD}
 ORDER BY d1, d2
@@ -840,7 +851,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "overlap",
             F.col("n").alias("total_shingles"),
-            F.round(ratio, 4).alias("contamination_ratio"),
+            _fr4(ratio).alias("contamination_ratio"),
             (ratio >= DECON_FLAG_RATIO).alias("drop_doc"),
         )
         .orderBy("doc_id")
@@ -863,7 +874,8 @@ bench AS (
 SELECT doc_id,
        COUNT(*) AS overlap,
        ANY_VALUE(n) AS total_shingles,
-       ROUND(COUNT(*) * 1.0 / ANY_VALUE(n), 4) AS contamination_ratio,
+       floor(COUNT(*) * 1.0 / ANY_VALUE(n) * 10000.0 + 0.5) / 10000.0
+         AS contamination_ratio,
        COUNT(*) * 1.0 / ANY_VALUE(n) >= {DECON_FLAG_RATIO} AS drop_doc
 FROM corpus JOIN bench USING (s)
 GROUP BY doc_id
@@ -918,7 +930,7 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.where(jac >= JACCARD_THRESHOLD)
-        .select("new_id", "match_id", F.round(jac, 4).alias("jaccard"))
+        .select("new_id", "match_id", _fr4(jac).alias("jaccard"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
@@ -939,7 +951,8 @@ cand AS (
 ),
 jacs AS (
   SELECT new_id, match_id,
-         ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+         floor(common * 1.0 / (n1 + n2 - common) * 10000.0 + 0.5) / 10000.0
+           AS jaccard
   FROM cand
   WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
 ),
@@ -1016,7 +1029,7 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_lines",
             "n_boiler",
-            F.round((F.col("n_lines") - F.col("n_boiler")) / F.col("n_lines"), 4).alias(
+            _fr4((F.col("n_lines") - F.col("n_boiler")) / F.col("n_lines")).alias(
                 "kept_ratio"
             ),
             "clean_md5",
@@ -1044,8 +1057,8 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(CASE WHEN line_df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_boiler,
-       ROUND((COUNT(*) - SUM(CASE WHEN line_df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END))
-             * 1.0 / COUNT(*), 4) AS kept_ratio,
+       floor((COUNT(*) - SUM(CASE WHEN line_df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END))
+             * 1.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS kept_ratio,
        md5(COALESCE(string_agg(CASE WHEN line_df < {BOILER_MIN_DOCS} THEN line END,
                                ' ' ORDER BY pos), '')) AS clean_md5
 FROM marked

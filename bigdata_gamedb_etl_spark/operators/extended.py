@@ -581,9 +581,15 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(label).alias("relationship"),
                 F.count("*").alias("total_rows"),
                 F.sum(dim[pk].isNull().cast("long")).alias("orphan_rows"),
-                F.round(
-                    F.sum(dim[pk].isNull().cast("long")) * 100.0 / F.count("*"),
-                    4,
+                (
+                    F.floor(
+                        F.sum(dim[pk].isNull().cast("long"))
+                        * 100.0
+                        / F.count("*")
+                        * F.lit(10000.0)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(10000.0)
                 ).alias("orphan_pct"),
             )
         )
@@ -598,29 +604,29 @@ SELECT 'lineitem->orders' AS relationship,
        CAST(COUNT(*) AS BIGINT) AS total_rows,
        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS orphan_rows,
-       ROUND(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) * 100.0
-             / COUNT(*), 4) AS orphan_pct
+       floor(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS orphan_pct
 FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 UNION ALL
 SELECT 'lineitem->part',
        CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       ROUND(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) * 100.0
-             / COUNT(*), 4)
+       floor(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) * 10000.0 + 0.5) / 10000.0
 FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 UNION ALL
 SELECT 'lineitem->supplier',
        CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       ROUND(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) * 100.0
-             / COUNT(*), 4)
+       floor(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) * 10000.0 + 0.5) / 10000.0
 FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
 UNION ALL
 SELECT 'orders->customer',
        CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       ROUND(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 100.0
-             / COUNT(*), 4)
+       floor(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) * 10000.0 + 0.5) / 10000.0
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 ORDER BY relationship
 """
@@ -650,8 +656,14 @@ def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n_transitions",
-        F.round(
-            F.col("n_transitions") / F.sum("n_transitions").over(per_source), 6
+        (
+            F.floor(
+                F.col("n_transitions")
+                / F.sum("n_transitions").over(per_source)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("prob"),
     ).orderBy("from_type", "to_type")
 
@@ -669,8 +681,9 @@ counts AS (
   GROUP BY from_type, to_type
 )
 SELECT from_type, to_type, n_transitions,
-       ROUND(CAST(n_transitions AS DOUBLE)
-             / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+       floor(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY from_type)
+             * 1000000.0 + 0.5) / 1000000.0 AS prob
 FROM counts
 ORDER BY from_type, to_type
 """
@@ -849,14 +862,25 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             F.to_date("latest_ts").alias("latest_day"),
-            F.round(
-                (F.col("global_us") - F.col("latest_us")) / 3_600_000_000.0, 4
+            (
+                F.floor(
+                    (F.col("global_us") - F.col("latest_us"))
+                    / 3_600_000_000.0
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
             ).alias("staleness_hours"),
             F.coalesce("last_day_events", F.lit(0)).alias("last_day_events"),
-            F.round(
-                F.coalesce("last_day_events", F.lit(0)) * 100.0
-                / F.col("n_events"),
-                4,
+            (
+                F.floor(
+                    F.coalesce("last_day_events", F.lit(0))
+                    * 100.0
+                    / F.col("n_events")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
             ).alias("last_day_pct"),
         )
         .orderBy("event_type")
@@ -878,9 +902,11 @@ recent AS (
   GROUP BY event_type
 )
 SELECT p.event_type, p.n_events, p.latest_day,
-       ROUND((g.global_us - p.latest_us) / 3600000000.0, 4) AS staleness_hours,
+       floor((g.global_us - p.latest_us) / 3600000000.0 * 10000.0 + 0.5)
+         / 10000.0 AS staleness_hours,
        CAST(COALESCE(r.last_day_events, 0) AS BIGINT) AS last_day_events,
-       ROUND(COALESCE(r.last_day_events, 0) * 100.0 / p.n_events, 4)
+       floor(COALESCE(r.last_day_events, 0) * 100.0 / p.n_events
+             * 10000.0 + 0.5) / 10000.0
          AS last_day_pct
 FROM per_type p CROSS JOIN g
 LEFT JOIN recent r ON p.event_type = r.event_type

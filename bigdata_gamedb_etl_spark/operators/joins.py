@@ -363,8 +363,14 @@ def j11_acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tier",
             "customers",
             "avg_bal",
-            F.round(F.col("customers") * 100.0 / F.col("total_customers"), 4)
-            .alias("pct_of_customers"),
+            (
+                F.floor(
+                    F.col("customers") * 100.0 / F.col("total_customers")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("pct_of_customers"),
         )
         .orderBy("tier")
     )
@@ -389,7 +395,8 @@ SELECT tier,
        COUNT(*) AS customers,
        ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*), 2) AS avg_bal,
-       ROUND(COUNT(*) * 100.0 / MAX(total_customers), 4) AS pct_of_customers
+       floor(COUNT(*) * 100.0 / MAX(total_customers) * 10000.0 + 0.5)
+         / 10000.0 AS pct_of_customers
 FROM joined CROSS JOIN total
 GROUP BY tier
 ORDER BY tier

@@ -53,7 +53,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_docs",
             "raw_docs",
             "avg_tokens",
-            F.round(F.col("kept_docs") / F.col("raw_docs"), 4).alias("kept_ratio"),
+            (
+                F.floor(
+                    F.col("kept_docs") / F.col("raw_docs") * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("kept_ratio"),
         )
         .orderBy("lang")
     )
@@ -80,7 +86,8 @@ SELECT s.lang,
        COUNT(*) AS kept_docs,
        raw.raw_docs,
        ROUND(AVG(s.token_count), 2) AS avg_tokens,
-       ROUND(COUNT(*) * 1.0 / raw.raw_docs, 4) AS kept_ratio
+       floor(COUNT(*) * 1.0 / raw.raw_docs * 10000.0 + 0.5) / 10000.0
+         AS kept_ratio
 FROM survivors s JOIN raw ON s.lang = raw.lang
 GROUP BY s.lang, raw.raw_docs
 ORDER BY s.lang
@@ -507,11 +514,15 @@ def pipeline_feature_hash_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         "bucket",
         "occurrences",
         "distinct_tokens",
-        F.round(
-            (F.col("occurrences") - F.col("top_token_occ"))
-            * 100.0
-            / F.col("occurrences"),
-            4,
+        (
+            F.floor(
+                (F.col("occurrences") - F.col("top_token_occ"))
+                * 100.0
+                / F.col("occurrences")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
         ).alias("collision_mass_pct"),
     ).orderBy("bucket")
 
@@ -531,7 +542,8 @@ bucketed AS (
 SELECT bucket,
        CAST(SUM(occ) AS BIGINT) AS occurrences,
        COUNT(*) AS distinct_tokens,
-       ROUND((SUM(occ) - MAX(occ)) * 100.0 / SUM(occ), 4)
+       floor((SUM(occ) - MAX(occ)) * 100.0 / SUM(occ) * 10000.0 + 0.5)
+         / 10000.0
          AS collision_mass_pct
 FROM bucketed
 GROUP BY bucket
@@ -577,13 +589,15 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("docs"),
             F.sum("n_tokens").alias("total_tokens"),
             # pad target = 2*bucket_lo - 1 (the bucket's inclusive hi)
-            F.round(
-                (
+            (
+                F.floor(
                     F.sum(F.lit(2) * F.col("bucket_lo") - 1 - F.col("n_tokens"))
                     * 100.0
+                    / F.sum(F.lit(2) * F.col("bucket_lo") - 1)
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
                 )
-                / F.sum(F.lit(2) * F.col("bucket_lo") - 1),
-                4,
+                / F.lit(10000.0)
             ).alias("pad_waste_pct"),
         )
         .orderBy("bucket_lo")
@@ -609,8 +623,9 @@ bucketed AS (
 SELECT bucket_lo,
        COUNT(*) AS docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       ROUND(SUM(2 * bucket_lo - 1 - n_tokens) * 100.0
-             / SUM(2 * bucket_lo - 1), 4) AS pad_waste_pct
+       floor(SUM(2 * bucket_lo - 1 - n_tokens) * 100.0
+             / SUM(2 * bucket_lo - 1) * 10000.0 + 0.5) / 10000.0
+         AS pad_waste_pct
 FROM bucketed
 WHERE bucket_lo IS NOT NULL
 GROUP BY bucket_lo

@@ -94,7 +94,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             toks.alias("token_count"),
-            F.round(ratio, 4).alias("distinct_ratio"),
+            (
+                F.floor(ratio * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("distinct_ratio"),
             bucket.alias("quality_bucket"),
         )
         .orderBy("doc_id")
@@ -104,7 +107,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_QUALITY_ORACLE = f"""
 SELECT doc_id,
        CAST(len({_TOKS_DUCK}) AS INTEGER) AS token_count,
-       ROUND(len(list_distinct({_TOKS_DUCK})) * 1.0 / len({_TOKS_DUCK}), 4)
+       floor(len(list_distinct({_TOKS_DUCK})) * 1.0 / len({_TOKS_DUCK})
+             * 10000.0 + 0.5) / 10000.0
          AS distinct_ratio,
        CASE
          WHEN len({_TOKS_DUCK}) >= 200
@@ -464,16 +468,35 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_sig = d.select(
         "doc_id",
         n.alias("token_count"),
-        F.round(1 - F.size(F.array_distinct(toks)) / n, 4).alias("dup_token_ratio"),
-        F.round(
-            1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4
+        (
+            F.floor((1 - F.size(F.array_distinct(toks)) / n) * F.lit(10000.0) + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("dup_token_ratio"),
+        (
+            F.floor(
+                (1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
         ).alias("dup_bigram_ratio"),
-        F.round(
-            F.expr(f"aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t))") / n, 4
+        (
+            F.floor(
+                F.expr(f"aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t))")
+                / n
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
         ).alias("mean_word_len"),
-        F.round(
-            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")) / F.length("text"),
-            4,
+        (
+            F.floor(
+                F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+                / F.length("text")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0)
         ).alias("symbol_ratio"),
     )
     top_share = (
@@ -482,7 +505,13 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")
         .agg((F.max("cnt") / F.sum("cnt")).alias("raw_share"))
-        .select("doc_id", F.round("raw_share", 4).alias("top_token_share"))
+        .select(
+            "doc_id",
+            (
+                F.floor(F.col("raw_share") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("top_token_share"),
+        )
     )
     return (
         row_sig.join(top_share, "doc_id")
@@ -502,20 +531,24 @@ TEXT_GOPHER_ORACLE = f"""
 WITH row_sig AS (
   SELECT doc_id,
          CAST(len({_TOKS_DUCK}) AS INTEGER) AS token_count,
-         ROUND(1 - len(list_distinct({_TOKS_DUCK})) * 1.0 / len({_TOKS_DUCK}), 4)
-           AS dup_token_ratio,
-         ROUND(1 - len(list_distinct(
+         floor((1 - len(list_distinct({_TOKS_DUCK})) * 1.0 / len({_TOKS_DUCK}))
+               * 10000.0 + 0.5) / 10000.0 AS dup_token_ratio,
+         floor((1 - len(list_distinct(
                  list_transform(range(1, len({_TOKS_DUCK})),
                    i -> {_TOKS_DUCK}[i] || ' ' || {_TOKS_DUCK}[i + 1]))) * 1.0
-               / (len({_TOKS_DUCK}) - 1), 4) AS dup_bigram_ratio,
-         ROUND(list_sum(list_transform({_TOKS_DUCK}, t -> length(t))) * 1.0
-               / len({_TOKS_DUCK}), 4) AS mean_word_len,
-         ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-               / length(text), 4) AS symbol_ratio
+               / (len({_TOKS_DUCK}) - 1)) * 10000.0 + 0.5) / 10000.0
+           AS dup_bigram_ratio,
+         floor(list_sum(list_transform({_TOKS_DUCK}, t -> length(t))) * 1.0
+               / len({_TOKS_DUCK}) * 10000.0 + 0.5) / 10000.0
+           AS mean_word_len,
+         floor(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / length(text) * 10000.0 + 0.5) / 10000.0 AS symbol_ratio
   FROM documents
 ),
 top_share AS (
-  SELECT doc_id, ROUND(MAX(cnt) * 1.0 / SUM(cnt), 4) AS top_token_share
+  SELECT doc_id,
+         floor(MAX(cnt) * 1.0 / SUM(cnt) * 10000.0 + 0.5) / 10000.0
+           AS top_token_share
   FROM (
     SELECT doc_id, tok, COUNT(*) AS cnt
     FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents)
@@ -630,7 +663,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the vocab-sized aggregate, never on the corpus.  The total-token
     scalar rides in on a broadcast cross join of a 1-row aggregate.
     cum_share divides exact longs as doubles — bit-identical across
-    engines, so ROUND is stable.
+    engines, rounded with the floor recipe (dyadic halfway values like
+    cum/total = k/2^m are representable, where the engines' ROUNDs
+    disagree).
     """
     d = table(spark, sf_dir, "documents")
     counts = (
@@ -651,8 +686,14 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
             "token",
             "occurrences",
-            F.round(
-                F.sum("occurrences").over(w) / F.col("total_tokens"), 6
+            (
+                F.floor(
+                    F.sum("occurrences").over(w)
+                    / F.col("total_tokens")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("cum_share"),
         )
         .where(F.col("rank") <= 100)
@@ -672,7 +713,8 @@ w AS (
   FROM c
 )
 SELECT rank, token, occurrences,
-       ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+       floor(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS cum_share
 FROM w
 WHERE rank <= 100
 ORDER BY rank

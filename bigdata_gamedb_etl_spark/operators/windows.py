@@ -48,10 +48,14 @@ def w1_pareto_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).cast("double").alias("total_revenue"),
         # share on doubles: decimal÷decimal rescaling differs across
         # engines, double division doesn't (cumsum order is pinned).
-        F.round(
-            F.sum(F.col("rev").cast("double")).over(cum)
-            / F.sum(F.col("rev").cast("double")).over(total),
-            6,
+        (
+            F.floor(
+                F.sum(F.col("rev").cast("double")).over(cum)
+                / F.sum(F.col("rev").cast("double")).over(total)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("cum_share"),
     ).orderBy(F.col("total_revenue").desc(), F.col("s_name"))
 
@@ -64,9 +68,10 @@ WITH per_sup AS (
 )
 SELECT s_name,
        CAST(ROUND(rev, 2) AS DOUBLE) AS total_revenue,
-       ROUND(SUM(CAST(rev AS DOUBLE)) OVER (ORDER BY rev DESC, s_name
+       floor(SUM(CAST(rev AS DOUBLE)) OVER (ORDER BY rev DESC, s_name
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / SUM(CAST(rev AS DOUBLE)) OVER (), 6) AS cum_share
+             / SUM(CAST(rev AS DOUBLE)) OVER () * 1000000.0 + 0.5)
+         / 1000000.0 AS cum_share
 FROM per_sup
 ORDER BY total_revenue DESC, s_name
 """
@@ -196,7 +201,12 @@ def w6_customer_rank_in_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             F.rank().over(w).alias("bal_rank"),
             F.dense_rank().over(w).alias("bal_dense_rank"),
-            F.round(F.percent_rank().over(w), 6).alias("bal_percentile"),
+            (
+                F.floor(
+                    F.percent_rank().over(w) * F.lit(1000000.0) + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("bal_percentile"),
         )
         .orderBy("c_mktsegment", "bal_rank", "c_custkey")
     )
@@ -206,7 +216,8 @@ W6_ORACLE = """
 SELECT c_mktsegment, c_custkey,
        RANK() OVER w AS bal_rank,
        DENSE_RANK() OVER w AS bal_dense_rank,
-       ROUND(PERCENT_RANK() OVER w, 6) AS bal_percentile
+       floor(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0
+         AS bal_percentile
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 ORDER BY c_mktsegment, bal_rank, c_custkey
@@ -451,9 +462,13 @@ def w11_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("month_ts").alias("month"),
             "revenue",
             F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
-            F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
-                "mom_pct"
-            ),
+            (
+                F.floor(
+                    (F.col("revenue") - prev) / prev * 100 * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("mom_pct"),
         )
         .orderBy("month")
     )
@@ -467,8 +482,9 @@ WITH monthly AS (
 )
 SELECT month, revenue,
        ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2) AS mom_delta,
-       ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
-             / LAG(revenue) OVER (ORDER BY month) * 100, 4) AS mom_pct
+       floor((revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month) * 100
+             * 10000.0 + 0.5) / 10000.0 AS mom_pct
 FROM monthly
 ORDER BY month
 """
