@@ -520,11 +520,95 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Audience-overlap matrix: |users(A) ∩ users(B)| and audience Jaccard
+# for every event-type pair — the cross-feature engagement view (which
+# behaviors share an audience) that sits between the funnel (ordered)
+# and the cohort (temporal) analyses.
+#
+# Scale shape: collapse to the DISTINCT (user, type) grain first (one
+# shuffle; the fact table's duplicate mass dies there), then a
+# per-user self-join — bounded at C(|event types|, 2) rows per user,
+# so the "self-join" is a narrow per-user expansion, never quadratic
+# in users — and a hash-agg to the (t1, t2) grain.  Audience sizes
+# join back from a broadcast-sized per-type aggregate.
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t1, t2, users_both, users_t1, users_t2, audience_jaccard) for
+    every unordered event-type pair with at least one shared user."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = e.distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count("*").alias("audience")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count("*").alias("users_both"))
+    )
+    s1 = sizes.select(
+        F.col("event_type").alias("t1"), F.col("audience").alias("users_t1")
+    )
+    s2 = sizes.select(
+        F.col("event_type").alias("t2"), F.col("audience").alias("users_t2")
+    )
+    jac = F.col("users_both") / (
+        F.col("users_t1") + F.col("users_t2") - F.col("users_both")
+    )
+    return (
+        both.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "users_both",
+            "users_t1",
+            "users_t2",
+            (
+                F.floor(jac * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+            ).alias("audience_jaccard"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (
+  SELECT event_type, COUNT(*) AS audience FROM ut GROUP BY event_type
+),
+both_t AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS users_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT t1, t2, CAST(users_both AS BIGINT) AS users_both,
+       CAST(s1.audience AS BIGINT) AS users_t1,
+       CAST(s2.audience AS BIGINT) AS users_t2,
+       floor(users_both * 1.0
+             / (s1.audience + s2.audience - users_both)
+             * 10000.0 + 0.5) / 10000.0 AS audience_jaccard
+FROM both_t
+JOIN sizes s1 ON s1.event_type = t1
+JOIN sizes s2 ON s2.event_type = t2
+ORDER BY t1, t2
+"""
+
+
 QUERIES = {
     "funnel_user_conversion": funnel_user_conversion,
     "cohort_weekly_retention": cohort_weekly_retention,
     "anomaly_daily_zscore": anomaly_daily_zscore,
     "rfm_customer_segments": rfm_customer_segments,
+    "events_audience_overlap": events_audience_overlap,
     "attribution_last_touch": attribution_last_touch,
     "churn_activity_flags": churn_activity_flags,
 }
@@ -533,6 +617,7 @@ ORACLE = {
     "cohort_weekly_retention": COHORT_ORACLE,
     "anomaly_daily_zscore": ANOMALY_ORACLE,
     "rfm_customer_segments": RFM_ORACLE,
+    "events_audience_overlap": AUDIENCE_OVERLAP_ORACLE,
     "attribution_last_touch": ATTRIBUTION_ORACLE,
     "churn_activity_flags": CHURN_ORACLE,
 }

@@ -87,6 +87,7 @@ ROUND6_NEW: list[str] = [
     "dq_completeness_profile",
     "pipeline_weighted_sample",
     "dedup_survivorship_funnel",
+    "events_audience_overlap",
 ]
 
 RECONFIRM_STALE = [

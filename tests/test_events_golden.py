@@ -89,3 +89,36 @@ def test_cumulative_users_golden(spark, golden_dir):
     assert [(r["day"], r["new_users"], r["cum_users"]) for r in rows] == [
         (dt.date(2024, 1, 1), 2, 2)
     ]
+
+
+def test_audience_overlap_golden(spark, tmp_path_factory):
+    """u1 ∈ {A,B}, u2 ∈ {A}, u3 ∈ {B,C}: (A,B) share u1 (J = 1/3),
+    (B,C) share u3 (J = 1/2), (A,C) share nobody and is absent."""
+    from bigdata_gamedb_etl_spark.operators.behavior import (
+        events_audience_overlap,
+    )
+
+    events = [
+        (0, _ts(10, 0), 1, "A", 1.0, "{}"),
+        (1, _ts(10, 1), 1, "B", 1.0, "{}"),
+        (2, _ts(10, 2), 1, "A", 1.0, "{}"),   # duplicate membership
+        (3, _ts(10, 3), 2, "A", 1.0, "{}"),
+        (4, _ts(10, 4), 3, "B", 1.0, "{}"),
+        (5, _ts(10, 5), 3, "C", 1.0, "{}"),
+    ]
+    d = tmp_path_factory.mktemp("golden_overlap")
+    spark.createDataFrame(events, TABLE_SCHEMAS["events"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    rows = {
+        (r["t1"], r["t2"]): r
+        for r in events_audience_overlap(spark, str(d)).collect()
+    }
+    assert set(rows) == {("A", "B"), ("B", "C")}
+    ab = rows[("A", "B")]
+    assert (ab["users_both"], ab["users_t1"], ab["users_t2"]) == (1, 2, 2)
+    assert ab["audience_jaccard"] == 0.3333
+    bc = rows[("B", "C")]
+    assert (bc["users_both"], bc["users_t1"], bc["users_t2"]) == (1, 2, 1)
+    assert bc["audience_jaccard"] == 0.5
