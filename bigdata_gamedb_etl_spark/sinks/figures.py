@@ -148,6 +148,34 @@ def save_panel_grid_png(
     write_png(path, out)
 
 
+def _completeness_chart_frame(spark: SparkSession, sf_dir: str):
+    """The 12 least-complete audited columns as COMPLETENESS pct
+    (100 − null rate; 0 for an empty table) — inverted so the healthy
+    all-zero-nulls corpus still renders full bars instead of a blank
+    chart."""
+    from pyspark.sql import functions as F
+
+    from ..operators.extended import dq_completeness_profile
+
+    return (
+        dq_completeness_profile(spark, sf_dir)
+        .select(
+            F.concat_ws(".", "table_name", "column_name").alias("col"),
+            (100.0 - F.coalesce("null_pct", F.lit(100.0))).alias(
+                "completeness_pct"
+            ),
+        )
+        .orderBy("completeness_pct", "col")
+        .limit(12)
+    )
+
+
+def _funnel_chart_frame(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import dedup_survivorship_funnel
+
+    return dedup_survivorship_funnel(spark, sf_dir).select("tier", "n_docs")
+
+
 def save_reference_figures(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict[str, str]:
@@ -185,6 +213,18 @@ def save_reference_figures(
             w1_pareto_supplier_share(spark, sf_dir).limit(20),
             "total_revenue",
             None,
+        ),
+        # round-6 DQ dashboards (beyond the reference's five blocks):
+        # per-column null rates and the dedup survivorship funnel
+        "dq_completeness": (
+            _completeness_chart_frame(spark, sf_dir),
+            "completeness_pct",
+            None,
+        ),
+        "dedup_funnel": (
+            _funnel_chart_frame(spark, sf_dir),
+            "n_docs",
+            "tier",
         ),
     }
     out: dict[str, str] = {}

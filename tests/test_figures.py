@@ -89,8 +89,9 @@ def test_panel_grid_composes(tmp_path):
 
 
 def test_reference_figures_end_to_end(spark, sf_dir, tmp_path):
-    """The five reference figure blocks render from the oracle-green
-    aggregate queries — the S9 sink surface end to end."""
+    """The five reference figure blocks plus the round-6 DQ dashboards
+    render from the oracle-green aggregate queries — the S9 sink
+    surface end to end."""
     out = figs.save_reference_figures(spark, sf_dir, str(tmp_path))
     assert set(out) == {
         "year_trend",
@@ -98,6 +99,8 @@ def test_reference_figures_end_to_end(spark, sf_dir, tmp_path):
         "price_histogram",
         "word_revenue",
         "supplier_pareto",
+        "dq_completeness",
+        "dedup_funnel",
     }
     for path in out.values():
         w, h, rows = _decode_png(path)
