@@ -64,6 +64,15 @@ MODULES = [
 # New queries are appended to ROUND6_NEW in the same commit that
 # registers them (enforced by
 # test_every_query_has_driver_evidence_or_is_queued).
+#
+# ROUND-7 NOTE: ROUND6_NEW grew to 22 during the round (the window
+# took 22 new + 28 reconfirm), so ~31 RECONFIRM_STALE names (from
+# "sim_cosine_topk" onward, plus any r6 reds) head round 7's window.
+# Every one of them is locally re-verified at the driver's own sf0.01
+# by the full tests/test_oracle_parity.py sweep (green at round-6
+# close) — the deferral is evidentiary, not functional.  Build
+# ROUND7_NEW the same way; the staleness guard computes the exact
+# leftover list from CORRECTNESS_r0*.json automatically.
 ROUND6_NEW: list[str] = [
     "dedup_semantic_fused_pairs",
     "dq_contamination_scorecard",
