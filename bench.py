@@ -1,10 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness: times the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "queries": {"<SHARED12 name>": sec, ...}, "sf": ...,
+   "testdata": {...}, "detail_file": "BENCH_DETAIL.json"}
+
+The driver captures only the last ~2000 characters of stdout, so the
+stdout line carries the headline totals, the pinned SHARED12 series,
+and the testdata fingerprint ONLY (round-6 lesson: the full per-query
+dump outgrew the capture and BENCH_r06.parsed came back null).  The
+complete per-query EXTRAS timings, round-over-round deltas, and the
+10x scale probe are written to BENCH_DETAIL.json in the repo root,
+which is committed each round.  tests/test_harness_compat.py asserts
+a worst-case summary line stays under the capture budget.
 
 Execution is forced with a `noop` sink (full computation, no
 driver-side result transfer), so timings measure scan+shuffle+agg —
@@ -25,6 +35,13 @@ from bigdata_gamedb_etl_spark.registry import all_queries
 from bigdata_gamedb_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: the driver's stdout tail capture is 2000 chars; the summary line
+#: must stay comfortably inside it even with worst-case timing widths.
+SUMMARY_LINE_BUDGET = 1800
+DETAIL_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
 
 #: SHARED12 is the round-1 headline set, pinned forever as the
 #: round-over-round comparable — its sum must never regress and stays
@@ -268,57 +285,105 @@ def main() -> None:
             },
         }
 
-    # per-query deltas vs the newest prior round that benched the SAME
-    # testdata (r5 verdict item 7): sub-second wobbles like the r5
-    # text_stats 0.43→0.51 get adjudicated by recorded ratios instead
-    # of judge archaeology.  None until a content-fingerprinted prior
-    # BENCH exists (r5 and earlier recorded the old mtime-based hash).
-    deltas = None
-    import glob
-    import re
-
-    prior_rounds = []
-    here = os.path.dirname(os.path.abspath(__file__))
-    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        try:
-            parsed = json.load(open(f)).get("parsed") or {}
-        except Exception:
-            continue
-        if (parsed.get("testdata") or {}).get("hash") == fingerprint["hash"]:
-            rnd = int(re.search(r"BENCH_r(\d+)", f).group(1))
-            prior_rounds.append((rnd, parsed))
-    if prior_rounds:
-        _, prior = max(prior_rounds)
-        pq = prior.get("queries") or {}
-        deltas = {
-            n: round(timings[n] / pq[n], 2)
-            for n in HEADLINE
-            if n in pq and pq[n]
-        }
+    # per-query deltas vs the newest prior bench of the SAME testdata
+    # (r5 verdict item 7): sub-second wobbles like the r5 text_stats
+    # 0.43→0.51 get adjudicated by recorded ratios instead of judge
+    # archaeology.  Primary source is the committed BENCH_DETAIL.json
+    # (full per-query coverage); BENCH_r*.json parsed summaries are the
+    # fallback (SHARED12 coverage only, post-r6 format).
+    deltas = _deltas_vs_prior(timings, fingerprint["hash"])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": f"headline-query wall clock (noop sink, best of 2 runs), sum of {len(HEADLINE)} queries",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "shared12_sec": round(
-                    sum(timings[n] for n in SHARED12), 3
-                ),
-                "extras_sec": round(sum(timings[n] for n in EXTRAS), 3),
-                "sf": sf_val,
-                "testdata": fingerprint,
-                "delta_vs_prior_same_data": deltas,
-                "scale_probe": scale_probe,
-            }
-        )
+
+    detail = {
+        "metric": (
+            "headline-query wall clock (noop sink, best of 2 runs), "
+            f"sum of {len(HEADLINE)} queries"
+        ),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "shared12_sec": round(sum(timings[n] for n in SHARED12), 3),
+        "extras_sec": round(sum(timings[n] for n in EXTRAS), 3),
+        "sf": sf_val,
+        "testdata": fingerprint,
+        "delta_vs_prior_same_data": deltas,
+        "scale_probe": scale_probe,
+    }
+    with open(DETAIL_FILE, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    line = json.dumps(summary_payload(timings, fingerprint, sf_val))
+    assert len(line) <= SUMMARY_LINE_BUDGET, (
+        f"summary line {len(line)} chars exceeds the driver's capture "
+        "budget — trim fields (full detail already lives in "
+        "BENCH_DETAIL.json)"
     )
+    print(line)
+
+
+def summary_payload(timings: dict, fingerprint: dict, sf_val) -> dict:
+    """The ONE stdout JSON line: headline totals + the pinned SHARED12
+    series + the testdata fingerprint.  Everything else goes to
+    BENCH_DETAIL.json — the driver's tail capture is 2000 chars and
+    round 6 proved the full dump doesn't fit."""
+    return {
+        "metric": (
+            "headline-query wall clock (noop sink, best of 2 runs), "
+            f"sum of {len(HEADLINE)} queries (SHARED12 shown; full "
+            "per-query detail in BENCH_DETAIL.json)"
+        ),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {n: timings[n] for n in SHARED12},
+        "shared12_sec": round(sum(timings[n] for n in SHARED12), 3),
+        "extras_sec": round(sum(timings[n] for n in EXTRAS), 3),
+        "sf": sf_val,
+        "testdata": fingerprint,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+
+
+def _deltas_vs_prior(timings: dict, live_hash: str) -> dict | None:
+    """Ratio of this run's timings to the newest prior run on
+    byte-identical testdata, or None if no comparable prior exists."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_q: dict | None = None
+    if os.path.exists(DETAIL_FILE):
+        try:
+            prior = json.load(open(DETAIL_FILE))
+            if (prior.get("testdata") or {}).get("hash") == live_hash:
+                prior_q = prior.get("queries") or {}
+        except Exception:
+            prior_q = None
+    if prior_q is None:
+        prior_rounds = []
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            try:
+                parsed = json.load(open(f)).get("parsed") or {}
+            except Exception:
+                continue
+            if (parsed.get("testdata") or {}).get("hash") == live_hash:
+                rnd = int(re.search(r"BENCH_r(\d+)", f).group(1))
+                prior_rounds.append((rnd, parsed))
+        if prior_rounds:
+            _, prior = max(prior_rounds)
+            prior_q = prior.get("queries") or {}
+    if not prior_q:
+        return None
+    return {
+        n: round(timings[n] / prior_q[n], 2)
+        for n in HEADLINE
+        if n in prior_q and prior_q[n]
+    }
 
 
 if __name__ == "__main__":

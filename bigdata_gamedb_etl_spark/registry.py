@@ -51,77 +51,27 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-6 head (VERDICT r5 item 1): the round-6 additions, then every
-# query whose newest driver green predates the r4 testdata
-# regeneration (51 oracle-backed + 8 rows-only, computed from
-# CORRECTNESS_r01..r05; graph_pagerank leads because its r5 row was
-# rows-only and it is oracle-backed as of r6, so it has never had a
-# hash-verified driver row).  Names past position 50 stay QUEUED — the
-# staleness guard (tests/test_harness_compat.py::
+# Round-7 head (VERDICT r6 item 2): the round-7 additions, then the
+# 29 RECONFIRM_STALE leftovers (23 oracle-backed + 6 rows-only) whose
+# newest driver evidence predates the r4 testdata regeneration —
+# round 6's window drained 28 of the original 57; this round's window
+# (21 new + 29 reconfirm = exactly 50) empties the staleness queue for
+# the first time.  Every leftover is locally re-verified at the
+# driver's own sf0.01 by the full tests/test_oracle_parity.py sweep —
+# the deferral is evidentiary, not functional.  Names past position 50
+# stay QUEUED — the staleness guard (tests/test_harness_compat.py::
 # test_stale_evidence_queries_are_queued) requires every stale query
-# to sit in the window or in this ordered reconfirm list, so overflow
-# rotates in automatically next round as the head drops out green.
-# New queries are appended to ROUND6_NEW in the same commit that
-# registers them (enforced by
-# test_every_query_has_driver_evidence_or_is_queued).
-#
-# ROUND-7 NOTE: ROUND6_NEW grew to 22 during the round (the window
-# took 22 new + 28 reconfirm), so ~31 RECONFIRM_STALE names (from
-# "sim_cosine_topk" onward, plus any r6 reds) head round 7's window.
-# Every one of them is locally re-verified at the driver's own sf0.01
-# by the full tests/test_oracle_parity.py sweep (green at round-6
-# close) — the deferral is evidentiary, not functional.  Build
-# ROUND7_NEW the same way; the staleness guard computes the exact
-# leftover list from CORRECTNESS_r0*.json automatically.
-ROUND6_NEW: list[str] = [
-    "dedup_semantic_fused_pairs",
-    "dq_contamination_scorecard",
-    "dq_quarantine_mart",
-    "dedup_keeper_selection",
-    # converted rows-only -> oracle-backed in r6 (flat schema + md5
-    # fallback-tier oracle): needs its first hash-verified driver row
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "dedup_simhash_signatures",
-    "mart_scd2_user_state",
-    "text_bigram_logprob",
-    "dedup_containment_pairs",
-    "text_char_entropy",
-    "dq_distribution_drift",
-    "sim_kmeans_lloyd_step",
-    "text_langid_confusion",
-    "pipeline_curriculum_order",
-    "sim_pca_power_iteration",
-    "dedup_lsh_cluster_assign",
-    "dq_completeness_profile",
-    "pipeline_weighted_sample",
-    "dedup_survivorship_funnel",
-    "events_audience_overlap",
+# to sit in the window or in this ordered reconfirm list.  New queries
+# are appended to ROUND7_NEW in the same commit that registers them
+# (enforced by test_every_query_has_driver_evidence_or_is_queued);
+# capacity this round is 50 - 29 = 21 new names.
+ROUND7_NEW: list[str] = [
 ]
 
 RECONFIRM_STALE = [
-    # newly oracle-backed — needs its first hash-verified driver row
-    "graph_pagerank",
-    # tpch2 family (latest green r1-r3)
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping", "tpch_q10_returned_revenue",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cardinality",
-    "tpch_q17_small_quantity", "tpch_q18_large_volume",
-    "tpch_q19_disjunctive", "tpch_q21_sole_returned",
-    "tpch_q22_dormant_rich",
-    # text family
-    "text_stats", "text_langid", "text_quality", "text_fingerprint",
-    "text_bigram_topk", "text_lang_rollup", "text_regex_token_stats",
-    # join/set family
-    "j2_customers_with_orders", "j3_customers_without_orders",
-    "j4_customer_order_counts", "j5_nations_with_both",
-    "j6_nations_customers_only", "j7_union_acctbal_ledger",
-    "j8_brand_supplier_revenue",
-    # window family
-    "w2_top_customers_per_nation", "w3_moving_avg_events",
-    "w4_daily_event_rollup", "w5_value_delta_per_user",
-    "w6_customer_rank_in_segment",
+    # window family (latest green r1-r3)
+    "w3_moving_avg_events", "w4_daily_event_rollup",
+    "w5_value_delta_per_user", "w6_customer_rank_in_segment",
     # dedup exact/jaccard tier
     "dedup_exact_keeper", "dedup_exact_md5",
     "dedup_ngram_jaccard_pairs", "dedup_shingle_docfreq_hist",
@@ -136,8 +86,7 @@ RECONFIRM_STALE = [
     # moment/profile stats (well covered by goldens — safe overflow)
     "sim_knn_top1", "sim_label_centroid_norms", "p4_user_value_mad",
     "p5_lineitem_profile", "p6_statistical_moments",
-    # stale rows-only tier (weakest evidence value — rotates last;
-    # mm_frame_sample moved to ROUND6_NEW on oracle conversion)
+    # stale rows-only tier (weakest evidence value — rotates last)
     "dedup_minhash_lsh_pairs",
     "sim_ann_lsh_topk", "sim_ivf_topk", "sketch_users_per_type",
     "sketch_daily_merge_total", "mm_resize",
@@ -152,7 +101,7 @@ CONTROLS = [
     "ga2_cube_segment_priority", "p3_latest_event_per_user",
 ]
 
-PRIORITY = ROUND6_NEW + RECONFIRM_STALE + CONTROLS
+PRIORITY = ROUND7_NEW + RECONFIRM_STALE + CONTROLS
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -87,12 +87,16 @@ def test_every_query_has_driver_evidence_or_is_queued():
 
 #: CONTENT fingerprint (bench.py::_testdata_fingerprint over sf0.1)
 #: of the testdata in effect since the round-4 regeneration (verified
-#: byte-identical through round 6 — the r5→r6 re-copy changed only
-#: mtimes).  BENCH_r04/r05 predate the content-based fingerprint
-#: field, so rounds >= 4 are grandfathered as fresh while this hash
-#: is live; any LATER regeneration changes the live hash and is
-#: caught by the BENCH-recorded fingerprints alone (r6+ record the
-#: content-based form).
+#: byte-identical through round 7 — the per-round re-copies change
+#: only mtimes).  BENCH_r04/r05 predate the content-based fingerprint
+#: field and BENCH_r06.parsed is null (the capture-overflow defect
+#: fixed in round 7), so rounds >= 4 are grandfathered as fresh while
+#: this hash is live; any LATER regeneration changes the live hash and
+#: is caught by the BENCH-recorded fingerprints alone.
+#: RETIREMENT PLAN (r6 verdict item 7): once BENCH_r07.json exists
+#: with parsed.testdata.hash recorded (the round-7 summary-line fix
+#: guarantees it parses), delete this constant in round 8 so freshness
+#: derives only from recorded data.
 _R4_FINGERPRINT = "f72cd7e8cc17ee9c"
 _R4_FIRST_FRESH_ROUND = 4
 
@@ -165,6 +169,31 @@ def test_readme_counts_match_registry():
     assert m, "README correctness-contract sentence not found"
     assert int(m.group(1)) == len(QUERIES)
     assert int(m.group(2)) == len(ORACLE)
+
+
+def test_bench_summary_line_fits_capture_budget():
+    """Round-6 regression guard: bench's one-line JSON outgrew the
+    driver's 2000-char stdout tail capture and BENCH_r06.parsed came
+    back null (headline total, five SHARED12 timings, and the testdata
+    fingerprint unrecorded).  The summary line now carries only totals
+    + SHARED12 + fingerprint; this pins it under budget even at
+    worst-case field widths, so adding EXTRAS series can never break
+    the capture again."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import HEADLINE, SUMMARY_LINE_BUDGET, summary_payload
+
+    worst_timings = {n: 99999.999 for n in HEADLINE}
+    worst_fp = {"hash": "f" * 16, "total_bytes": 10**14, "n_files": 999}
+    line = json.dumps(summary_payload(worst_timings, worst_fp, 100.001))
+    assert len(line) <= SUMMARY_LINE_BUDGET, (
+        f"worst-case summary line is {len(line)} chars (budget "
+        f"{SUMMARY_LINE_BUDGET}) — it would overflow the driver's "
+        "2000-char tail capture; move fields to BENCH_DETAIL.json"
+    )
 
 
 def test_bench_names_are_registered():
