@@ -91,7 +91,16 @@ def _fr4(x):
     """floor(x*1e4+0.5)/1e4 — identical to HALF_UP for the non-negative
     ratios it rounds, but engine-agreed at exact dyadic halfway values
     (e.g. common/union = 68/128 = 0.53125) where Spark's ROUND rounds
-    up and DuckDB's rounds to even.  Oracle twins carry the same form."""
+    up and DuckDB's rounds to even.  Oracle twins carry the same form.
+
+    SIGNED inputs (dq_distribution_drift.drift_pp, w11 mom_pct, and any
+    future delta column reusing this recipe): the semantics are
+    round-half-toward-POSITIVE-INFINITY, not half-away-from-zero —
+    floor(-0.00125*1e4+0.5) = floor(-12.0) = -12, i.e. -0.00125 rounds
+    to -0.0012 where HALF_UP would give -0.0013.  Cross-engine parity
+    is unaffected (both twins share the formula); downstream consumers
+    reading exact dyadic negative halfway values should expect the
+    +inf direction."""
     return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
 
 

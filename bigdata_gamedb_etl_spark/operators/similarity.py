@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from .dedup import _fr4
 
 QUERY_VEC_ID = 0
 TOP_K = 20
@@ -754,7 +755,21 @@ SIM_FUSED_ORACLE = _fused_oracle()
 # operator applied repeatedly, as the IVF builder does internally).
 # Determinism: squared distance is a left-fold over the diff array in
 # BOTH engines (F.aggregate ≡ list_dot_product order); argmin ties
-# break on centroid label.
+# break on centroid label.  The centroid means themselves are
+# QUANTIZED to a 1e-9 grid before any downstream use: F.avg over
+# doubles carries partition-order noise (~1e-13 relative), and an
+# unquantized mean feeding min_by lets a vector near-equidistant to
+# two centroids flip its assignment across runs/engines.  Snapping to
+# a grid 4 orders coarser than the noise makes dist2 a deterministic
+# function of the data except when a mean lands within noise of a
+# grid edge — vanishingly rarer than the near-tie it replaces.
+def _q9(x):
+    """floor(x*1e9+0.5)/1e9 — engine-agreed 9dp quantization for
+    centroid coordinates (embedding values are O(1), so the scaled
+    product stays far inside double-exact integer range)."""
+    return F.floor(x * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
 def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One KMeans assignment+update step from label-seeded centroids:
     per centroid, members assigned, members that migrated from another
@@ -763,7 +778,7 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dim = (
         emb.select("label", F.posexplode("emb").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.avg("v").alias("mean_v"))
+        .agg(_q9(F.avg("v")).alias("mean_v"))
     )
     cents = (
         per_dim.groupBy("label")
@@ -787,7 +802,7 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_dim = (
         assigned.select("assigned", F.posexplode("emb").alias("dim", "v"))
         .groupBy("assigned", "dim")
-        .agg(F.avg("v").alias("new_v"))
+        .agg(_q9(F.avg("v")).alias("new_v"))
     )
     move = (
         new_dim.join(
@@ -796,8 +811,12 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("assigned")
         .agg(
-            F.round(
-                F.sqrt(F.sum((F.col("new_v") - F.col("mean_v")) ** 2)), 4
+            # floor recipe, not ROUND: quantized inputs make the sum
+            # of squares an exact decimal, so sqrt CAN land on a
+            # representable 4dp halfway value (e.g. movement exactly
+            # 0.00005) where Spark's ROUND and DuckDB's disagree.
+            _fr4(
+                F.sqrt(F.sum((F.col("new_v") - F.col("mean_v")) ** 2))
             ).alias("movement")
         )
     )
@@ -824,7 +843,7 @@ WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 per_dim AS (
-  SELECT label, dim, AVG(v) AS mean_v
+  SELECT label, dim, floor(AVG(v) * 1e9 + 0.5) / 1e9 AS mean_v
   FROM (
     SELECT label, UNNEST(emb) AS v, UNNEST(range(1, len(emb) + 1)) AS dim
     FROM e
@@ -850,7 +869,7 @@ assigned AS (
   FROM scored GROUP BY vec_id
 ),
 new_dim AS (
-  SELECT assigned, dim, AVG(v) AS new_v
+  SELECT assigned, dim, floor(AVG(v) * 1e9 + 0.5) / 1e9 AS new_v
   FROM (
     SELECT assigned, UNNEST(emb) AS v, UNNEST(range(1, len(emb) + 1)) AS dim
     FROM assigned
@@ -858,7 +877,9 @@ new_dim AS (
   GROUP BY assigned, dim
 ),
 move AS (
-  SELECT n.assigned, ROUND(sqrt(SUM((n.new_v - p.mean_v) ^ 2)), 4) AS movement
+  SELECT n.assigned,
+         floor(sqrt(SUM((n.new_v - p.mean_v) ^ 2)) * 1e4 + 0.5) / 1e4
+           AS movement
   FROM new_dim n JOIN per_dim p ON p.label = n.assigned AND p.dim = n.dim
   GROUP BY n.assigned
 ),
@@ -904,8 +925,13 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_dim.crossJoin(F.broadcast(nrm))
         .select(
             "dim",
-            F.round(F.col("w") / F.col("nrm"), 4).alias("loading"),
-            F.round("nrm", 4).alias("eigenvalue_est"),
+            # floor recipe (dedup._fr4 extended to signed loadings:
+            # half-toward-+inf, mirrored in the oracle) instead of
+            # ROUND — w/nrm is a ratio of finite decimals and can sit
+            # exactly on a 4dp halfway value where the engines'
+            # ROUND directions differ.
+            _fr4(F.col("w") / F.col("nrm")).alias("loading"),
+            _fr4(F.col("nrm")).alias("eigenvalue_est"),
         )
         .orderBy("dim")
     )
@@ -926,7 +952,9 @@ per_dim AS (
   GROUP BY dim
 ),
 nrm AS (SELECT sqrt(SUM(w * w)) AS nrm FROM per_dim)
-SELECT dim, ROUND(w / nrm, 4) AS loading, ROUND(nrm, 4) AS eigenvalue_est
+SELECT dim,
+       floor(w / nrm * 1e4 + 0.5) / 1e4 AS loading,
+       floor(nrm * 1e4 + 0.5) / 1e4 AS eigenvalue_est
 FROM per_dim CROSS JOIN nrm
 ORDER BY dim
 """

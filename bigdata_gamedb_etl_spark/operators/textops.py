@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from .dedup import _fr4
 
 # tokens: split on single space, drop empties (both engines agree).
 _TOKS = "filter(split(text, ' '), t -> t <> '')"
@@ -975,7 +976,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_bigrams",
-            F.round(F.col("s").cast("double") / F.col("n_bigrams"), 4).alias(
+            # floor recipe (half-toward-+inf on this negative ratio),
+            # not ROUND: s is an exact DECIMAL sum, so s/n_bigrams can
+            # land exactly on a 4dp halfway value where the engines'
+            # ROUND directions differ.
+            _fr4(F.col("s").cast("double") / F.col("n_bigrams")).alias(
                 "avg_logp"
             ),
         )
@@ -999,7 +1004,8 @@ model AS (
   FROM cxy JOIN cx USING (x)
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+       floor(CAST(SUM(logp) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4
+         AS avg_logp
 FROM stream JOIN model USING (x, y)
 GROUP BY doc_id
 ORDER BY doc_id
@@ -1041,9 +1047,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_chars",
             "distinct_chars",
-            F.round(
-                F.log("n_chars") - F.col("s").cast("double") / F.col("n_chars"),
-                4,
+            # floor recipe, not ROUND: H = ln(n) - s/n with s an exact
+            # DECIMAL — single-char docs give H exactly 0, and rational
+            # s/n can hit representable 4dp halfway values.
+            _fr4(
+                F.log("n_chars") - F.col("s").cast("double") / F.col("n_chars")
             ).alias("entropy"),
         )
         .orderBy("doc_id")
@@ -1061,9 +1069,9 @@ cnt AS (
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_chars,
        CAST(COUNT(*) AS BIGINT) AS distinct_chars,
-       ROUND(ln(CAST(SUM(c) AS DOUBLE))
-             - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,9)))
-                    AS DOUBLE) / SUM(c), 4) AS entropy
+       floor((ln(CAST(SUM(c) AS DOUBLE))
+              - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,9)))
+                     AS DOUBLE) / SUM(c)) * 1e4 + 0.5) / 1e4 AS entropy
 FROM cnt
 GROUP BY doc_id
 ORDER BY doc_id

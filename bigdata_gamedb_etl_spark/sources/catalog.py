@@ -223,20 +223,35 @@ def read_csv_permissive(
     path: str,
     schema: StructType,
     escape: str = '"',
+    required: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """CSV ingestion that survives malformed rows — the shape a 100 TB
     feed needs (real dumps always contain broken lines, and FAILFAST
     would kill a day-long job on row one billion).
 
-    PERMISSIVE mode parses what it can and captures each unparseable
-    raw line in a `_corrupt_record` column; returns (clean, corrupt)
+    PERMISSIVE mode parses what it can and captures unparseable raw
+    lines in a `_corrupt_record` column; returns (clean, corrupt)
     splits of ONE underlying scan so the caller can load the clean
     rows and quarantine the bad lines (e.g. via write_parquet) in the
     same job.  The corrupt split carries the FULL augmented row
     (partially-parsed fields + the raw line) — both because that is
     the more useful quarantine record and because Spark disallows
     querying ONLY the corrupt column from a raw scan
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)."""
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+
+    TOKEN-COUNT BEHAVIOR (verified on this Spark build,
+    tests/test_sources_sinks.py::test_csv_permissive_token_count_mismatch):
+    a row with FEWER tokens than the schema is null-padded and a row
+    with MORE tokens is truncated, but BOTH are flagged — Spark 4's
+    univocity parser records the raw line in `_corrupt_record`
+    alongside the partially-parsed fields, so token-count mismatches
+    DO reach the corrupt split (older Spark generations let them pass
+    silently; do not assume this without the pinned test).  The
+    `required=[...]` guard is an additional integrity gate: rows where
+    any of those columns parsed to NULL are routed to the corrupt
+    split even when the line itself parsed cleanly — catching
+    genuinely-null mandatory fields, which violate a feed contract
+    just as short rows do."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
@@ -251,10 +266,11 @@ def read_csv_permissive(
         mode="PERMISSIVE",
         columnNameOfCorruptRecord="_corrupt_record",
     )
-    clean = raw.where(F.col("_corrupt_record").isNull()).drop(
-        "_corrupt_record"
-    )
-    corrupt = raw.where(F.col("_corrupt_record").isNotNull())
+    bad = F.col("_corrupt_record").isNotNull()
+    for col in required or []:
+        bad = bad | F.col(col).isNull()
+    clean = raw.where(~bad).drop("_corrupt_record")
+    corrupt = raw.where(bad)
     return clean, corrupt
 
 

@@ -165,3 +165,48 @@ def test_csv_permissive_quarantines_malformed_rows(spark, tmp_path):
     assert rows == {1: ("alpha", 10), 3: ("gamma", 30)}
     bad = [r["_corrupt_record"] for r in corrupt.collect()]
     assert bad == ["2,beta,not_a_number"]
+
+
+def test_csv_permissive_token_count_mismatch(spark, tmp_path):
+    """Pins the verified PERMISSIVE token-count behavior on this Spark
+    build: short (null-padded) AND long (truncated) rows are flagged
+    with `_corrupt_record` and reach the corrupt split — a behavior
+    older Spark generations did not have, so it must stay pinned, and
+    the catalog docstring cites this test.  Also covers the
+    `required=` integrity gate quarantining genuinely-null mandatory
+    fields on lines that parsed cleanly."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_gamedb_etl_spark.sources.catalog import read_csv_permissive
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,10\n"
+        "2,beta\n"               # short: score null-padded + flagged
+        "3,gamma,30,EXTRA\n"     # long: truncated + flagged
+        "4,,20\n"                # clean parse, but name is empty/null
+    )
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("score", IntegerType()),
+        ]
+    )
+    clean, corrupt = read_csv_permissive(spark, str(p), schema)
+    assert {r["id"] for r in clean.collect()} == {1, 4}
+    quarantined = {r["id"]: r["_corrupt_record"] for r in corrupt.collect()}
+    assert quarantined == {2: "2,beta", 3: "3,gamma,30,EXTRA"}
+
+    # required= additionally routes the null-mandatory-field row
+    clean2, corrupt2 = read_csv_permissive(
+        spark, str(p), schema, required=["name"]
+    )
+    assert {r["id"] for r in clean2.collect()} == {1}
+    assert {r["id"] for r in corrupt2.collect()} == {2, 3, 4}
