@@ -74,9 +74,10 @@ def _channel_features(
     return [round(v, 6) for v in (mr, mg, mb, luma)]
 
 
-def _ppm_decode(data: bytes) -> tuple[int, int, list[float]]:
-    """Binary PPM (P6, maxval 255): header tokens separated by
-    whitespace with '#' comments, then packed RGB triplets."""
+def _ppm_header(data: bytes) -> tuple[int, int, int]:
+    """Parse a binary-PPM (P6, maxval 255) header: returns (width,
+    height, raster_offset).  Header tokens are whitespace-separated
+    with '#' comments."""
     pos = 0
 
     def token() -> bytes:
@@ -101,6 +102,12 @@ def _ppm_decode(data: bytes) -> tuple[int, int, list[float]]:
     if maxval != 255:
         raise NotImplementedError("16-bit PPM unsupported")
     pos += 1  # exactly one whitespace byte after maxval, then raster
+    return width, height, pos
+
+
+def _ppm_decode(data: bytes) -> tuple[int, int, list[float]]:
+    """Binary PPM (P6, maxval 255): header then packed RGB triplets."""
+    width, height, pos = _ppm_header(data)
     n = width * height
     px = data[pos : pos + 3 * n]
     if len(px) < 3 * n:
@@ -110,16 +117,15 @@ def _ppm_decode(data: bytes) -> tuple[int, int, list[float]]:
     )
 
 
-def _bmp_decode(data: bytes) -> tuple[int, int, list[float]]:
-    """Uncompressed (BI_RGB) 24/32-bit BMP with a BITMAPINFOHEADER;
-    rows are bottom-up (or top-down when height < 0) and padded to
-    4-byte strides — irrelevant to channel means, so rows are summed
-    in storage order."""
+def _bmp_meta(data: bytes) -> tuple[int, int, int, int, int, bool]:
+    """Validate an uncompressed (BI_RGB) 24/32-bit BMP header: returns
+    (raster_offset, width, height, bytes_per_pixel, stride, topdown)."""
     if len(data) < 54:
         raise ValueError("truncated BMP header")
     off = struct.unpack_from("<I", data, 10)[0]
     width = struct.unpack_from("<i", data, 18)[0]
-    height = abs(struct.unpack_from("<i", data, 22)[0])
+    raw_height = struct.unpack_from("<i", data, 22)[0]
+    height = abs(raw_height)
     bpp = struct.unpack_from("<H", data, 28)[0]
     comp = struct.unpack_from("<I", data, 30)[0]
     if comp != 0 or bpp not in (24, 32):
@@ -135,6 +141,15 @@ def _bmp_decode(data: bytes) -> tuple[int, int, list[float]]:
     stride = (width * bytespp + 3) // 4 * 4
     if off + stride * height > len(data) + 3:  # final row may skip padding
         raise ValueError("BMP raster exceeds payload")
+    return off, width, height, bytespp, stride, raw_height < 0
+
+
+def _bmp_decode(data: bytes) -> tuple[int, int, list[float]]:
+    """Uncompressed (BI_RGB) 24/32-bit BMP with a BITMAPINFOHEADER;
+    rows are bottom-up (or top-down when height < 0) and padded to
+    4-byte strides — irrelevant to channel means, so rows are summed
+    in storage order."""
+    off, width, height, bytespp, stride, _ = _bmp_meta(data)
     rsum = gsum = bsum = 0
     for row in range(height):
         base = off + row * stride
@@ -313,36 +328,191 @@ MM_FEATURES_ORACLE = _mm_features_oracle()
 
 
 # --------------------------------------------------------------------------
+# Real resize tier for the codec-free formats (r6 verdict item 4): a
+# pixel-exact box-filter downsample over decoded PPM/BMP rasters,
+# re-encoded as binary PPM.  Everything is integer arithmetic —
+# per-cell channel sums rounded half-up via (2·sum + n) // (2·n) — so
+# the output raster is bit-reproducible across workers and platforms.
+def _ppm_pixels(data: bytes):
+    """Decode a P6 PPM to an (h, w, 3) uint8 RGB array."""
+    import numpy as np
+
+    width, height, pos = _ppm_header(data)
+    n = width * height
+    px = data[pos : pos + 3 * n]
+    if len(px) < 3 * n:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(px, dtype=np.uint8).reshape(height, width, 3)
+
+
+def _bmp_pixels(data: bytes):
+    """Decode an uncompressed 24/32-bit BMP to an (h, w, 3) uint8 RGB
+    array in top-down row order (flipping the bottom-up storage)."""
+    import numpy as np
+
+    off, width, height, bytespp, stride, topdown = _bmp_meta(data)
+    rows = []
+    for r in range(height):
+        base = off + r * stride
+        row = np.frombuffer(
+            data[base : base + width * bytespp], dtype=np.uint8
+        ).reshape(width, bytespp)
+        rows.append(row[:, [2, 1, 0]])  # BGR(A) -> RGB
+    img = np.stack(rows)
+    return img if topdown else img[::-1]
+
+
+def decode_pixels(payload: bytes):
+    """Pixel-level decode for codec-free formats; raises like
+    decode_image for anything else."""
+    if payload[:2] == b"P6":
+        return _ppm_pixels(payload)
+    if payload[:2] == b"BM":
+        return _bmp_pixels(payload)
+    raise NotImplementedError(
+        "codec image formats unavailable in this environment"
+    )
+
+
+def _box_resize(px, tw: int, th: int):
+    """Area-average (box-filter) resample of an (h, w, 3) uint8 array
+    to (th, tw, 3).  Cell boundaries are floor(i·src/dst), so a 2×
+    downsample averages exact 2×2 blocks; upscales degenerate to
+    nearest-row/col replication (cells clamp to ≥1 source pixel).
+    Rounding is integer half-up — no float accumulation anywhere."""
+    import numpy as np
+
+    sh, sw = px.shape[0], px.shape[1]
+    wide = px.astype(np.int64)
+    out = np.empty((th, tw, 3), dtype=np.uint8)
+    ybounds = [(i * sh) // th for i in range(th + 1)]
+    xbounds = [(j * sw) // tw for j in range(tw + 1)]
+    for i in range(th):
+        y0, y1 = ybounds[i], max(ybounds[i + 1], ybounds[i] + 1)
+        band = wide[y0:y1]
+        for j in range(tw):
+            x0, x1 = xbounds[j], max(xbounds[j + 1], xbounds[j] + 1)
+            cell = band[:, x0:x1]
+            n = cell.shape[0] * cell.shape[1]
+            s = cell.sum(axis=(0, 1))
+            out[i, j] = (2 * s + n) // (2 * n)
+    return out
+
+
+def encode_ppm(px) -> bytes:
+    """Re-encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w = px.shape[0], px.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def real_resize(
+    payload: bytes, target: tuple[int, int]
+) -> tuple[int, int, bytes]:
+    """Decode → box-filter resample → P6 re-encode, for the codec-free
+    formats.  Raises NotImplementedError/ValueError for codec formats
+    and malformed rasters (callers fall back to fake_resize)."""
+    tw, th = target
+    return tw, th, encode_ppm(_box_resize(decode_pixels(payload), tw, th))
+
+
 def fake_resize(payload: bytes, target: tuple[int, int]) -> tuple[int, int, bytes]:
-    """Deterministic stand-in for an image resize: real deployments swap
-    in PIL/opencv; the output contract (dims + recompressed bytes) and
-    the Arrow batch plumbing are what this exercises."""
+    """Deterministic stand-in for codec-format resizes (real
+    deployments swap in PIL/opencv): the output payload is the md5
+    HEX digest (32 ASCII bytes) of payload + 'WxH'.  Hex rather than
+    raw digest bytes keeps the fallback tier SQL-expressible — DuckDB's
+    md5() is VARCHAR-only, so the oracle can recompute
+    md5(md5(text || 'WxH')) but not md5(<blob>)."""
     w, h = target
-    digest = hashlib.md5(payload + f"{w}x{h}".encode()).digest()
-    return w, h, digest
+    digest = hashlib.md5(payload + f"{w}x{h}".encode()).hexdigest()
+    return w, h, digest.encode("ascii")
 
 
 def mm_resize(spark: SparkSession, sf_dir: str, width: int = 224, height: int = 224) -> DataFrame:
-    """Batch 'image' resize over binary payloads (mapInPandas).
-    Rows-only checked (stubbed codec)."""
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("out_width", IntegerType()),
-            StructField("out_height", IntegerType()),
-            StructField("out_bytes", IntegerType()),
-        ]
+    """Batch image resize over binary payloads (mapInPandas): REAL
+    box-filter downsample + P6 re-encode for codec-free formats
+    (PPM/BMP — pixel means pinned by tests/test_llm_pipeline.py), the
+    deterministic md5 stand-in for codec formats.  Oracle-backed on
+    this corpus via the fallback tier: every corpus payload is a text
+    blob (none parses as P6/BMP — the header guards reject
+    near-misses), so out_md5 = md5 of the stand-in hex digest, which
+    DuckDB recomputes with nested VARCHAR md5 (MM_RESIZE_ORACLE).  The
+    `tier` column makes any real-decode row visible to the oracle
+    (it would mismatch loudly rather than silently pass)."""
+    return (
+        with_payload(spark, sf_dir)
+        .mapInPandas(resize_batches(width, height), RESIZE_SCHEMA)
+        .orderBy("doc_id")
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_bytes", IntegerType()),
+        StructField("out_md5", StringType()),
+        StructField("tier", StringType()),
+    ]
+)
+
+
+def resize_batches(width: int, height: int):
+    """mapInPandas generator for mm_resize (module-level so tests can
+    drive the exact shipped batch function on fixture frames)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, data = fake_resize(bytes(payload), (width, height))
-                rows.append((doc_id, w, h, len(data)))
-            yield pd.DataFrame(rows, columns=["doc_id", "out_width", "out_height", "out_bytes"])
+                raw = bytes(payload)
+                try:
+                    w, h, data = real_resize(raw, (width, height))
+                    tier = "decoded"
+                except (NotImplementedError, ValueError):
+                    w, h, data = fake_resize(raw, (width, height))
+                    tier = "fallback"
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        len(data),
+                        hashlib.md5(data).hexdigest(),
+                        tier,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "out_width",
+                    "out_height",
+                    "out_bytes",
+                    "out_md5",
+                    "tier",
+                ],
+            )
 
-    return with_payload(spark, sf_dir).mapInPandas(batches, schema).orderBy("doc_id")
+    return batches
+
+
+# Oracle twin of the fallback tier: the stand-in output payload is the
+# 32-char hex digest of payload+'224x224', so out_md5 is a nested
+# VARCHAR md5 and out_bytes is the constant 32.  Valid because no text
+# payload in this corpus parses as P6/BMP (the tier column would flag
+# a 'decoded' row as a loud mismatch).  ASCII-corpus caveat shared
+# with MM_FRAMES_ORACLE: DuckDB string concat ≡ UDF byte concat here.
+MM_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(224 AS INTEGER) AS out_width,
+       CAST(224 AS INTEGER) AS out_height,
+       CAST(32 AS INTEGER) AS out_bytes,
+       md5(md5(text || '224x224')) AS out_md5,
+       'fallback' AS tier
+FROM documents
+ORDER BY doc_id
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 4) -> DataFrame:
@@ -409,6 +579,7 @@ ORACLE = {
     # tests instead (tests/test_llm_pipeline.py)
     "mm_feature_extract": MM_FEATURES_ORACLE,
     "mm_frame_sample": MM_FRAMES_ORACLE,
-    # mm_resize stays rows-only: the stub's output is target-constant,
-    # so an oracle row would verify nothing real
+    # oracle-backed as of r7: the real tier landed, and the fallback
+    # now emits an md5-verifiable hex payload (nested VARCHAR md5)
+    "mm_resize": MM_RESIZE_ORACLE,
 }
