@@ -784,8 +784,202 @@ LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Per-source mixture reweighting to a target TOKEN budget — the data-
+# mixing step expressed in the unit that matters for pretraining:
+# tokens, not documents.  The budget is computed FROM the data (half
+# the corpus's tokens, split equally across sources) so the query
+# adapts to any corpus; a production run would broadcast externally-
+# chosen weights instead — the shape is identical.
+#
+# Scale shape: per-source token totals are a hash-agg to ~|sources|
+# rows, the rate table broadcasts back over the corpus, and the kept
+# split is the same deterministic md5 gate as the other samplers (no
+# RNG, engine-portable, rerun-stable).  One corpus shuffle on `source`
+# end-to-end; all arithmetic is integer (DIV) so the cut points are
+# engine-agreed.
+REWEIGHT_SEED = 11
+REWEIGHT_BUDGET_DENOM = 2  # target budget = total tokens / 2
+
+
+def pipeline_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reweighting report: raw docs/tokens, the integer
+    sampling rate (pct) that levels each source to an equal share of
+    the token budget, and the docs/tokens actually kept by the md5
+    gate.  Sources leveled to rate 0 drop from the report (inner
+    join), mirroring pipeline_domain_mixture."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.expr(f"size({_TOKS})").cast("long").alias("tk")
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("tk").alias("src_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    # integer DIV end-to-end (Spark DIV ≡ DuckDB // on BIGINT) — double
+    # division + cast would truncate in Spark but round in DuckDB
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.least(
+            F.lit(100).cast("long"),
+            F.expr(
+                f"(total_tokens DIV ({REWEIGHT_BUDGET_DENOM} * n_sources)"
+                " * 100) DIV src_tokens"
+            ),
+        ).alias("rate_pct"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(REWEIGHT_SEED), "doc_id")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.select("source", "tk", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "source")
+        .where(F.col("bucket") < F.col("rate_pct"))
+        .groupBy("source", "n_docs", "src_tokens", "rate_pct")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("tk").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_REWEIGHT_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, CAST(len({_TOKS_DUCK}) AS BIGINT) AS tk
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tk) AS BIGINT) AS src_tokens
+  FROM d GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_src
+),
+rates AS (
+  SELECT source, n_docs, src_tokens,
+         LEAST(CAST(100 AS BIGINT),
+               (total_tokens // ({REWEIGHT_BUDGET_DENOM} * n_sources) * 100)
+                 // src_tokens) AS rate_pct
+  FROM per_src, totals
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         CAST(SUM(d.tk) AS BIGINT) AS kept_tokens
+  FROM d JOIN rates USING (source)
+  WHERE CAST(concat('0x', substring(md5({REWEIGHT_SEED} || '_' || d.doc_id),
+                                    1, 4)) AS INTEGER) % 100 < rates.rate_pct
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.src_tokens, r.rate_pct,
+       k.kept_docs, k.kept_tokens
+FROM rates r JOIN kept k USING (source)
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Keeper-aware corpus emit — the ship-ready mart the whole dedup/
+# quality/curriculum stack exists to produce: one row per SURVIVING
+# document (near-dup clusters collapsed to their quality-chosen
+# keeper), carrying the quality signals and the curriculum position a
+# trainer consumes directly.
+#
+# Scale shape: the drop list is |cluster members| rows (tiny relative
+# to the corpus) → broadcast anti-join; quality and curriculum are
+# per-doc maps over the corpus sharing one scan shape; the curriculum
+# cuts broadcast.  The iterative cluster assignment is the only
+# pre-computed input (same contract as pipeline_clean_corpus).
+def pipeline_corpus_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emit mart: per surviving doc — lang, token stats, quality
+    bucket, curriculum phase + order key, and whether it survived as a
+    near-dup cluster keeper or was unique.  Empty documents (no
+    tokens) are excluded, matching the curriculum's domain."""
+    from .dedup import dedup_keeper_selection
+    from .textops import text_quality
+
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    keepers = dedup_keeper_selection(spark, sf_dir).select(
+        "cluster_id", "keeper_id"
+    )
+    drops = (
+        clusters.join(keepers, "cluster_id")
+        .where(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    quality = text_quality(spark, sf_dir)
+    phases = pipeline_curriculum_order(spark, sf_dir)
+    reason = F.when(
+        F.col("cluster_id").isNotNull(), F.lit("keeper")
+    ).otherwise(F.lit("unique"))
+    return (
+        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .join(phases.select("doc_id", "phase", "order_key"), "doc_id")
+        .join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "token_count",
+            "distinct_ratio",
+            "quality_bucket",
+            "phase",
+            "order_key",
+            reason.alias("keep_reason"),
+        )
+        .orderBy("phase", "order_key", "doc_id")
+    )
+
+
+def _corpus_emit_oracle() -> str:
+    from .dedup import DEDUP_KEEPER_ORACLE
+    from .textops import TEXT_QUALITY_ORACLE
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
+keepers AS ({DEDUP_KEEPER_ORACLE.replace("ORDER BY c.cluster_id", "")}),
+drops AS (
+  SELECT c.doc_id
+  FROM clusters c JOIN keepers k USING (cluster_id)
+  WHERE c.doc_id <> k.keeper_id
+),
+quality AS ({TEXT_QUALITY_ORACLE.replace("ORDER BY doc_id", "")}),
+phases AS ({CURRICULUM_ORACLE.replace("ORDER BY phase, order_key, doc_id", "")})
+SELECT d.doc_id, d.lang, q.token_count, q.distinct_ratio,
+       q.quality_bucket, p.phase, p.order_key,
+       CASE WHEN c.doc_id IS NOT NULL THEN 'keeper' ELSE 'unique' END
+         AS keep_reason
+FROM documents d
+JOIN quality q ON q.doc_id = d.doc_id
+JOIN phases p ON p.doc_id = d.doc_id
+LEFT JOIN clusters c ON c.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+ORDER BY p.phase, p.order_key, d.doc_id
+"""
+
+
+CORPUS_EMIT_ORACLE = _corpus_emit_oracle()
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
+    "pipeline_mixture_reweight": pipeline_mixture_reweight,
+    "pipeline_corpus_emit": pipeline_corpus_emit,
     "pipeline_training_examples": pipeline_training_examples,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -799,6 +993,8 @@ QUERIES = {
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
+    "pipeline_mixture_reweight": MIXTURE_REWEIGHT_ORACLE,
+    "pipeline_corpus_emit": CORPUS_EMIT_ORACLE,
     "pipeline_training_examples": TRAINING_EXAMPLES_ORACLE,
     "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,

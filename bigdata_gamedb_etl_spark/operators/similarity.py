@@ -960,8 +960,98 @@ ORDER BY dim
 """
 
 
+# --------------------------------------------------------------------------
+# Semantic decontamination — the embedding-space twin of the n-gram
+# decontamination check (dedup.dedup_decontaminate): a training vector
+# whose embedding sits too close to ANY benchmark vector is flagged
+# even when zero n-grams overlap (paraphrased eval leakage, which the
+# lexical check cannot see).  Membership reuses the same deterministic
+# stand-in rule (id % 97 == 0 plays the benchmark), so the two checks
+# audit the same "eval" population from both signal families.
+#
+# Scale shape: eval suites are tiny relative to a 100 TB corpus, so
+# the benchmark side BROADCASTS (same argument as the n-gram check's
+# broadcast shingle set) and the corpus side is a single broadcast
+# nested-loop probe + per-vector hash-agg — linear in the corpus, no
+# shuffle of the embedding table, no driver collect.
+SEM_DECON_MOD = 97
+SEM_DECON_REPORT = 0.3  # cosine at which a bench neighbor is reported
+SEM_DECON_DROP = 0.42  # cosine at which the training vector is dropped
+
+
+def dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated training vector: how many benchmark vectors sit
+    at cosine ≥ SEM_DECON_REPORT, the nearest one (ties to the lowest
+    bench id), the max cosine, and the drop verdict at
+    ≥ SEM_DECON_DROP.  Zero-norm and empty embeddings are excluded on
+    both sides (they have no direction to compare)."""
+    emb = _emb_double(spark, sf_dir).where(F.size("emb") > 0)
+    e = emb.select(
+        "vec_id", "emb", F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    ).where(F.col("nrm") > 0)
+    bench = e.where(F.col("vec_id") % SEM_DECON_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    train = e.where(F.col("vec_id") % SEM_DECON_MOD != 0)
+    cos = _dot(F.col("emb"), F.col("bemb")) / (F.col("nrm") * F.col("bnrm"))
+    hits = (
+        train.crossJoin(F.broadcast(bench))
+        .select("vec_id", "bench_id", cos.alias("cos"))
+        .where(F.col("cos") >= SEM_DECON_REPORT)
+    )
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_bench_hits"),
+            F.max_by(
+                "bench_id", F.struct(F.col("cos"), (-F.col("bench_id")))
+            ).alias("nearest_bench_id"),
+            F.max("cos").alias("mc"),
+        )
+        .select(
+            "vec_id",
+            "n_bench_hits",
+            "nearest_bench_id",
+            _fr4(F.col("mc")).alias("max_cosine"),
+            (F.col("mc") >= SEM_DECON_DROP).alias("drop_vec"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEM_DECON_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE len(embedding) > 0
+),
+n AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+  WHERE sqrt(list_dot_product(emb, emb)) > 0
+),
+hits AS (
+  SELECT t.vec_id, b.vec_id AS bench_id,
+         list_dot_product(t.emb, b.emb) / (t.nrm * b.nrm) AS cos
+  FROM n t JOIN n b
+    ON t.vec_id % {SEM_DECON_MOD} <> 0 AND b.vec_id % {SEM_DECON_MOD} = 0
+  WHERE list_dot_product(t.emb, b.emb) / (t.nrm * b.nrm)
+        >= {SEM_DECON_REPORT}
+)
+SELECT vec_id,
+       COUNT(*) AS n_bench_hits,
+       FIRST(bench_id ORDER BY cos DESC, bench_id) AS nearest_bench_id,
+       floor(MAX(cos) * 1e4 + 0.5) / 1e4 AS max_cosine,
+       MAX(cos) >= {SEM_DECON_DROP} AS drop_vec
+FROM hits
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "dedup_semantic_fused_pairs": dedup_semantic_fused_pairs,
+    "dedup_semantic_decontaminate": dedup_semantic_decontaminate,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -976,6 +1066,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_semantic_fused_pairs": SIM_FUSED_ORACLE,
+    "dedup_semantic_decontaminate": SEM_DECON_ORACLE,
     "sim_cosine_topk": SIM_TOPK_ORACLE,
     "sim_label_centroid_norms": SIM_CENTROID_ORACLE,
     "sim_knn_top1": SIM_KNN_ORACLE,

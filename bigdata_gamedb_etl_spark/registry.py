@@ -66,6 +66,9 @@ MODULES = [
 # (enforced by test_every_query_has_driver_evidence_or_is_queued);
 # capacity this round is 50 - 29 = 21 new names.
 ROUND7_NEW: list[str] = [
+    "dedup_semantic_decontaminate",
+    "pipeline_mixture_reweight",
+    "pipeline_corpus_emit",
 ]
 
 RECONFIRM_STALE = [

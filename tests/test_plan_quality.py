@@ -539,6 +539,44 @@ def test_bigram_lm_reuses_doc_bigram_exchange(spark, sf_dir):
     assert "ReusedExchange" in executed
 
 
+def test_semantic_decontaminate_broadcasts_bench(spark, sf_dir):
+    """The benchmark side (tiny by construction) must broadcast: the
+    corpus probe is a BroadcastNestedLoopJoin, never a shuffle of the
+    embedding table on a join key, and the per-vector rollup keeps
+    map-side partial aggregation."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    df = similarity.dedup_semantic_decontaminate(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_reweight_broadcasts_rates_no_window(spark, sf_dir):
+    """The per-source rate table (|sources| rows) must broadcast back
+    over the corpus — one corpus shuffle on `source` end-to-end, no
+    Window anywhere."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    df = pipeline.pipeline_mixture_reweight(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_corpus_emit_drop_list_broadcast_anti(spark, sf_dir):
+    """The emit mart removes cluster-member non-keepers via a
+    BROADCAST anti-join (the drop list is cluster-members-sized, tiny
+    vs the corpus) and plans no cartesian product."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    df = pipeline.pipeline_corpus_emit(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_weighted_sample_is_topk_no_shuffle(spark, sf_dir):
     """A-ES weighted sampling must plan as a narrow map +
     TakeOrderedAndProject: no hash exchange, no Window, no global
