@@ -603,8 +603,93 @@ ORDER BY t1, t2
 """
 
 
+# --------------------------------------------------------------------------
+# Activity-concentration (Gini) audit — how unequally events are
+# distributed across users, the whale-detection number a telemetry
+# pipeline tracks per release (Gini 0 = uniform, → 1 = a few users
+# generate everything).
+#
+# Exact Gini needs ranks over a GLOBAL sort of per-user counts — a
+# single-task window at the user grain, which does not scale.  This
+# formulation groups users BY their event count first: the window then
+# runs over DISTINCT COUNT VALUES (bounded by max events per user —
+# hundreds, not the user cardinality), and the rank-sum of a block of
+# m tied users is recovered in closed form (m·cum_before + m(m+1)/2).
+# All terms stay integer until the final ratio, so both engines agree
+# exactly.
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: users, events, and the Gini coefficient of per-user
+    event counts (4dp, floor recipe)."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    by_c = counts.groupBy("c").agg(F.count("*").alias("m"))
+    w = (
+        Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = by_c.select(
+        "c",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).alias("cum_before"),
+    )
+    # rank-sum terms widen to DECIMAL(38,0) BEFORE summing: c·m·cum is
+    # ~(events/user)·users² and overflows int64 at production scale
+    # (ANSI would crash Spark; DuckDB would error) — 38 digits cover it
+    agg = staged.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("c") * F.col("m")).alias("s1"),
+        F.sum(
+            F.expr(
+                "CAST(c AS DECIMAL(38,0)) * (CAST(m AS DECIMAL(38,0))"
+                " * cum_before + m * (m + 1) DIV 2)"
+            )
+        ).alias("s2"),
+    )
+    # ratio arithmetic in double on identical inputs both engines (the
+    # exact DECIMAL/BIGINT sums), denominator as double×double so n·s1
+    # can't overflow int64 at scale
+    gini = (F.lit(2.0) * F.col("s2").cast("double")) / (
+        F.col("n").cast("double") * F.col("s1").cast("double")
+    ) - (F.col("n") + F.lit(1.0)) / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("s1").cast("long").alias("n_events"),
+        (
+            F.floor(gini * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+        ).alias("gini"),
+    )
+
+
+GINI_ORACLE = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+by_c AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM counts GROUP BY c),
+staged AS (
+  SELECT c, m,
+         COALESCE(SUM(m) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before
+  FROM by_c
+),
+agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n,
+         CAST(SUM(c * m) AS BIGINT) AS s1,
+         SUM(CAST(c AS DECIMAL(38,0)) * (CAST(m AS DECIMAL(38,0))
+             * cum_before + m * (m + 1) // 2)) AS s2
+  FROM staged
+)
+SELECT n AS n_users, s1 AS n_events,
+       floor((2.0 * CAST(s2 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+              - (n + 1.0) / n) * 10000.0 + 0.5) / 10000.0 AS gini
+FROM agg
+"""
+
+
 QUERIES = {
     "funnel_user_conversion": funnel_user_conversion,
+    "events_user_gini": events_user_gini,
     "cohort_weekly_retention": cohort_weekly_retention,
     "anomaly_daily_zscore": anomaly_daily_zscore,
     "rfm_customer_segments": rfm_customer_segments,
@@ -614,6 +699,7 @@ QUERIES = {
 }
 ORACLE = {
     "funnel_user_conversion": FUNNEL_ORACLE,
+    "events_user_gini": GINI_ORACLE,
     "cohort_weekly_retention": COHORT_ORACLE,
     "anomaly_daily_zscore": ANOMALY_ORACLE,
     "rfm_customer_segments": RFM_ORACLE,

@@ -1540,8 +1540,153 @@ ORDER BY tier
 DEDUP_FUNNEL_ORACLE = _funnel_oracle()
 
 
+# --------------------------------------------------------------------------
+# SimHash Hamming-band retrieval — the near-dup PAIR stage the
+# signatures exist for: band the 64-bit signature into 4×16-bit keys,
+# bucket-join on band equality (any pair within Hamming distance 3 is
+# GUARANTEED to agree on ≥1 band — pigeonhole over 4 bands), then
+# verify candidates with an exact bit_count(xor) distance.
+#
+# Scale shape: identical to the MinHash-LSH OR-construction — one
+# shuffle of (band, value) keys, candidate count tracks true near-dup
+# density (random 16-bit band collisions are ~n²/2·4/65536, negligible
+# next to real clusters), and the exact verify is per-candidate, never
+# all-pairs.  Zero signatures (token-less docs) are excluded: on a
+# real corpus every empty doc shares the all-zero signature and the
+# bucket would go quadratic — same hazard class the Jaccard tier's
+# df cap guards.
+SIMHASH_N_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_HAM_MAX = 8
+
+
+def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from SimHash band buckets, verified to
+    Hamming distance ≤ SIMHASH_HAM_MAX (d1 < d2, each pair once)."""
+    sig = dedup_simhash_signatures(spark, sf_dir).where(
+        F.col("simhash") != 0
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(simhash >> {SIMHASH_BAND_BITS * b}) & 65535"
+                        ).alias("val"),
+                    )
+                    for b in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "d1", "d2", F.expr("bit_count(s1 ^ s2)").alias("hamming")
+        )
+        .where(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_SIMHASH_PAIRS_ORACLE = f"""
+WITH sigs AS ({DEDUP_SIMHASH_ORACLE.replace("ORDER BY d.doc_id", "")}),
+nz AS (SELECT doc_id, simhash FROM sigs WHERE simhash <> 0),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> (b * {SIMHASH_BAND_BITS})) & 65535 AS val
+  FROM nz, (SELECT UNNEST(range({SIMHASH_N_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= {SIMHASH_HAM_MAX}
+ORDER BY d1, d2
+"""
+
+
+# --------------------------------------------------------------------------
+def dq_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication audit: docs, distinct texts (by
+    md5 digest — the same key the exact dedup tier groups on), the
+    redundant doc count, and the duplicate rate.  The per-source DQ
+    signal a crawl pipeline watches to catch a feed that started
+    re-emitting old content.
+
+    Scale: one hash-agg on (source, digest) then a rollup to
+    |sources| rows — two shuffles, both combiner-backed."""
+    d = table(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("source", F.md5("text").alias("digest"))
+        .agg(F.count("*").alias("copies"))
+        .groupBy("source")
+        .agg(
+            F.sum("copies").alias("n_docs"),
+            F.count("*").alias("n_distinct"),
+            (F.sum("copies") - F.count("*")).alias("dup_docs"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        "dup_docs",
+        _fr4(F.col("dup_docs") / F.col("n_docs")).alias("dup_rate"),
+    ).orderBy("source")
+
+
+DQ_DUP_RATE_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS copies
+  FROM documents GROUP BY source, md5(text)
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(copies) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(copies) - COUNT(*) AS BIGINT) AS dup_docs
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, n_distinct, dup_docs,
+       floor(dup_docs * 1.0 / n_docs * 10000.0 + 0.5) / 10000.0 AS dup_rate
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
+    "dedup_simhash_band_pairs": dedup_simhash_band_pairs,
+    "dq_duplicate_rate_by_source": dq_duplicate_rate_by_source,
     "dedup_exact_md5": dedup_exact_md5,
     "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
     "dedup_containment_pairs": dedup_containment_pairs,
@@ -1563,6 +1708,8 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact_keeper": DEDUP_EXACT_ORACLE,
+    "dedup_simhash_band_pairs": DEDUP_SIMHASH_PAIRS_ORACLE,
+    "dq_duplicate_rate_by_source": DQ_DUP_RATE_ORACLE,
     "dedup_exact_md5": DEDUP_MD5_ORACLE,
     "dedup_ngram_jaccard_pairs": DEDUP_JACCARD_ORACLE,
     "dedup_containment_pairs": DEDUP_CONTAINMENT_ORACLE,

@@ -333,14 +333,84 @@ ORDER BY doc_id
 GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
 
 
+# --------------------------------------------------------------------------
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup pair graph: how many nodes
+    have each degree — the one-line skew check on the duplicate
+    structure (a heavy-tailed histogram means hub documents and
+    motivates the df cap).  Two bounded hash-aggs over the edge
+    list."""
+    deg = (
+        _sym_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+GRAPH_DEGREE_ORACLE = f"""
+WITH pairs AS ({DEDUP_JACCARD_ORACLE.replace("ORDER BY d1, d2", "")}),
+sym AS (
+  SELECT d1 AS src FROM pairs UNION ALL SELECT d2 FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+ORDER BY degree
+"""
+
+
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size histogram of the near-dup graph: how
+    many clusters have each member count — the shape a dedup run
+    reports (mostly pairs? a few giant blobs?).  Composes the
+    iterative cluster assignment with two tiny hash-aggs."""
+    from .dedup import dedup_cluster_assign
+
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _component_sizes_oracle() -> str:
+    from .dedup import DEDUP_CLUSTER_ORACLE
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+GRAPH_COMPONENT_SIZES_ORACLE = _component_sizes_oracle()
+
+
 QUERIES = {
     "graph_2hop_reach": graph_2hop_reach,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
+    "graph_degree_distribution": graph_degree_distribution,
+    "graph_component_sizes": graph_component_sizes,
 }
 
 ORACLE = {
     "graph_2hop_reach": GRAPH_2HOP_ORACLE,
     "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
+    "graph_degree_distribution": GRAPH_DEGREE_ORACLE,
+    "graph_component_sizes": GRAPH_COMPONENT_SIZES_ORACLE,
 }

@@ -976,10 +976,100 @@ ORDER BY p.phase, p.order_key, d.doc_id
 CORPUS_EMIT_ORACLE = _corpus_emit_oracle()
 
 
+# --------------------------------------------------------------------------
+# Leakage-safe split — the train/val/test assignment a dedup-aware
+# pipeline actually needs: hashing each DOCUMENT independently puts
+# near-duplicates of a training doc into the eval split (the classic
+# contamination bug).  Hashing the doc's GROUP key instead — its
+# near-dup cluster id when it has one, its own id otherwise — pins
+# every member of a cluster to the same split by construction.
+LEAK_SPLIT_SEED = 4099
+
+
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split report of the cluster-aware 90/5/5 assignment: docs,
+    docs that belong to a near-dup cluster, and distinct hash groups.
+    Cluster co-location is structural (the split is a pure function of
+    the group key), and tests/test_llm_pipeline.py asserts no cluster
+    spans two splits."""
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    grouped = d.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("_", F.lit(LEAK_SPLIT_SEED), "group_key")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        grouped.select(
+            split.alias("split"), "cluster_id", "group_key"
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("cluster_id").isNotNull().cast("long")).alias(
+                "n_clustered_docs"
+            ),
+            F.countDistinct("group_key").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+LEAKAGE_SPLIT_ORACLE = f"""
+WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
+grouped AS (
+  SELECT d.doc_id, c.cluster_id,
+         COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+assigned AS (
+  SELECT cluster_id, group_key,
+         CASE
+           WHEN CAST(concat('0x', substring(
+                  md5({LEAK_SPLIT_SEED} || '_' || group_key), 1, 4))
+                AS INTEGER) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+           WHEN CAST(concat('0x', substring(
+                  md5({LEAK_SPLIT_SEED} || '_' || group_key), 1, 4))
+                AS INTEGER) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM grouped
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clustered_docs,
+       CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_mixture_reweight": pipeline_mixture_reweight,
     "pipeline_corpus_emit": pipeline_corpus_emit,
+    "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
     "pipeline_training_examples": pipeline_training_examples,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -995,6 +1085,7 @@ ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
     "pipeline_mixture_reweight": MIXTURE_REWEIGHT_ORACLE,
     "pipeline_corpus_emit": CORPUS_EMIT_ORACLE,
+    "pipeline_leakage_safe_split": LEAKAGE_SPLIT_ORACLE,
     "pipeline_training_examples": TRAINING_EXAMPLES_ORACLE,
     "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,

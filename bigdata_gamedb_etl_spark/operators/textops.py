@@ -1078,8 +1078,166 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Zipf-law fit — the corpus-health diagnostic LLM-data pipelines run on
+# token frequencies (a natural-language corpus has slope ≈ −1; heavy
+# boilerplate or synthetic junk bends it).  Slope/intercept via OLS of
+# ln(freq) on ln(rank) over the top-N tokens.
+#
+# Scale shape: token frequencies are one explode → hash-agg (vocab
+# grain), the top-N is TakeOrderedAndProject, and the tiny ranked set
+# (N=100 rows) takes a single-partition window + one aggregate —
+# driver never sees rows.  Cross-engine determinism: the ln() doubles
+# are identical in both engines; the SUMS over them run in DECIMAL so
+# partial-aggregation order cannot perturb the last bits, and the
+# closed-form OLS then runs on identical doubles.
+ZIPF_TOP_N = 100
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: tokens considered, OLS slope and intercept of the
+    log-log frequency-rank line over the top-ZIPF_TOP_N tokens (ties
+    ranked by token text for engine-agreed order)."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.expr(_TOKS)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = freq.orderBy(F.col("freq").desc(), "t").limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.col("freq").desc(), "t")
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    terms = top.select(
+        "freq", F.row_number().over(w).alias("rank")
+    ).select(
+        x.cast("decimal(28,15)").alias("x"),
+        y.cast("decimal(28,15)").alias("y"),
+        (x * y).cast("decimal(28,15)").alias("xy"),
+        (x * x).cast("decimal(28,15)").alias("xx"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        fr6(slope).alias("slope"),
+        fr6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+
+
+TEXT_ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST({_TOKS_DUCK}) AS t FROM documents)
+  GROUP BY t
+),
+top AS (SELECT freq FROM freq ORDER BY freq DESC, t LIMIT {ZIPF_TOP_N}),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC) AS rank FROM top
+),
+terms AS (
+  SELECT CAST(ln(rank) AS DECIMAL(28,15)) AS x,
+         CAST(ln(freq) AS DECIMAL(28,15)) AS y,
+         CAST(ln(rank) * ln(freq) AS DECIMAL(28,15)) AS xy,
+         CAST(ln(rank) * ln(rank) AS DECIMAL(28,15)) AS xx
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+         AS slope,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 1e6 + 0.5) / 1e6 AS intercept
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram novelty — per-document share of distinct word-bigrams that
+# appear in NO other document (corpus document-frequency 1): the cheap
+# originality/templating signal (boilerplate-heavy docs share almost
+# every bigram; generated junk is near-100% novel).
+_BIGRAMS_EXPR = """CASE WHEN size(split(text, ' ')) >= 2 THEN
+    zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+             slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+             (a, b) -> concat_ws(' ', a, b))
+  ELSE array() END"""
+_BIGRAMS_DUCK = """CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+    list_transform(range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])
+  ELSE [] END"""
+
+
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document (≥1 bigram): distinct bigrams, how many are
+    corpus-unique (df = 1), and the novelty rate.  One shuffle on the
+    bigram key (distinct per doc pre-aggregated map-side), then a
+    per-doc hash-agg — the same doc-frequency shape as the repeated-
+    n-gram contamination audit."""
+    d = table(spark, sf_dir, "documents")
+    db = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_BIGRAMS_EXPR))).alias("bigram"),
+    )
+    dfreq = db.groupBy("bigram").agg(F.count("*").alias("df"))
+    return (
+        db.join(dfreq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_bigrams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_bigrams",
+            "n_unique_bigrams",
+            _fr4(
+                F.col("n_unique_bigrams") / F.col("n_distinct_bigrams")
+            ).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NOVELTY_ORACLE = f"""
+WITH db AS (
+  SELECT DISTINCT doc_id, bigram
+  FROM (SELECT doc_id, UNNEST({_BIGRAMS_DUCK}) AS bigram FROM documents)
+),
+dfreq AS (SELECT bigram, COUNT(*) AS df FROM db GROUP BY bigram)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_bigrams,
+       floor(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 10000.0 + 0.5) / 10000.0 AS novelty_rate
+FROM db JOIN dfreq USING (bigram)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_zipf_slope": text_zipf_slope,
+    "text_novelty_rate": text_novelty_rate,
     "text_lang_rollup": text_lang_rollup,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1100,6 +1258,8 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": TEXT_STATS_ORACLE,
+    "text_zipf_slope": TEXT_ZIPF_ORACLE,
+    "text_novelty_rate": TEXT_NOVELTY_ORACLE,
     "text_lang_rollup": TEXT_LANG_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,

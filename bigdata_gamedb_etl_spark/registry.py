@@ -69,6 +69,14 @@ ROUND7_NEW: list[str] = [
     "dedup_semantic_decontaminate",
     "pipeline_mixture_reweight",
     "pipeline_corpus_emit",
+    "dedup_simhash_band_pairs",
+    "dq_duplicate_rate_by_source",
+    "text_zipf_slope",
+    "text_novelty_rate",
+    "events_user_gini",
+    "pipeline_leakage_safe_split",
+    "graph_degree_distribution",
+    "graph_component_sizes",
 ]
 
 RECONFIRM_STALE = [

@@ -387,6 +387,69 @@ def test_decode_image_rejects_codec_formats_and_garbage():
         multimodal.decode_image(b"P6\n30000 30000\n255\nabc")
 
 
+def test_leakage_safe_split_no_cluster_spans_splits(spark, sf_dir):
+    """The cluster-aware split's whole point: every member of a
+    near-dup cluster lands in the SAME split.  Recomputes the doc-level
+    assignment with the module's own seed/cut constants and asserts
+    each cluster maps to exactly one split (and that the corpus
+    actually has multi-doc clusters, so the test isn't vacuous)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators import pipeline
+    from bigdata_gamedb_etl_spark.operators.dedup import dedup_cluster_assign
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    grouped = d.join(clusters, "doc_id", "left").select(
+        "cluster_id", F.coalesce("cluster_id", "doc_id").alias("group_key")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.lit(pipeline.LEAK_SPLIT_SEED), "group_key"
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < pipeline.SPLIT_TRAIN_PCT, "train")
+        .when(bucket < pipeline.SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    spans = (
+        grouped.where(F.col("cluster_id").isNotNull())
+        .select("cluster_id", split.alias("split"))
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    rows = spans.collect()
+    assert rows, "no near-dup clusters at this SF — test is vacuous"
+    bad = [r for r in rows if r["n_splits"] != 1]
+    assert not bad, f"clusters spanning splits: {bad[:5]}"
+    # and the registered report agrees with the doc-level assignment
+    report = {
+        r["split"]: r["n_docs"]
+        for r in pipeline.pipeline_leakage_safe_split(spark, sf_dir).collect()
+    }
+    doc_level = {
+        r["split"]: r["n"]
+        for r in grouped.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert report == doc_level
+
+
 @pytest.mark.parametrize("sf", SF_DIRS)
 def test_lsh_cluster_assign_refines_exact_clusters(spark, sf):
     """Every LSH edge is exact-verified at >= the same Jaccard
