@@ -687,9 +687,69 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+def behavior_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the first-view → first-strictly-later-purchase
+    lag: converter count and exact p50/p90 lag in hours — the funnel's
+    latency percentile twin (the mean hides the long tail the p90
+    exists to expose).
+
+    Scale: two user-grain hash-aggs sharing one user_id exchange, then
+    a single exact-percentile aggregate over one bigint per converter.
+    Percentile interpolation parity (Spark `percentile` ≡ DuckDB
+    `quantile_cont`) is the a17 pattern; the microsecond lag stays
+    integer until the final hours division, floor-recipe rounded."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"), F.first("first_view").alias("first_view"))
+    )
+    lag_us = F.unix_micros("first_purchase") - F.unix_micros("first_view")
+    fr4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return fp.select(lag_us.alias("lag_us")).agg(
+        F.count("*").alias("n_converters"),
+        fr4(F.expr("percentile(lag_us, 0.5)") / F.lit(_HOURS_US)).alias(
+            "p50_hours"
+        ),
+        fr4(F.expr("percentile(lag_us, 0.9)") / F.lit(_HOURS_US)).alias(
+            "p90_hours"
+        ),
+    )
+
+
+CONVERSION_LAG_ORACLE = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id,
+         epoch_us(MIN(e.ts)) - epoch_us(ANY_VALUE(fv.first_view)) AS lag_us
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+       floor(quantile_cont(lag_us, 0.5) / 3600000000.0 * 10000.0 + 0.5)
+         / 10000.0 AS p50_hours,
+       floor(quantile_cont(lag_us, 0.9) / 3600000000.0 * 10000.0 + 0.5)
+         / 10000.0 AS p90_hours
+FROM fp
+"""
+
+
 QUERIES = {
     "funnel_user_conversion": funnel_user_conversion,
     "events_user_gini": events_user_gini,
+    "behavior_conversion_lag": behavior_conversion_lag,
     "cohort_weekly_retention": cohort_weekly_retention,
     "anomaly_daily_zscore": anomaly_daily_zscore,
     "rfm_customer_segments": rfm_customer_segments,
@@ -700,6 +760,7 @@ QUERIES = {
 ORACLE = {
     "funnel_user_conversion": FUNNEL_ORACLE,
     "events_user_gini": GINI_ORACLE,
+    "behavior_conversion_lag": CONVERSION_LAG_ORACLE,
     "cohort_weekly_retention": COHORT_ORACLE,
     "anomaly_daily_zscore": ANOMALY_ORACLE,
     "rfm_customer_segments": RFM_ORACLE,

@@ -1635,6 +1635,128 @@ ORDER BY d1, d2
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter decontamination pre-filter — the broadcast-sketch stage
+# a 100 TB decontamination run puts IN FRONT of the exact shingle join:
+# the benchmark's shingle set compresses to an m-bit bloom bitmap that
+# broadcasts everywhere, corpus shingles probe it map-side, and only
+# bloom-positive shingles proceed to the (shuffling) exact check.
+# This operator audits that sketch's quality on the live corpus:
+# exact true-member count vs bloom hits vs false positives.
+#
+# The bloom is built from pure md5 arithmetic (k positions per key =
+# md5(i||'_'||shingle) mod m), so both engines reproduce the identical
+# bitmap bit-for-bit and the FPR report is exact, not probabilistic.
+BLOOM_M = 2048
+BLOOM_K = 3
+
+
+def _bloom_pos(i: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(i), F.col("s"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the benchmark-shingle bloom: distinct corpus
+    shingles probed, true benchmark members, bits set, bloom hits,
+    false positives, and the realized false-positive rate among
+    non-members."""
+    sh = _shingled(spark, sf_dir)
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    corpus = sh.select(F.explode("shs").alias("s")).distinct()
+    bench = sh.where(is_bench).select(F.explode("shs").alias("s")).distinct()
+    kpos = F.array(*[_bloom_pos(i) for i in range(BLOOM_K)])
+    bits = (
+        bench.select(F.explode(kpos).alias("pos"))
+        .distinct()
+        .withColumn("b", F.lit(1))
+    )
+    probe_pos = corpus.select("s", F.explode(kpos).alias("pos")).distinct()
+    per_key = (
+        probe_pos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("s")
+        .agg(F.count("*").alias("np"), F.count("b").alias("matched"))
+        .select("s", (F.col("np") == F.col("matched")).alias("bloom_hit"))
+    )
+    flagged = per_key.join(
+        bench.withColumn("member", F.lit(1)), "s", "left"
+    )
+    # bits_set rides along as a broadcast 1-row frame — no driver
+    # action at plan-build time (the query stays fully lazy)
+    nbits = bits.agg(F.count("*").alias("bits_set"))
+    fp = F.sum(
+        (F.col("bloom_hit") & F.col("member").isNull()).cast("long")
+    )
+    nonmembers = F.count("*") - F.count("member")
+    return flagged.crossJoin(F.broadcast(nbits)).agg(
+        F.count("*").alias("n_probes"),
+        F.count("member").alias("n_members"),
+        F.min("bits_set").cast("long").alias("bits_set"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("bloom_hits"),
+        fp.alias("false_positives"),
+        _fr4(fp / nonmembers).alias("fpr"),
+    )
+
+
+def _bloom_oracle() -> str:
+    def pos(i: int, key: str = "s") -> str:
+        return (
+            f"CAST(concat('0x', substring(md5({i} || '_' || {key}), 1, 8)) "
+            f"AS BIGINT) % {BLOOM_M}"
+        )
+
+    poslist = ", ".join(pos(i) for i in range(BLOOM_K))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+nonempty AS (SELECT * FROM sh WHERE len(shs) >= 1),
+corpus AS (SELECT DISTINCT UNNEST(shs) AS s FROM nonempty),
+bench AS (
+  SELECT DISTINCT UNNEST(shs) AS s FROM nonempty
+  WHERE doc_id % {DECON_MOD} = 0
+),
+bits AS (
+  SELECT DISTINCT UNNEST([{poslist}]) AS pos FROM bench
+),
+probe_pos AS (
+  SELECT DISTINCT s, UNNEST([{poslist}]) AS pos FROM corpus
+),
+per_key AS (
+  SELECT p.s, COUNT(*) = COUNT(bits.pos) AS bloom_hit
+  FROM probe_pos p LEFT JOIN bits ON bits.pos = p.pos
+  GROUP BY p.s
+),
+flagged AS (
+  SELECT k.s, k.bloom_hit, b.s IS NOT NULL AS member
+  FROM per_key k LEFT JOIN bench b ON b.s = k.s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS bloom_hits,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT member THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives,
+       floor(SUM(CASE WHEN bloom_hit AND NOT member THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN NOT member THEN 1 ELSE 0 END)
+             * 10000.0 + 0.5) / 10000.0 AS fpr
+FROM flagged
+"""
+
+
+DEDUP_BLOOM_ORACLE = _bloom_oracle()
+
+
+# --------------------------------------------------------------------------
 def dq_duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplication audit: docs, distinct texts (by
     md5 digest — the same key the exact dedup tier groups on), the
@@ -1687,6 +1809,7 @@ QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_simhash_band_pairs": dedup_simhash_band_pairs,
     "dq_duplicate_rate_by_source": dq_duplicate_rate_by_source,
+    "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_exact_md5": dedup_exact_md5,
     "dedup_ngram_jaccard_pairs": dedup_ngram_jaccard_pairs,
     "dedup_containment_pairs": dedup_containment_pairs,
@@ -1710,6 +1833,7 @@ ORACLE = {
     "dedup_exact_keeper": DEDUP_EXACT_ORACLE,
     "dedup_simhash_band_pairs": DEDUP_SIMHASH_PAIRS_ORACLE,
     "dq_duplicate_rate_by_source": DQ_DUP_RATE_ORACLE,
+    "dedup_bloom_prefilter": DEDUP_BLOOM_ORACLE,
     "dedup_exact_md5": DEDUP_MD5_ORACLE,
     "dedup_ngram_jaccard_pairs": DEDUP_JACCARD_ORACLE,
     "dedup_containment_pairs": DEDUP_CONTAINMENT_ORACLE,

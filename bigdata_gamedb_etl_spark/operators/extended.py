@@ -690,6 +690,145 @@ ORDER BY from_type, to_type
 
 
 # --------------------------------------------------------------------------
+def seq_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per from-state transition entropy of the user event chain —
+    how predictable the next event is from each state (0 = always the
+    same successor; ln(#states) = uniform).  Uses the char-entropy
+    identity H = ln(N) − Σc·ln c / N over the transition counts, so
+    the per-state total never joins back (one extra hash-agg over the
+    states² count table, which is tiny)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("from_type")
+        .agg(
+            F.sum("c").alias("n_transitions"),
+            F.count("*").alias("n_successors"),
+            F.sum((F.col("c") * F.log("c")).cast("decimal(28,9)")).alias(
+                "s"
+            ),
+        )
+        .select(
+            "from_type",
+            "n_transitions",
+            "n_successors",
+            (
+                F.floor(
+                    (
+                        F.log("n_transitions")
+                        - F.col("s").cast("double") / F.col("n_transitions")
+                    )
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("entropy"),
+        )
+        .orderBy("from_type")
+    )
+
+
+SEQ_MARKOV_ENTROPY_ORACLE = """
+WITH ordered AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS c
+  FROM ordered WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type,
+       CAST(SUM(c) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_successors,
+       floor((ln(CAST(SUM(c) AS DOUBLE))
+              - CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,9)))
+                     AS DOUBLE) / SUM(c)) * 10000.0 + 0.5) / 10000.0
+         AS entropy
+FROM counts
+GROUP BY from_type
+ORDER BY from_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-feed conformity scorecard: one row of rule-violation counts
+# over the whole stream — the "is the feed still shaped like we
+# think" gate run before anything downstream trusts a day's events.
+# One scan, conditional sums, zero joins.
+_EVENT_TYPES = "('view', 'click', 'purchase', 'signup', 'error')"
+
+
+def dq_event_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation counts per conformity rule: unknown event_type,
+    value outside (0, 1000], props missing the integer `k` JSON field,
+    ts outside the plausible [2020, 2031) window, and null keys."""
+    e = table(spark, sf_dir, "events")
+    # every rule is explicitly NULL-inclusive (a NULL field VIOLATES
+    # its rule) — a bare ~pred would go NULL on NULL input and silently
+    # drop out of the sum
+    viol = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return e.agg(
+        F.count("*").alias("n_events"),
+        viol(
+            ~F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            )
+            | F.col("event_type").isNull()
+        ).alias("bad_type"),
+        viol(
+            ~((F.col("value") > 0) & (F.col("value") <= 1000))
+            | F.col("value").isNull()
+        ).alias("bad_value"),
+        # try_cast, not cast: ANSI mode turns a malformed numeric
+        # string into a crash instead of the NULL this rule counts
+        viol(
+            F.expr(
+                "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+            ).isNull()
+        ).alias("bad_props"),
+        viol(
+            ~F.year("ts").between(2020, 2030) | F.col("ts").isNull()
+        ).alias("bad_ts"),
+        viol(
+            F.col("event_id").isNull()
+            | F.col("user_id").isNull()
+            | F.col("ts").isNull()
+        ).alias("bad_keys"),
+    )
+
+
+DQ_EVENT_CONFORMITY_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type NOT IN {_EVENT_TYPES}
+                     OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS bad_type,
+       CAST(SUM(CASE WHEN NOT (value > 0 AND value <= 1000)
+                     OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS bad_value,
+       CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_props,
+       CAST(SUM(CASE WHEN year(ts) NOT BETWEEN 2020 AND 2030
+                     OR ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_ts,
+       CAST(SUM(CASE WHEN event_id IS NULL OR user_id IS NULL
+                     OR ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_keys
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # Session path analysis: the top opening event-type paths (first
 # SESSION_PATH_LEN events) across gap-sessions.  Reuses the sess1
 # session assignment; the path string is built from an array_sort over
@@ -1459,6 +1598,8 @@ QUERIES = {
     "dq_distribution_drift": dq_distribution_drift,
     "dq_completeness_profile": dq_completeness_profile,
     "seq_markov_transitions": seq_markov_transitions,
+    "seq_markov_entropy": seq_markov_entropy,
+    "dq_event_conformity": dq_event_conformity,
     "sess3_top_paths": sess3_top_paths,
     "p7_winsorized_value": p7_winsorized_value,
     "stat_corr_matrix": stat_corr_matrix,
@@ -1487,6 +1628,8 @@ ORACLE = {
     "dq_distribution_drift": DQ_DRIFT_ORACLE,
     "dq_completeness_profile": DQ_COMPLETENESS_ORACLE,
     "seq_markov_transitions": SEQ_MARKOV_ORACLE,
+    "seq_markov_entropy": SEQ_MARKOV_ENTROPY_ORACLE,
+    "dq_event_conformity": DQ_EVENT_CONFORMITY_ORACLE,
     "sess3_top_paths": SESS3_ORACLE,
     "p7_winsorized_value": P7_ORACLE,
     "stat_corr_matrix": STAT_CORR_ORACLE,

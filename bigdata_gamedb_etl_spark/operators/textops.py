@@ -1234,10 +1234,66 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+def text_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document (≥1 token): token total, type count, within-doc
+    hapax count (tokens used exactly once), type-token ratio, and
+    hapax share of types — the lexical-richness profile (low hapax =
+    repetitive padding; TTR near 1 with high hapax = thin or
+    generated text).  Two-level hash-agg on (doc, token) then doc —
+    the char-entropy shuffle shape on the token grain."""
+    d = table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("doc_id", F.explode(F.expr(_TOKS)).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("token_count"),
+            F.count("*").alias("type_count"),
+            F.sum((F.col("c") == 1).cast("long")).alias("hapax_count"),
+        )
+        .select(
+            "doc_id",
+            "token_count",
+            "type_count",
+            "hapax_count",
+            _fr4(F.col("type_count") / F.col("token_count")).alias("ttr"),
+            _fr4(F.col("hapax_count") / F.col("type_count")).alias(
+                "hapax_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_HAPAX_ORACLE = f"""
+WITH per_tok AS (
+  SELECT doc_id, t, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST({_TOKS_DUCK}) AS t FROM documents)
+  GROUP BY doc_id, t
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS token_count,
+       CAST(COUNT(*) AS BIGINT) AS type_count,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hapax_count,
+       floor(COUNT(*) * 1.0 / SUM(c) * 10000.0 + 0.5) / 10000.0 AS ttr,
+       floor(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 10000.0 + 0.5) / 10000.0 AS hapax_share
+FROM per_tok
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_zipf_slope": text_zipf_slope,
     "text_novelty_rate": text_novelty_rate,
+    "text_hapax_profile": text_hapax_profile,
     "text_lang_rollup": text_lang_rollup,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1260,6 +1316,7 @@ ORACLE = {
     "text_stats": TEXT_STATS_ORACLE,
     "text_zipf_slope": TEXT_ZIPF_ORACLE,
     "text_novelty_rate": TEXT_NOVELTY_ORACLE,
+    "text_hapax_profile": TEXT_HAPAX_ORACLE,
     "text_lang_rollup": TEXT_LANG_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,

@@ -77,6 +77,14 @@ ROUND7_NEW: list[str] = [
     "pipeline_leakage_safe_split",
     "graph_degree_distribution",
     "graph_component_sizes",
+    "behavior_conversion_lag",
+    "text_hapax_profile",
+    "dedup_bloom_prefilter",
+    "seq_markov_entropy",
+    "dq_event_conformity",
+    # mm_resize converted rows-only -> oracle-backed this round (real
+    # codec-free tier + md5-hex fallback); it sits in RECONFIRM_STALE
+    # already, so no extra slot is spent here
 ]
 
 RECONFIRM_STALE = [
