@@ -399,8 +399,90 @@ ORDER BY cluster_size
 GRAPH_COMPONENT_SIZES_ORACLE = _component_sizes_oracle()
 
 
+# --------------------------------------------------------------------------
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per edge: structural similarity of its endpoints — Jaccard of
+    their open neighborhoods (excluding the endpoints themselves).
+    High values mean the pair sits inside a dense blob (safe to
+    collapse); zero means a bridge between otherwise-unrelated docs —
+    the triage signal reviewers use on borderline near-dup pairs.
+
+    Shape: one wedge join (edge × symmetric adjacency, the triangle
+    query's shape) + a degree join — fixed join count, degree-bounded
+    fanout (df cap upstream), no iteration.  Two empty neighborhoods
+    define Jaccard 0 (guarded division; ANSI would throw on /0)."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    sym = _sym_edges(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    a, b = sym.alias("a"), sym.alias("b")
+    common = (
+        pairs.join(a, F.col("d1") == F.col("a.src"))
+        .join(
+            b,
+            (F.col("d2") == F.col("b.src"))
+            & (F.col("a.dst") == F.col("b.dst")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.select(F.col("src").alias("d1"), F.col("deg").alias("deg1"))
+    db = deg.select(F.col("src").alias("d2"), F.col("deg").alias("deg2"))
+    union_sz = (
+        F.col("deg1") - 1 + F.col("deg2") - 1 - F.col("common")
+    )
+    from .dedup import _fr4
+
+    return (
+        pairs.join(common, ["d1", "d2"], "left")
+        .join(da, "d1")
+        .join(db, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.coalesce("common", F.lit(0)).alias("common_neighbors"),
+            F.when(
+                union_sz > 0,
+                _fr4(F.coalesce("common", F.lit(0)) / union_sz),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("neighbor_jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+GRAPH_NEIGHBOR_JACCARD_ORACLE = f"""
+WITH pairs AS ({DEDUP_JACCARD_ORACLE.replace("ORDER BY d1, d2", "")}),
+sym AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+common AS (
+  SELECT p.d1, p.d2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM pairs p
+  JOIN sym a ON a.src = p.d1
+  JOIN sym b ON b.src = p.d2 AND b.dst = a.dst
+  GROUP BY p.d1, p.d2
+)
+SELECT p.d1, p.d2,
+       COALESCE(c.common, 0) AS common_neighbors,
+       CASE WHEN da.deg - 1 + db.deg - 1 - COALESCE(c.common, 0) > 0
+            THEN floor(COALESCE(c.common, 0) * 1.0
+                       / (da.deg - 1 + db.deg - 1 - COALESCE(c.common, 0))
+                       * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS neighbor_jaccard
+FROM pairs p
+LEFT JOIN common c ON c.d1 = p.d1 AND c.d2 = p.d2
+JOIN deg da ON da.src = p.d1
+JOIN deg db ON db.src = p.d2
+ORDER BY p.d1, p.d2
+"""
+
+
 QUERIES = {
     "graph_2hop_reach": graph_2hop_reach,
+    "graph_neighbor_jaccard": graph_neighbor_jaccard,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_degree_distribution": graph_degree_distribution,
@@ -409,6 +491,7 @@ QUERIES = {
 
 ORACLE = {
     "graph_2hop_reach": GRAPH_2HOP_ORACLE,
+    "graph_neighbor_jaccard": GRAPH_NEIGHBOR_JACCARD_ORACLE,
     "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree_distribution": GRAPH_DEGREE_ORACLE,

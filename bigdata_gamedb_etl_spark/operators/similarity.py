@@ -770,10 +770,13 @@ def _q9(x):
     return F.floor(x * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
 
 
-def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One KMeans assignment+update step from label-seeded centroids:
-    per centroid, members assigned, members that migrated from another
-    seed label, and the L2 movement of the recomputed centroid."""
+def _seed_assigned(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared assignment stage (Lloyd step + SemDeDup): quantized
+    label-seeded per-dim centroid means, and every vector's nearest-
+    centroid assignment (broadcast probe, min_by argmin with label
+    tiebreak).  Returns (per_dim, assigned)."""
     emb = _emb_double(spark, sf_dir)
     per_dim = (
         emb.select("label", F.posexplode("emb").alias("dim", "v"))
@@ -799,6 +802,14 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("label").alias("label"),
         F.first("emb").alias("emb"),
     )
+    return per_dim, assigned
+
+
+def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One KMeans assignment+update step from label-seeded centroids:
+    per centroid, members assigned, members that migrated from another
+    seed label, and the L2 movement of the recomputed centroid."""
+    per_dim, assigned = _seed_assigned(spark, sf_dir)
     new_dim = (
         assigned.select("assigned", F.posexplode("emb").alias("dim", "v"))
         .groupBy("assigned", "dim")
@@ -838,8 +849,10 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIM_LLOYD_ORACLE = """
-WITH e AS (
+#: shared CTE prefix: label-seeded quantized centroids + per-vector
+#: nearest-centroid assignment — used verbatim by the Lloyd-step and
+#: SemDeDup oracles so the two can never drift apart.
+_ASSIGN_CTES = """e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 per_dim AS (
@@ -867,7 +880,10 @@ assigned AS (
          ANY_VALUE(label) AS label,
          ANY_VALUE(emb) AS emb
   FROM scored GROUP BY vec_id
-),
+)"""
+
+SIM_LLOYD_ORACLE = f"""
+WITH {_ASSIGN_CTES},
 new_dim AS (
   SELECT assigned, dim, floor(AVG(v) * 1e9 + 0.5) / 1e9 AS new_v
   FROM (
@@ -1049,9 +1065,103 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup (cluster-then-prune embedding dedup): assign every vector
+# to a coarse centroid, then compare ONLY within-cluster pairs and
+# prune the higher id of every pair above the cosine threshold — the
+# published recipe that turns O(N²) semantic dedup into per-cluster
+# work.  At 100 TB the cluster count k scales with the corpus so the
+# per-cluster member count stays bounded (the within-cluster pair join
+# is |cluster|² per key, which is the algorithm's knob, not an
+# accident); the assignment stage is the broadcast probe shared with
+# the Lloyd step.
+SEMDEDUP_THRESHOLD = DUP_COSINE_THRESHOLD  # aligned with the exact tier
+
+
+def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per coarse cluster: members, within-cluster near-dup pairs at
+    cosine ≥ SEMDEDUP_THRESHOLD, and vectors pruned (the higher id of
+    each dup pair, counted once).  Zero-norm vectors are excluded (no
+    direction to compare)."""
+    _, assigned = _seed_assigned(spark, sf_dir)
+    vecs = assigned.select(
+        "vec_id",
+        "assigned",
+        "emb",
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("a.assigned") == F.col("b.assigned"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.assigned").alias("cluster"),
+            F.col("b.vec_id").alias("loser"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= SEMDEDUP_THRESHOLD)
+    )
+    members = vecs.groupBy(F.col("assigned").alias("cluster")).agg(
+        F.count("*").alias("n_members")
+    )
+    stats = dup.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("loser").alias("n_pruned"),
+    )
+    return (
+        members.join(stats, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+        )
+        .orderBy("cluster")
+    )
+
+
+SIM_SEMDEDUP_ORACLE = f"""
+WITH {_ASSIGN_CTES},
+vecs AS (
+  SELECT vec_id, assigned, emb,
+         sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM assigned
+  WHERE sqrt(list_dot_product(emb, emb)) > 0
+),
+dup AS (
+  SELECT a.assigned AS cluster, b.vec_id AS loser
+  FROM vecs a JOIN vecs b
+    ON a.assigned = b.assigned AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+        >= {SEMDEDUP_THRESHOLD}
+),
+members AS (
+  SELECT assigned AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM vecs GROUP BY assigned
+),
+stats AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+         CAST(COUNT(DISTINCT loser) AS BIGINT) AS n_pruned
+  FROM dup GROUP BY cluster
+)
+SELECT m.cluster, m.n_members,
+       COALESCE(s.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(s.n_pruned, 0) AS n_pruned
+FROM members m LEFT JOIN stats s ON s.cluster = m.cluster
+ORDER BY m.cluster
+"""
+
+
 QUERIES = {
     "dedup_semantic_fused_pairs": dedup_semantic_fused_pairs,
     "dedup_semantic_decontaminate": dedup_semantic_decontaminate,
+    "sim_semdedup_prune": sim_semdedup_prune,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -1067,6 +1177,7 @@ QUERIES = {
 ORACLE = {
     "dedup_semantic_fused_pairs": SIM_FUSED_ORACLE,
     "dedup_semantic_decontaminate": SEM_DECON_ORACLE,
+    "sim_semdedup_prune": SIM_SEMDEDUP_ORACLE,
     "sim_cosine_topk": SIM_TOPK_ORACLE,
     "sim_label_centroid_norms": SIM_CENTROID_ORACLE,
     "sim_knn_top1": SIM_KNN_ORACLE,

@@ -82,6 +82,8 @@ ROUND7_NEW: list[str] = [
     "dedup_bloom_prefilter",
     "seq_markov_entropy",
     "dq_event_conformity",
+    "sim_semdedup_prune",
+    "graph_neighbor_jaccard",
     # mm_resize converted rows-only -> oracle-backed this round (real
     # codec-free tier + md5-hex fallback); it sits in RECONFIRM_STALE
     # already, so no extra slot is spent here
