@@ -98,6 +98,16 @@ EXTRAS = [
     "text_bigram_logprob",
     "dedup_containment_pairs",
     "text_char_entropy",
+    # round-7 heavies: the keeper-aware emit mart (CC + quality +
+    # curriculum composition), SimHash Hamming-band LSH, SemDeDup
+    # within-cluster prune, the per-edge wedge+degree join, the bloom
+    # sketch audit, and the cluster-aware split
+    "pipeline_corpus_emit",
+    "dedup_simhash_band_pairs",
+    "sim_semdedup_prune",
+    "graph_neighbor_jaccard",
+    "dedup_bloom_prefilter",
+    "pipeline_leakage_safe_split",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -129,6 +139,14 @@ SCALE_PROBE_QUERIES = [
     # the corpus (the probe checks the shuffle join stays ~linear)
     "dedup_containment_pairs",
     "text_bigram_logprob",
+    # round-7: Hamming-band LSH — replica token-suffixing makes
+    # cross-replica band collisions ~random, so candidates should
+    # scale linearly like the MinHash bands.  (sim_semdedup_prune is
+    # deliberately NOT probed: its cluster count k is fixed at the
+    # label cardinality here, so a 10x replica grows clusters 10x and
+    # within-cluster pairs 100x BY DESIGN — at real scale k scales
+    # with the corpus, which the replica construction can't express.)
+    "dedup_simhash_band_pairs",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"

@@ -91,6 +91,71 @@ def test_cumulative_users_golden(spark, golden_dir):
     ]
 
 
+def test_user_gini_golden(spark, tmp_path_factory):
+    """Counts (1, 1, 2, 4) sorted asc: Σi·x_i = 1·1 + 2·1 + 3·2 + 4·4
+    = 25, n = 4, Σx = 8 → G = 2·25/(4·8) − 5/4 = 0.3125 exactly, and
+    the tied block (two users at count 1) exercises the closed-form
+    tied-rank sum."""
+    from bigdata_gamedb_etl_spark.operators.behavior import events_user_gini
+
+    events = []
+    eid = 0
+    for uid, n in ((1, 1), (2, 1), (3, 2), (4, 4)):
+        for k in range(n):
+            events.append((eid, _ts(10, eid % 60), uid, "view", 1.0, "{}"))
+            eid += 1
+    d = tmp_path_factory.mktemp("golden_gini")
+    spark.createDataFrame(events, TABLE_SCHEMAS["events"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    row = events_user_gini(spark, str(d)).collect()[0]
+    assert (row["n_users"], row["n_events"]) == (4, 8)
+    assert row["gini"] == 0.3125
+
+
+def test_conversion_lag_golden(spark, golden_dir):
+    """User 1: view 10:00 → first later purchase 10:30 (0.5 h).
+    User 2: view 11:00 → purchase 11:59 (59/60 h); the 09:00 purchase
+    predates the view and must NOT count.  Exact percentiles over two
+    lags interpolate linearly: p50 = midpoint, p90 = 0.9 of the way."""
+    from bigdata_gamedb_etl_spark.operators.behavior import (
+        behavior_conversion_lag,
+    )
+
+    row = behavior_conversion_lag(spark, golden_dir).collect()[0]
+    assert row["n_converters"] == 2
+    lo, hi = 0.5, 59 / 60
+    import math
+
+    assert row["p50_hours"] == math.floor((lo + hi) / 2 * 1e4 + 0.5) / 1e4
+    assert row["p90_hours"] == math.floor(
+        (lo + 0.9 * (hi - lo)) * 1e4 + 0.5
+    ) / 1e4
+
+
+def test_markov_entropy_golden(spark, golden_dir):
+    """User 1 chain: view→click→purchase→purchase; user 2 chain:
+    purchase→view→error→purchase.  'click' is deterministic
+    (always → purchase, H = 0); 'view' splits {click:1, error:1} and
+    'purchase' splits {purchase:1, view:1}, both H = ln 2."""
+    import math
+
+    from bigdata_gamedb_etl_spark.operators.extended import (
+        seq_markov_entropy,
+    )
+
+    rows = {
+        r["from_type"]: r for r in seq_markov_entropy(spark, golden_dir).collect()
+    }
+    ln2 = math.floor(math.log(2) * 1e4 + 0.5) / 1e4
+    assert rows["click"]["entropy"] == 0.0
+    assert rows["view"]["entropy"] == ln2
+    p = rows["purchase"]
+    assert p["n_transitions"] == 2 and p["n_successors"] == 2
+    assert p["entropy"] == ln2
+
+
 def test_audience_overlap_golden(spark, tmp_path_factory):
     """u1 ∈ {A,B}, u2 ∈ {A}, u3 ∈ {B,C}: (A,B) share u1 (J = 1/3),
     (B,C) share u3 (J = 1/2), (A,C) share nobody and is absent."""
