@@ -1065,11 +1065,67 @@ ORDER BY split
 """
 
 
+# --------------------------------------------------------------------------
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the summary block a corpus release ships
+    (doc/source/lang cardinalities, token volume, exact-dup count,
+    high-quality share input, median length).  One scan, one
+    aggregate; the distinct counts expand the single hash-agg, not
+    the scan.  Quality reuses text_quality's exact bucket predicate."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(f"size({_TOKS})")
+    ratio = F.expr(
+        f"size(array_distinct({_TOKS})) * 1.0 / size({_TOKS})"
+    )
+    is_high = (toks >= 200) & (ratio >= 0.1)
+    fr2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    return (
+        d.select(
+            "source",
+            "lang",
+            F.md5("text").alias("digest"),
+            toks.cast("long").alias("tk"),
+            is_high.cast("long").alias("hi"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("tk").alias("total_tokens"),
+            (F.count("*") - F.countDistinct("digest")).alias("dup_docs"),
+            F.sum("hi").alias("high_quality_docs"),
+            fr2(F.expr("percentile(tk, 0.5)")).alias("p50_tokens"),
+        )
+    )
+
+
+DATASET_CARD_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang, md5(text) AS digest,
+         CAST(len({_TOKS_DUCK}) AS BIGINT) AS tk,
+         CASE WHEN len({_TOKS_DUCK}) >= 200
+              AND len(list_distinct({_TOKS_DUCK})) * 1.0
+                  / len({_TOKS_DUCK}) >= 0.1
+              THEN 1 ELSE 0 END AS hi
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(tk) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS dup_docs,
+       CAST(SUM(hi) AS BIGINT) AS high_quality_docs,
+       floor(quantile_cont(tk, 0.5) * 100.0 + 0.5) / 100.0 AS p50_tokens
+FROM d
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_mixture_reweight": pipeline_mixture_reweight,
     "pipeline_corpus_emit": pipeline_corpus_emit,
     "pipeline_leakage_safe_split": pipeline_leakage_safe_split,
+    "pipeline_dataset_card": pipeline_dataset_card,
     "pipeline_training_examples": pipeline_training_examples,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_pack_sequences": pipeline_pack_sequences,
@@ -1086,6 +1142,7 @@ ORACLE = {
     "pipeline_mixture_reweight": MIXTURE_REWEIGHT_ORACLE,
     "pipeline_corpus_emit": CORPUS_EMIT_ORACLE,
     "pipeline_leakage_safe_split": LEAKAGE_SPLIT_ORACLE,
+    "pipeline_dataset_card": DATASET_CARD_ORACLE,
     "pipeline_training_examples": TRAINING_EXAMPLES_ORACLE,
     "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,

@@ -1158,10 +1158,94 @@ ORDER BY m.cluster
 """
 
 
+# --------------------------------------------------------------------------
+# Matryoshka truncation audit — modern embedding models are trained so
+# a PREFIX of the vector is itself a usable embedding (MRL); serving
+# stacks exploit that by retrieving with the cheap truncated prefix
+# and re-ranking with the full vector.  Before enabling that, a
+# pipeline measures what prefix retrieval loses: exact top-k under
+# full-dimension cosine vs exact top-k under prefix-only cosine, and
+# the recall between them.  Both sides are TakeOrdered scans (no
+# shuffle of the corpus), so the audit is linear and exact.
+MRL_PREFIX_DIM = 16
+
+
+def sim_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: k, hits (overlap of the prefix top-k with the full
+    top-k for the vec_id=0 query), and recall@k at
+    MRL_PREFIX_DIM-of-64 truncation.  The query vector itself ranks
+    first on both sides (cosine 1) and is excluded."""
+    emb = _emb_double(spark, sf_dir).where(F.size("emb") > 0)
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qv")
+    )
+
+    def topk(dim: int | None) -> DataFrame:
+        if dim is None:
+            e, qc = F.col("emb"), F.col("qv")
+        else:
+            e = F.slice(F.col("emb"), 1, dim)
+            qc = F.slice(F.col("qv"), 1, dim)
+        cos = _dot(e, qc) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(qc, qc)))
+        return (
+            emb.where(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", cos.alias("cos"))
+            .orderBy(F.col("cos").desc(), "vec_id")
+            .limit(TOP_K)
+        )
+
+    full = topk(None).select("vec_id")
+    trunc = topk(MRL_PREFIX_DIM).select("vec_id")
+    return (
+        full.join(trunc, "vec_id")
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(TOP_K).alias("k"),
+            "hits",
+            _fr4(F.col("hits") / F.lit(float(TOP_K))).alias("recall"),
+        )
+    )
+
+
+SIM_MRL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE len(embedding) > 0
+),
+q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+full_k AS (
+  SELECT vec_id
+  FROM e CROSS JOIN q
+  WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY list_dot_product(emb, qv)
+        / (sqrt(list_dot_product(emb, emb))
+           * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+  LIMIT {TOP_K}
+),
+trunc_k AS (
+  SELECT vec_id
+  FROM e CROSS JOIN q
+  WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY list_dot_product(emb[1:{MRL_PREFIX_DIM}], qv[1:{MRL_PREFIX_DIM}])
+        / (sqrt(list_dot_product(emb[1:{MRL_PREFIX_DIM}],
+                                 emb[1:{MRL_PREFIX_DIM}]))
+           * sqrt(list_dot_product(qv[1:{MRL_PREFIX_DIM}],
+                                   qv[1:{MRL_PREFIX_DIM}]))) DESC, vec_id
+  LIMIT {TOP_K}
+)
+SELECT {TOP_K} AS k,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       floor(COUNT(*) * 1.0 / {TOP_K} * 10000.0 + 0.5) / 10000.0 AS recall
+FROM full_k JOIN trunc_k USING (vec_id)
+"""
+
+
 QUERIES = {
     "dedup_semantic_fused_pairs": dedup_semantic_fused_pairs,
     "dedup_semantic_decontaminate": dedup_semantic_decontaminate,
     "sim_semdedup_prune": sim_semdedup_prune,
+    "sim_mrl_truncation_recall": sim_mrl_truncation_recall,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norms": sim_label_centroid_norms,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -1178,6 +1262,7 @@ ORACLE = {
     "dedup_semantic_fused_pairs": SIM_FUSED_ORACLE,
     "dedup_semantic_decontaminate": SEM_DECON_ORACLE,
     "sim_semdedup_prune": SIM_SEMDEDUP_ORACLE,
+    "sim_mrl_truncation_recall": SIM_MRL_ORACLE,
     "sim_cosine_topk": SIM_TOPK_ORACLE,
     "sim_label_centroid_norms": SIM_CENTROID_ORACLE,
     "sim_knn_top1": SIM_KNN_ORACLE,

@@ -84,6 +84,8 @@ ROUND7_NEW: list[str] = [
     "dq_event_conformity",
     "sim_semdedup_prune",
     "graph_neighbor_jaccard",
+    "sim_mrl_truncation_recall",
+    "pipeline_dataset_card",
     # mm_resize converted rows-only -> oracle-backed this round (real
     # codec-free tier + md5-hex fallback); it sits in RECONFIRM_STALE
     # already, so no extra slot is spent here
