@@ -87,21 +87,10 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _fr4(x):
-    """floor(x*1e4+0.5)/1e4 — identical to HALF_UP for the non-negative
-    ratios it rounds, but engine-agreed at exact dyadic halfway values
-    (e.g. common/union = 68/128 = 0.53125) where Spark's ROUND rounds
-    up and DuckDB's rounds to even.  Oracle twins carry the same form.
-
-    SIGNED inputs (dq_distribution_drift.drift_pp, w11 mom_pct, and any
-    future delta column reusing this recipe): the semantics are
-    round-half-toward-POSITIVE-INFINITY, not half-away-from-zero —
-    floor(-0.00125*1e4+0.5) = floor(-12.0) = -12, i.e. -0.00125 rounds
-    to -0.0012 where HALF_UP would give -0.0013.  Cross-engine parity
-    is unaffected (both twins share the formula); downstream consumers
-    reading exact dyadic negative halfway values should expect the
-    +inf direction."""
-    return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+# the engine-agreed floor rounding recipe — re-exported here for the
+# existing call sites; defined in the leaf module _rounding to avoid
+# import-order coupling (see _rounding.py docstring)
+from ._rounding import _fr4  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------
@@ -1541,28 +1530,49 @@ DEDUP_FUNNEL_ORACLE = _funnel_oracle()
 
 
 # --------------------------------------------------------------------------
-# SimHash Hamming-band retrieval — the near-dup PAIR stage the
-# signatures exist for: band the 64-bit signature into 4×16-bit keys,
-# bucket-join on band equality (any pair within Hamming distance 3 is
-# GUARANTEED to agree on ≥1 band — pigeonhole over 4 bands), then
-# verify candidates with an exact bit_count(xor) distance.
+# SimHash Hamming retrieval via block combinations (Manku/Jain/Sarma,
+# WWW'07 — the web-scale simhash dedup design): split the 64-bit
+# signature into 6 blocks and key C(6,3) = 20 tables on each 3-block
+# combination (~32-bit keys).  A pair within Hamming distance 3 flips
+# bits in at most 3 blocks, so SOME 3-block combination is untouched —
+# the ≤3 guarantee of naive 4×16 banding is preserved — while the key
+# space grows from 2^16 to ~2^32: the quadratic random-collision term
+# (n²·tables/keyspace) that makes 16-bit bands blow up past ~10^5 docs
+# becomes negligible until ~10^9 docs per partition-disjoint shard.
+# Round 7's 10× scale probe caught exactly this: the 16-bit form ran
+# at ratio 8.6 (collision-quadratic); the block-combination form is
+# the shape that survives 100 TB.
 #
-# Scale shape: identical to the MinHash-LSH OR-construction — one
-# shuffle of (band, value) keys, candidate count tracks true near-dup
-# density (random 16-bit band collisions are ~n²/2·4/65536, negligible
-# next to real clusters), and the exact verify is per-candidate, never
-# all-pairs.  Zero signatures (token-less docs) are excluded: on a
-# real corpus every empty doc shares the all-zero signature and the
-# bucket would go quadratic — same hazard class the Jaccard tier's
-# df cap guards.
-SIMHASH_N_BANDS = 4
-SIMHASH_BAND_BITS = 16
+# Zero signatures (token-less docs) are excluded: every empty doc
+# shares the all-zero signature and its bucket would go quadratic —
+# same hazard class the Jaccard tier's df cap guards.
+_SIMHASH_BLOCK_OFFS = (0, 11, 22, 33, 44, 54)  # 11,11,11,11,10,10 bits
+_SIMHASH_BLOCK_BITS = (11, 11, 11, 11, 10, 10)
+_SIMHASH_COMBOS = (
+    (0, 1, 2), (0, 1, 3), (0, 1, 4), (0, 1, 5), (0, 2, 3), (0, 2, 4),
+    (0, 2, 5), (0, 3, 4), (0, 3, 5), (0, 4, 5), (1, 2, 3), (1, 2, 4),
+    (1, 2, 5), (1, 3, 4), (1, 3, 5), (1, 4, 5), (2, 3, 4), (2, 3, 5),
+    (2, 4, 5), (3, 4, 5),
+)
 SIMHASH_HAM_MAX = 8
 
 
+def _simhash_block_sql(i: int, col: str = "simhash") -> str:
+    off, bits = _SIMHASH_BLOCK_OFFS[i], _SIMHASH_BLOCK_BITS[i]
+    return f"(({col} >> {off}) & {(1 << bits) - 1})"
+
+
+def _simhash_combo_key_sql(combo: tuple[int, int, int], col: str = "simhash") -> str:
+    """Pack a 3-block combination into one BIGINT key: each block value
+    is < 2^11, so fixed 11-bit shifts concatenate them collision-free."""
+    a, b, c = (_simhash_block_sql(i, col) for i in combo)
+    return f"((({a} * 2048) + {b}) * 2048 + {c})"
+
+
 def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs from SimHash band buckets, verified to
-    Hamming distance ≤ SIMHASH_HAM_MAX (d1 < d2, each pair once)."""
+    """Candidate near-dup pairs from the 20 block-combination tables,
+    verified to Hamming distance ≤ SIMHASH_HAM_MAX (d1 < d2, each pair
+    once; every pair at distance ≤ 3 is guaranteed caught)."""
     sig = dedup_simhash_signatures(spark, sf_dir).where(
         F.col("simhash") != 0
     )
@@ -1573,26 +1583,24 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"(simhash >> {SIMHASH_BAND_BITS * b}) & 65535"
-                        ).alias("val"),
+                        F.lit(t).alias("tbl"),
+                        F.expr(_simhash_combo_key_sql(combo)).alias("val"),
                     )
-                    for b in range(SIMHASH_N_BANDS)
+                    for t, combo in enumerate(_SIMHASH_COMBOS)
                 ]
             )
         ).alias("bv"),
     ).select(
         "doc_id",
         "simhash",
-        F.col("bv.band").alias("band"),
+        F.col("bv.tbl").alias("tbl"),
         F.col("bv.val").alias("val"),
     )
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -1613,25 +1621,34 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SIMHASH_PAIRS_ORACLE = f"""
+def _simhash_pairs_oracle() -> str:
+    combo_rows = ",\n    ".join(
+        f"({t}, {_simhash_combo_key_sql(combo)})"
+        for t, combo in enumerate(_SIMHASH_COMBOS)
+    )
+    return f"""
 WITH sigs AS ({DEDUP_SIMHASH_ORACLE.replace("ORDER BY d.doc_id", "")}),
 nz AS (SELECT doc_id, simhash FROM sigs WHERE simhash <> 0),
 bands AS (
-  SELECT doc_id, simhash, b AS band,
-         (simhash >> (b * {SIMHASH_BAND_BITS})) & 65535 AS val
-  FROM nz, (SELECT UNNEST(range({SIMHASH_N_BANDS})) AS b)
+  SELECT doc_id, simhash, t.* FROM nz,
+    LATERAL (VALUES
+    {combo_rows}
+    ) AS t(tbl, val)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          a.simhash AS s1, b.simhash AS s2
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ON a.tbl = b.tbl AND a.val = b.val AND a.doc_id < b.doc_id
 )
 SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(s1, s2)) <= {SIMHASH_HAM_MAX}
 ORDER BY d1, d2
 """
+
+
+DEDUP_SIMHASH_PAIRS_ORACLE = _simhash_pairs_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -430,7 +430,7 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_sz = (
         F.col("deg1") - 1 + F.col("deg2") - 1 - F.col("common")
     )
-    from .dedup import _fr4
+    from ._rounding import _fr4
 
     return (
         pairs.join(common, ["d1", "d2"], "left")

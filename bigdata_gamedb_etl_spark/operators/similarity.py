@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
-from .dedup import _fr4
+from ._rounding import _fr4
 
 QUERY_VEC_ID = 0
 TOP_K = 20

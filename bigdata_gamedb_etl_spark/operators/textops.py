@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
-from .dedup import _fr4
+from ._rounding import _fr4
 
 # tokens: split on single space, drop empties (both engines agree).
 _TOKS = "filter(split(text, ' '), t -> t <> '')"
