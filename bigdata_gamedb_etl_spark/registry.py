@@ -64,7 +64,8 @@ MODULES = [
 # to sit in the window or in this ordered reconfirm list.  New queries
 # are appended to ROUND7_NEW in the same commit that registers them
 # (enforced by test_every_query_has_driver_evidence_or_is_queued);
-# capacity this round is 50 - 29 = 21 new names.
+# capacity this round was 50 - 29 = 21 new names; 20 were used (the
+# 50th window slot falls to the first CONTROL).
 ROUND7_NEW: list[str] = [
     "dedup_semantic_decontaminate",
     "pipeline_mixture_reweight",
