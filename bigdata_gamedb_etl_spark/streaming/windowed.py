@@ -217,6 +217,54 @@ def freshness_monitor_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def conformity_monitor_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators.extended.dq_event_conformity: per
+    watermarked hourly window, the row count and the same NULL-
+    inclusive rule-violation counts (unknown type, value range, JSON
+    props field, null keys) — the live feed-integrity gate.  The
+    timestamp-window rule is omitted in the streaming form: the
+    watermark already bounds event-time, so a wildly-out-of-range ts
+    is dropped as late data rather than counted (documented semantic
+    difference; the batch audit remains the authority for it).
+
+    Scale: pure conditional sums per window — state is one row per
+    open hourly window, bounded by the watermark."""
+    viol = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            viol(
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                )
+                | F.col("event_type").isNull()
+            ).alias("bad_type"),
+            viol(
+                ~((F.col("value") > 0) & (F.col("value") <= 1000))
+                | F.col("value").isNull()
+            ).alias("bad_value"),
+            viol(
+                F.expr(
+                    "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+                ).isNull()
+            ).alias("bad_props"),
+            viol(
+                F.col("event_id").isNull() | F.col("user_id").isNull()
+            ).alias("bad_keys"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_events",
+            "bad_type",
+            "bad_value",
+            "bad_props",
+            "bad_keys",
+        )
+    )
+
+
 def daily_active_users_stream(events: DataFrame) -> DataFrame:
     """Watermarked streaming DAU: per tumbling day window, the row
     count and the APPROXIMATE distinct-user count.  Exact

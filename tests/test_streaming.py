@@ -473,6 +473,36 @@ def test_streaming_freshness_monitor_matches_batch(spark, sf_dir, events_dir):
     assert derived == audit
 
 
+def test_streaming_conformity_monitor_matches_batch(spark, sf_dir, events_dir):
+    """Folding the hourly conformity windows back to totals must
+    reproduce the batch dq_event_conformity scorecard exactly for the
+    rules both forms share (the ts-window rule is batch-only by
+    documented design — the stream's watermark owns event-time)."""
+    from bigdata_gamedb_etl_spark.operators.extended import dq_event_conformity
+
+    events = streaming.read_events_stream(spark, events_dir)
+    monitor = streaming.conformity_monitor_stream(events)
+    streaming.run_stream_to_memory(monitor, "conformity_t", "complete")
+
+    folded = (
+        spark.table("conformity_t")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("bad_type").alias("bad_type"),
+            F.sum("bad_value").alias("bad_value"),
+            F.sum("bad_props").alias("bad_props"),
+            F.sum("bad_keys").alias("bad_keys"),
+        )
+        .collect()[0]
+    )
+    batch = dq_event_conformity(spark, sf_dir).collect()[0]
+    for col in ("n_events", "bad_type", "bad_value", "bad_props", "bad_keys"):
+        assert folded[col] == batch[col], col
+    # sanity on this corpus: the feed conforms (all-zero violations
+    # would also pass a broken always-zero monitor, so pin n_events>0)
+    assert folded["n_events"] > 0
+
+
 def test_streaming_dau_sketch_bounds_exact_batch(spark, sf_dir, events_dir):
     """daily_active_users_stream: n_events must equal the batch count
     exactly; approx_users must land within HLL's ±5% of the exact
