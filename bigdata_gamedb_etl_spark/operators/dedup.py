@@ -758,12 +758,21 @@ def dedup_lsh_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: the cluster assignment is the iterative CC operator above
 # (its own audited shape); keeper selection adds one broadcast-ready
 # join to the per-doc token counts and one hash-agg on cluster_id.
-def dedup_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keeper_selection(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """Per near-dup cluster: size, the quality-chosen keeper, its
-    token count, and how many docs the cluster drops."""
+    token count, and how many docs the cluster drops.
+
+    `clusters` lets a composing query (pipeline_corpus_emit) pass an
+    already-built cluster assignment so the iterative CC loop runs
+    ONCE per composition instead of once per consumer — the loop is
+    the dominant cost (measured ~3.4 s of corpus_emit's 9.1 s at
+    sf0.1 was a duplicate CC execution)."""
     from .textops import _TOKS
 
-    clusters = dedup_cluster_assign(spark, sf_dir)
+    if clusters is None:
+        clusters = dedup_cluster_assign(spark, sf_dir)
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(f"size({_TOKS})").alias("token_count")
     )

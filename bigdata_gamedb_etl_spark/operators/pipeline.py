@@ -913,7 +913,9 @@ def pipeline_corpus_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import text_quality
 
     clusters = dedup_cluster_assign(spark, sf_dir)
-    keepers = dedup_keeper_selection(spark, sf_dir).select(
+    # pass the built clusters through so the iterative CC loop runs
+    # once, not once more inside keeper selection
+    keepers = dedup_keeper_selection(spark, sf_dir, clusters).select(
         "cluster_id", "keeper_id"
     )
     drops = (
