@@ -577,6 +577,30 @@ def test_corpus_emit_drop_list_broadcast_anti(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup_assignment_broadcast_no_cartesian(spark, sf_dir):
+    """SemDeDup's assignment stage probes BROADCAST centroids (k×d
+    grain) and the within-cluster pair stage is an equi-join on the
+    cluster key — no cartesian product anywhere."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    plan = plans.physical(similarity.sim_semdedup_prune(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # centroid probe
+    assert "CartesianProduct" not in plan
+
+
+def test_mrl_recall_both_sides_are_topk(spark, sf_dir):
+    """Both retrieval sides of the truncation audit must plan as
+    TakeOrderedAndProject (true distributed top-k) — a global Sort
+    would single-task the corpus at scale."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    plan = plans.physical(
+        similarity.sim_mrl_truncation_recall(spark, sf_dir)
+    )
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_weighted_sample_is_topk_no_shuffle(spark, sf_dir):
     """A-ES weighted sampling must plan as a narrow map +
     TakeOrderedAndProject: no hash exchange, no Window, no global
