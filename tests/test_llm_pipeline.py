@@ -387,6 +387,56 @@ def test_decode_image_rejects_codec_formats_and_garbage():
         multimodal.decode_image(b"P6\n30000 30000\n255\nabc")
 
 
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """A bloom filter may false-positive but NEVER false-negative:
+    every true benchmark member must probe as a bloom hit.  Derivable
+    from the one-row audit: member hits = bloom_hits − false_positives
+    must equal n_members exactly."""
+    from bigdata_gamedb_etl_spark.operators.dedup import dedup_bloom_prefilter
+
+    row = dedup_bloom_prefilter(spark, sf_dir).collect()[0]
+    assert row["n_members"] > 0, "no benchmark shingles — vacuous"
+    member_hits = row["bloom_hits"] - row["false_positives"]
+    assert member_hits == row["n_members"], (
+        f"bloom false-negatived {row['n_members'] - member_hits} members"
+    )
+    assert 0 < row["bits_set"] <= 3 * row["n_members"]
+
+
+def test_simhash_band_pairs_distance3_guarantee(spark, sf_dir):
+    """The block-combination scheme's pigeonhole guarantee: EVERY pair
+    of nonzero signatures at Hamming distance ≤ 3 must be emitted
+    (3 flipped bits touch ≤ 3 of the 6 blocks, so some 3-block
+    combination matches).  Brute-forces all signature pairs at the
+    test SF and checks the emitted set covers them; also checks no
+    emitted pair exceeds the declared verify ceiling."""
+    from itertools import combinations
+
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        SIMHASH_HAM_MAX,
+        dedup_simhash_band_pairs,
+        dedup_simhash_signatures,
+    )
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_simhash_signatures(spark, sf_dir).collect()
+        if r["simhash"] != 0
+    }
+    want = {
+        (a, b)
+        for (a, sa), (b, sb) in combinations(sorted(sigs.items()), 2)
+        if bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+    }
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in dedup_simhash_band_pairs(spark, sf_dir).collect()
+    }
+    missing = want - set(got)
+    assert not missing, f"distance<=3 pairs not retrieved: {sorted(missing)[:5]}"
+    assert all(h <= SIMHASH_HAM_MAX for h in got.values())
+
+
 def test_leakage_safe_split_no_cluster_spans_splits(spark, sf_dir):
     """The cluster-aware split's whole point: every member of a
     near-dup cluster lands in the SAME split.  Recomputes the doc-level
