@@ -575,3 +575,98 @@ def test_curriculum_order_golden(spark, tmp_path_factory):
         1: 2500, 2: 5000, 3: 10000, 4: 10000, 5: 5000,
     }
     assert {i: rows[i]["phase"] for i in rows} == {1: 1, 2: 1, 5: 1, 3: 3, 4: 3}
+
+
+# --- round-7 fixtures -----------------------------------------------------
+def test_novelty_rate_golden(spark, tmp_path_factory):
+    """Doc 1 and 2 share the bigram 'a b'; every other bigram is
+    corpus-unique.  Doc 3 has one token -> no bigrams -> absent."""
+    from bigdata_gamedb_etl_spark.operators.textops import text_novelty_rate
+
+    docs = [
+        _doc(1, "a b c"),     # bigrams {a b, b c}
+        _doc(2, "a b d"),     # bigrams {a b, b d}
+        _doc(3, "solo"),      # no bigrams
+    ]
+    d = tmp_path_factory.mktemp("golden_novelty")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in text_novelty_rate(spark, str(d)).collect()}
+    assert set(rows) == {1, 2}
+    for i, uniq in ((1, "b c"), (2, "b d")):
+        assert rows[i]["n_distinct_bigrams"] == 2
+        assert rows[i]["n_unique_bigrams"] == 1
+        assert rows[i]["novelty_rate"] == 0.5
+
+
+def test_hapax_profile_golden(spark, tmp_path_factory):
+    """'a a b c': 4 tokens, 3 types, hapax {b, c} -> ttr 0.75,
+    hapax share 2/3."""
+    from bigdata_gamedb_etl_spark.operators.textops import text_hapax_profile
+
+    docs = [_doc(1, "a a b c")]
+    d = tmp_path_factory.mktemp("golden_hapax")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    r = text_hapax_profile(spark, str(d)).collect()[0]
+    assert (r["token_count"], r["type_count"], r["hapax_count"]) == (4, 3, 2)
+    assert r["ttr"] == 0.75
+    assert r["hapax_share"] == 0.6667
+
+
+def test_dup_rate_by_source_golden(spark, tmp_path_factory):
+    """srcA: 3 docs, one text repeated -> 1 dup (rate 1/3); srcB: all
+    distinct -> 0."""
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        dq_duplicate_rate_by_source,
+    )
+
+    docs = [
+        _doc(1, "same text", "srcA"),
+        _doc(2, "same text", "srcA"),
+        _doc(3, "other", "srcA"),
+        _doc(4, "x", "srcB"),
+        _doc(5, "y", "srcB"),
+    ]
+    d = tmp_path_factory.mktemp("golden_duprate")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {
+        r["source"]: r
+        for r in dq_duplicate_rate_by_source(spark, str(d)).collect()
+    }
+    a, b = rows["srcA"], rows["srcB"]
+    assert (a["n_docs"], a["n_distinct"], a["dup_docs"]) == (3, 2, 1)
+    assert a["dup_rate"] == 0.3333
+    assert (b["n_docs"], b["dup_docs"], b["dup_rate"]) == (2, 0, 0.0)
+
+
+def test_dataset_card_golden(spark, tmp_path_factory):
+    """3 docs across 2 sources / 1 lang, one exact dup, token counts
+    (2, 2, 4) -> median 2; none reach the high-quality token floor."""
+    from bigdata_gamedb_etl_spark.operators.pipeline import (
+        pipeline_dataset_card,
+    )
+
+    docs = [
+        _doc(1, "a b", "s1"),
+        _doc(2, "a b", "s2"),
+        _doc(3, "w x y z", "s1"),
+    ]
+    d = tmp_path_factory.mktemp("golden_card")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    r = pipeline_dataset_card(spark, str(d)).collect()[0]
+    assert (r["n_docs"], r["n_sources"], r["n_langs"]) == (3, 2, 1)
+    assert r["total_tokens"] == 8
+    assert r["dup_docs"] == 1
+    assert r["high_quality_docs"] == 0
+    assert r["p50_tokens"] == 2.0
