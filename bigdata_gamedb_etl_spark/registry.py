@@ -110,10 +110,14 @@ RECONFIRM_STALE = [
     # moment/profile stats (well covered by goldens — safe overflow)
     "sim_knn_top1", "sim_label_centroid_norms", "p4_user_value_mad",
     "p5_lineitem_profile", "p6_statistical_moments",
+    # converted rows-only -> oracle-backed in r7 (real PPM/BMP tier +
+    # md5-hex fallback with a nested-VARCHAR-md5 twin) — its window
+    # slot now yields a hash-verified row instead of a rows-only one
+    "mm_resize",
     # stale rows-only tier (weakest evidence value — rotates last)
     "dedup_minhash_lsh_pairs",
     "sim_ann_lsh_topk", "sim_ivf_topk", "sketch_users_per_type",
-    "sketch_daily_merge_total", "mm_resize",
+    "sketch_daily_merge_total",
 ]
 
 CONTROLS = [
