@@ -147,6 +147,10 @@ SCALE_PROBE_QUERIES = [
     # within-cluster pairs 100x BY DESIGN — at real scale k scales
     # with the corpus, which the replica construction can't express.)
     "dedup_simhash_band_pairs",
+    # round-7 late: the bigram-df posting shape (novelty) and the
+    # broadcast bloom probe — both claimed linear, both new shapes
+    "text_novelty_rate",
+    "dedup_bloom_prefilter",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
