@@ -101,6 +101,13 @@ def _ppm_header(data: bytes) -> tuple[int, int, int]:
     width, height, maxval = int(token()), int(token()), int(token())
     if maxval != 255:
         raise NotImplementedError("16-bit PPM unsupported")
+    # dims >= 1 (r7 ADVICE): a payload parsing as "P6 0 0 255" would
+    # reach the resize path with a zero-area raster, where the numpy
+    # box-filter floor-divides by zero (warning + all-zero garbage row
+    # instead of an exception) — degenerate rasters must route to the
+    # fallback tier like every other malformed payload
+    if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
+        raise ValueError(f"implausible PPM dims {width}x{height}")
     pos += 1  # exactly one whitespace byte after maxval, then raster
     return width, height, pos
 

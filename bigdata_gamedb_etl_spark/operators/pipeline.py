@@ -819,8 +819,14 @@ def pipeline_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sources"),
     )
     # integer DIV end-to-end (Spark DIV ≡ DuckDB // on BIGINT) — double
-    # division + cast would truncate in Spark but round in DuckDB
-    rates = per_src.crossJoin(F.broadcast(totals)).select(
+    # division + cast would truncate in Spark but round in DuckDB.
+    # src_tokens > 0 guard: an all-empty-docs source would make the
+    # DIV a divide-by-zero (NULL in Spark, engine-divergent in DuckDB)
+    # and least(100, NULL) would silently keep everything — such a
+    # source contributes no tokens, so it drops from the report.
+    rates = per_src.where(F.col("src_tokens") > 0).crossJoin(
+        F.broadcast(totals)
+    ).select(
         "source",
         "n_docs",
         "src_tokens",
@@ -876,6 +882,7 @@ rates AS (
                (total_tokens // ({REWEIGHT_BUDGET_DENOM} * n_sources) * 100)
                  // src_tokens) AS rate_pct
   FROM per_src, totals
+  WHERE src_tokens > 0
 ),
 kept AS (
   SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
@@ -899,11 +906,19 @@ ORDER BY source
 # keeper), carrying the quality signals and the curriculum position a
 # trainer consumes directly.
 #
-# Scale shape: the drop list is |cluster members| rows (tiny relative
-# to the corpus) → broadcast anti-join; quality and curriculum are
-# per-doc maps over the corpus sharing one scan shape; the curriculum
-# cuts broadcast.  The iterative cluster assignment is the only
-# pre-computed input (same contract as pipeline_clean_corpus).
+# Scale shape: the drop list and the cluster-assignment relation are
+# |cluster members| rows — corpus-PROPORTIONAL, not corpus-bounded
+# (web-scale near-dup dedup routinely clusters 20-50% of documents,
+# exactly what dedup_survivorship_funnel measures), so neither side is
+# force-broadcast: both are plain equi-joins on doc_id and AQE picks
+# broadcast only when runtime stats say the build side actually fits
+# (spark.sql.adaptive.autoBroadcastJoinThreshold).  At sf0.01 AQE
+# broadcasts them; at a 40% dup share it falls back to a shuffle join
+# instead of a driver OOM.  Quality and curriculum are per-doc maps
+# over the corpus sharing one scan shape; the curriculum cuts (a
+# fixed quantile row) do broadcast.  The iterative cluster assignment
+# is the only pre-computed input (same contract as
+# pipeline_clean_corpus).
 def pipeline_corpus_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The emit mart: per surviving doc — lang, token stats, quality
     bucket, curriculum phase + order key, and whether it survived as a
@@ -930,10 +945,10 @@ def pipeline_corpus_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").isNotNull(), F.lit("keeper")
     ).otherwise(F.lit("unique"))
     return (
-        d.join(F.broadcast(drops), "doc_id", "left_anti")
+        d.join(drops, "doc_id", "left_anti")
         .join(quality, "doc_id")
         .join(phases.select("doc_id", "phase", "order_key"), "doc_id")
-        .join(F.broadcast(clusters), "doc_id", "left")
+        .join(clusters, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -996,7 +1011,9 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans two splits."""
     clusters = dedup_cluster_assign(spark, sf_dir)
     d = table(spark, sf_dir, "documents").select("doc_id")
-    grouped = d.join(F.broadcast(clusters), "doc_id", "left").select(
+    # clusters is corpus-proportional (see pipeline_corpus_emit's scale
+    # note) — no forced broadcast; AQE sizes the join at runtime
+    grouped = d.join(clusters, "doc_id", "left").select(
         "doc_id",
         "cluster_id",
         F.coalesce("cluster_id", "doc_id").alias("group_key"),

@@ -1175,7 +1175,19 @@ def sim_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k for the vec_id=0 query), and recall@k at
     MRL_PREFIX_DIM-of-64 truncation.  The query vector itself ranks
     first on both sides (cosine 1) and is excluded."""
+    # Zero-norm guard (r7 ADVICE): a vector whose FULL embedding or
+    # 16-dim PREFIX is all zeros yields cosine 0/0 = NaN, and NaN
+    # sorts greatest in DESC order in both engines — such vectors
+    # would silently top both lists and corrupt the recall while
+    # parity still held.  Mirror the nrm > 0 filters of
+    # dedup_semantic_decontaminate / sim_semdedup_prune, on BOTH
+    # norms so the two rankings share one candidate domain.
     emb = _emb_double(spark, sf_dir).where(F.size("emb") > 0)
+    pfx = F.slice(F.col("emb"), 1, MRL_PREFIX_DIM)
+    emb = emb.where(
+        (F.sqrt(_dot(F.col("emb"), F.col("emb"))) > 0)
+        & (F.sqrt(_dot(pfx, pfx)) > 0)
+    )
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("qv")
     )
@@ -1212,6 +1224,11 @@ SIM_MRL_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
   WHERE len(embedding) > 0
+    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) > 0
+    AND sqrt(list_dot_product(
+          CAST(embedding AS DOUBLE[])[1:{MRL_PREFIX_DIM}],
+          CAST(embedding AS DOUBLE[])[1:{MRL_PREFIX_DIM}])) > 0
 ),
 q AS (SELECT emb AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
 full_k AS (

@@ -55,12 +55,29 @@ ORDER BY doc_id
 def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus rollup."""
     d = table(spark, sf_dir, "documents")
+    # Both averages are ratios of exact BIGINTs, so round-half-up at
+    # 2 dp is exact INTEGER arithmetic: (200*s + c) DIV (2*c) — no
+    # double ever sees a halfway value, unlike ROUND(AVG(..), 2)
+    # whose tie-break differs between Spark (half-up) and DuckDB
+    # (half-even) on exactly-representable halves.
+    def _avg2(sum_col: str, cnt_col: str):
+        return (
+            F.expr(f"(200 * {sum_col} + {cnt_col}) DIV (2 * {cnt_col})")
+            / F.lit(100.0)
+        )
+
     return (
         d.groupBy("lang")
         .agg(
             F.count("*").alias("doc_count"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg(F.expr(f"size({_TOKS})")), 2).alias("avg_tokens"),
+            F.sum("n_chars").alias("_sc"),
+            F.sum(F.expr(f"size({_TOKS})")).alias("_st"),
+        )
+        .select(
+            "lang",
+            "doc_count",
+            _avg2("_sc", "doc_count").alias("avg_chars"),
+            _avg2("_st", "doc_count").alias("avg_tokens"),
         )
         .orderBy("lang")
     )
@@ -69,8 +86,10 @@ def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_LANG_ORACLE = f"""
 SELECT lang,
        COUNT(*) AS doc_count,
-       ROUND(AVG(n_chars), 2) AS avg_chars,
-       ROUND(AVG(len({_TOKS_DUCK})), 2) AS avg_tokens
+       ((200 * SUM(n_chars) + COUNT(*)) // (2 * COUNT(*))) / 100.0
+         AS avg_chars,
+       ((200 * SUM(len({_TOKS_DUCK})) + COUNT(*)) // (2 * COUNT(*))) / 100.0
+         AS avg_tokens
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -757,7 +776,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("s").cast("double") / F.col("n_tokens"), 4).alias(
+            # floor recipe, not ROUND: the ratio is a double, and an
+            # exact-halfway value at 4 dp would round up in Spark but
+            # to-even in DuckDB (signed semantics documented in
+            # _rounding._fr4)
+            _fr4(F.col("s").cast("double") / F.col("n_tokens")).alias(
                 "avg_logp"
             ),
         )
@@ -777,7 +800,8 @@ scored AS (
   FROM tok JOIN freq USING (token), tot
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+       floor(CAST(SUM(logp) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
+         / 10000.0 AS avg_logp
 FROM scored
 GROUP BY doc_id
 ORDER BY doc_id

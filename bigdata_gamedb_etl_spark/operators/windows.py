@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _fr4
 
 def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -115,11 +116,19 @@ ORDER BY n_name, rank_in_nation
 def w3_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    # Quantize the 2-dp doubles to DECIMAL(18,6) so the frame SUM is
+    # exact and order-free, then one double division through the floor
+    # recipe — ROUND on the double average tie-breaks differently per
+    # engine at exact halves (the w10 lesson).
+    val = F.col("value").cast("decimal(18,6)")
     return (
         e.select(
             "event_id",
             "user_id",
-            F.round(F.avg("value").over(w), 4).alias("moving_avg_4"),
+            _fr4(
+                F.sum(val).over(w).cast("double")
+                / F.count("value").over(w)
+            ).alias("moving_avg_4"),
         )
         .orderBy("event_id")
     )
@@ -127,8 +136,13 @@ def w3_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W3_ORACLE = """
 SELECT event_id, user_id,
-       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+       floor(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             * 10000.0 + 0.5) / 10000.0
          AS moving_avg_4
 FROM events
 ORDER BY event_id

@@ -51,74 +51,34 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-7 head (VERDICT r6 item 2): the round-7 additions, then the
-# 29 RECONFIRM_STALE leftovers (23 oracle-backed + 6 rows-only) whose
-# newest driver evidence predates the r4 testdata regeneration —
-# round 6's window drained 28 of the original 57; this round's window
-# (21 new + 29 reconfirm = exactly 50) empties the staleness queue for
-# the first time.  Every leftover is locally re-verified at the
-# driver's own sf0.01 by the full tests/test_oracle_parity.py sweep —
-# the deferral is evidentiary, not functional.  Names past position 50
-# stay QUEUED — the staleness guard (tests/test_harness_compat.py::
-# test_stale_evidence_queries_are_queued) requires every stale query
-# to sit in the window or in this ordered reconfirm list.  New queries
-# are appended to ROUND7_NEW in the same commit that registers them
-# (enforced by test_every_query_has_driver_evidence_or_is_queued);
-# capacity this round was 50 - 29 = 21 new names; 20 were used (the
-# 50th window slot falls to the first CONTROL).
-ROUND7_NEW: list[str] = [
-    "dedup_semantic_decontaminate",
-    "pipeline_mixture_reweight",
-    "pipeline_corpus_emit",
-    "dedup_simhash_band_pairs",
-    "dq_duplicate_rate_by_source",
-    "text_zipf_slope",
-    "text_novelty_rate",
-    "events_user_gini",
-    "pipeline_leakage_safe_split",
-    "graph_degree_distribution",
-    "graph_component_sizes",
-    "behavior_conversion_lag",
-    "text_hapax_profile",
-    "dedup_bloom_prefilter",
-    "seq_markov_entropy",
-    "dq_event_conformity",
-    "sim_semdedup_prune",
-    "graph_neighbor_jaccard",
-    "sim_mrl_truncation_recall",
-    "pipeline_dataset_card",
-    # mm_resize converted rows-only -> oracle-backed this round (real
-    # codec-free tier + md5-hex fallback); it sits in RECONFIRM_STALE
-    # already, so no extra slot is spent here
+# Round-8 head: the staleness queue emptied in r7 (every registered
+# query has driver evidence at the current testdata fingerprint), so
+# this round's window is new queries + RECHECK_CHANGED — queries whose
+# BEHAVIOR or ORACLE changed this round (r7-verdict broadcast
+# size-gating, the ROUND→floor-recipe sweep, the MRL zero-norm guard)
+# and whose existing green therefore describes code that no longer
+# exists.  New queries are appended to ROUND8_NEW in the same commit
+# that registers them (enforced by
+# test_every_query_has_driver_evidence_or_is_queued).
+ROUND8_NEW: list[str] = [
 ]
 
-RECONFIRM_STALE = [
-    # window family (latest green r1-r3)
-    "w3_moving_avg_events", "w4_daily_event_rollup",
-    "w5_value_delta_per_user", "w6_customer_rank_in_segment",
-    # dedup exact/jaccard tier
-    "dedup_exact_keeper", "dedup_exact_md5",
-    "dedup_ngram_jaccard_pairs", "dedup_shingle_docfreq_hist",
-    "dedup_cluster_assign",
-    # similarity exact tier
-    "sim_cosine_topk", "sim_cosine_dup_pairs",
-    # temporal / session / marts / pipeline / multimodal
-    "asof_purchase_click", "interval_error_click_burst",
-    "rollup_event_time_grain", "sess2_session_window",
-    "mart_nation_customer_map", "mm_payload_meta",
-    "pipeline_clean_corpus",
-    # moment/profile stats (well covered by goldens — safe overflow)
-    "sim_knn_top1", "sim_label_centroid_norms", "p4_user_value_mad",
-    "p5_lineitem_profile", "p6_statistical_moments",
-    # converted rows-only -> oracle-backed in r7 (real PPM/BMP tier +
-    # md5-hex fallback with a nested-VARCHAR-md5 twin) — its window
-    # slot now yields a hash-verified row instead of a rows-only one
-    "mm_resize",
-    # stale rows-only tier (weakest evidence value — rotates last)
-    "dedup_minhash_lsh_pairs",
-    "sim_ann_lsh_topk", "sim_ivf_topk", "sketch_users_per_type",
-    "sketch_daily_merge_total",
+#: Queries edited this round (new plan shape or new rounding recipe) —
+#: locally re-verified vs DuckDB at sf0.01, re-queued for driver
+#: evidence at the head of the window.
+RECHECK_CHANGED: list[str] = [
+    "pipeline_corpus_emit",        # forced broadcasts -> AQE-gated joins
+    "pipeline_leakage_safe_split", # same
+    "pipeline_mixture_reweight",   # src_tokens > 0 guard
+    "sim_mrl_truncation_recall",   # zero-norm guard on both prefixes
+    "text_unigram_logprob",        # ROUND -> floor recipe
+    "text_lang_rollup",            # ROUND(AVG) -> exact integer half-up
+    "w3_moving_avg_events",        # windowed ROUND -> decimal sum + floor
 ]
+
+#: Drained in r7; refills only after a real testdata regeneration
+#: (the staleness guard goes red and names land here).
+RECONFIRM_STALE: list[str] = []
 
 CONTROLS = [
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
@@ -129,7 +89,7 @@ CONTROLS = [
     "ga2_cube_segment_priority", "p3_latest_event_per_user",
 ]
 
-PRIORITY = ROUND7_NEW + RECONFIRM_STALE + CONTROLS
+PRIORITY = ROUND8_NEW + RECHECK_CHANGED + RECONFIRM_STALE + CONTROLS
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -225,7 +225,12 @@ def conformity_monitor_stream(events: DataFrame) -> DataFrame:
     timestamp-window rule is omitted in the streaming form: the
     watermark already bounds event-time, so a wildly-out-of-range ts
     is dropped as late data rather than counted (documented semantic
-    difference; the batch audit remains the authority for it).
+    difference; the batch audit remains the authority for it).  For
+    the same reason bad_keys here checks only event_id/user_id and
+    omits the batch twin's ts-IS-NULL term: a null-ts row never
+    reaches the windowed aggregate at all (no window can be assigned,
+    so it is dropped before grouping), hence the two "twin" counters
+    can legitimately differ on data containing null timestamps.
 
     Scale: pure conditional sums per window — state is one row per
     open hourly window, bounded by the watermark."""

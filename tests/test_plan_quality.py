@@ -565,16 +565,38 @@ def test_mixture_reweight_broadcasts_rates_no_window(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_corpus_emit_drop_list_broadcast_anti(spark, sf_dir):
-    """The emit mart removes cluster-member non-keepers via a
-    BROADCAST anti-join (the drop list is cluster-members-sized, tiny
-    vs the corpus) and plans no cartesian product."""
+def test_corpus_emit_drop_list_equi_anti_no_forced_broadcast(spark, sf_dir):
+    """The emit mart removes cluster-member non-keepers via an EQUI
+    anti-join on doc_id with NO forced broadcast hint: the drop list
+    is corpus-proportional (dup share can hit 40% at web scale), so
+    broadcast-vs-shuffle must be AQE's runtime call, never a hint that
+    OOMs the driver when the dup share grows.  No cartesian product,
+    and the join keys are real (no BroadcastNestedLoopJoin)."""
     from bigdata_gamedb_etl_spark.operators import pipeline
 
     df = pipeline.pipeline_corpus_emit(spark, sf_dir)
     plan = plans.physical(df)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+    # the anti-join must be an EQUI join (hash or sort-merge — AQE's
+    # call); the only nested-loop allowed is the curriculum's 1-row
+    # quantile-cuts cross join, never the LeftAnti itself
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all(
+        "NestedLoopJoin" not in ln for ln in anti_lines
+    ), anti_lines
+
+
+def test_leakage_split_cluster_join_no_forced_broadcast(spark, sf_dir):
+    """The split's cluster join is equi on doc_id with no forced
+    broadcast (same corpus-proportional hazard as the emit mart) and
+    the three-way split report plans no cartesian product."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    df = pipeline.pipeline_leakage_safe_split(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_semdedup_assignment_broadcast_no_cartesian(spark, sf_dir):
