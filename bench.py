@@ -222,6 +222,45 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _env_capture() -> dict:
+    """Machine-contention snapshot (r7 verdict item 1): the r6→r7
+    SHARED12 regression (+24%, spread near-uniformly across unrelated
+    queries — including trivial ones whose plans never changed)
+    pattern-matched machine contention, but nothing in the tree
+    recorded load conditions, so plan-change vs noisy-neighbor was
+    undecidable.  This snapshot (before AND after the run) makes it
+    decidable: loadavg over ~32 cpus, PSI cpu pressure (share of
+    wall-time runnable tasks stalled waiting for a cpu), and the
+    process count."""
+    cap: dict = {}
+    try:
+        la = os.getloadavg()
+        cap["load1"], cap["load5"], cap["load15"] = (
+            round(v, 2) for v in la
+        )
+    except OSError:
+        pass
+    try:
+        with open("/proc/pressure/cpu") as fh:
+            some = fh.readline().split()  # "some avg10=.. avg60=.. ..."
+        cap["psi"] = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in some[1:])
+            if k.startswith("avg")
+        }
+    except Exception:
+        pass
+    try:
+        cap["n_procs"] = sum(p.isdigit() for p in os.listdir("/proc"))
+    except Exception:
+        pass
+    try:
+        cap["cpus"] = os.cpu_count()
+    except Exception:
+        pass
+    return cap
+
+
 def _testdata_fingerprint(sf_dir: str) -> dict:
     """CONTENT hash of the input files — BENCH numbers are only
     comparable round-over-round when this matches (the r3→r4 'shared-12
@@ -259,6 +298,7 @@ def main() -> None:
     # series continuity, measuring whatever form the registry serves).
     queries["mm_feature_extract_json"] = queries["mm_feature_extract"]
     queries["mm_feature_extract"] = multimodal.mm_feature_extract
+    env_before = _env_capture()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -305,6 +345,15 @@ def main() -> None:
                 n: round(scaled_sec[n] / base_sec[n], 2) if base_sec[n] else None
                 for n in SCALE_PROBE_QUERIES
             },
+            # r7 verdict item 7: simhash ran the worst probe ratio
+            # (7.43 at factor 10) — decompose signature vs
+            # candidate+verify vs output size at both scales so
+            # "output-driven, not shape-driven" is a recorded fact,
+            # not an in-code claim.
+            "simhash_stages": {
+                "base": _simhash_stage_breakdown(spark, SF_DIR),
+                "scaled": _simhash_stage_breakdown(spark, probe_dir),
+            },
         }
 
     # per-query deltas vs the newest prior bench of the SAME testdata
@@ -314,6 +363,7 @@ def main() -> None:
     # (full per-query coverage); BENCH_r*.json parsed summaries are the
     # fallback (SHARED12 coverage only, post-r6 format).
     deltas = _deltas_vs_prior(timings, fingerprint["hash"])
+    env_after = _env_capture()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -335,12 +385,15 @@ def main() -> None:
         "testdata": fingerprint,
         "delta_vs_prior_same_data": deltas,
         "scale_probe": scale_probe,
+        "env": {"before": env_before, "after": env_after},
     }
     with open(DETAIL_FILE, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    line = json.dumps(summary_payload(timings, fingerprint, sf_val))
+    line = json.dumps(
+        summary_payload(timings, fingerprint, sf_val, env_before, env_after)
+    )
     assert len(line) <= SUMMARY_LINE_BUDGET, (
         f"summary line {len(line)} chars exceeds the driver's capture "
         "budget — trim fields (full detail already lives in "
@@ -349,11 +402,54 @@ def main() -> None:
     print(line)
 
 
-def summary_payload(timings: dict, fingerprint: dict, sf_val) -> dict:
+def _simhash_stage_breakdown(spark, sf_dir: str) -> dict:
+    """Per-stage cost of dedup_simhash_band_pairs: the pandas-UDF
+    signature stage alone, the full pipeline, their difference
+    (candidate join + Hamming verify), and the output pair count —
+    if scaled/base pair counts grow like the time ratio, the probe
+    growth is output-driven (the replica construction genuinely
+    multiplies true near-dup pairs); if candidate_verify_sec grows
+    much faster than n_pairs, the band join itself is the problem."""
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    t0 = time.perf_counter()
+    _force(dedup.dedup_simhash_signatures(spark, sf_dir))
+    sig_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    full = dedup.dedup_simhash_band_pairs(spark, sf_dir)
+    _force(full)
+    full_sec = round(time.perf_counter() - t0, 3)
+    return {
+        "signature_sec": sig_sec,
+        "full_sec": full_sec,
+        "candidate_verify_sec": round(max(0.0, full_sec - sig_sec), 3),
+        "n_pairs": full.count(),
+    }
+
+
+def summary_payload(
+    timings: dict,
+    fingerprint: dict,
+    sf_val,
+    env_before: dict | None = None,
+    env_after: dict | None = None,
+) -> dict:
     """The ONE stdout JSON line: headline totals + the pinned SHARED12
-    series + the testdata fingerprint.  Everything else goes to
-    BENCH_DETAIL.json — the driver's tail capture is 2000 chars and
-    round 6 proved the full dump doesn't fit."""
+    series + the testdata fingerprint + a compact contention snapshot
+    (r7 verdict item 1: a fleet-wide timing shift must be attributable
+    to machine load from the recorded payload alone).  Everything else
+    goes to BENCH_DETAIL.json — the driver's tail capture is 2000
+    chars and round 6 proved the full dump doesn't fit."""
+    env = {}
+    for k in ("load1", "n_procs"):
+        b = (env_before or {}).get(k)
+        a = (env_after or {}).get(k)
+        if b is not None or a is not None:
+            env[k] = [b, a]
+    psi_b = ((env_before or {}).get("psi") or {}).get("avg60")
+    psi_a = ((env_after or {}).get("psi") or {}).get("avg60")
+    if psi_b is not None or psi_a is not None:
+        env["psi60"] = [psi_b, psi_a]
     return {
         "metric": (
             "headline-query wall clock (noop sink, best of 2 runs), "
@@ -367,6 +463,7 @@ def summary_payload(timings: dict, fingerprint: dict, sf_val) -> dict:
         "extras_sec": round(sum(timings[n] for n in EXTRAS), 3),
         "sf": sf_val,
         "testdata": fingerprint,
+        "env": env,
         "detail_file": "BENCH_DETAIL.json",
     }
 

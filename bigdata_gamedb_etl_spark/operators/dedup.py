@@ -633,11 +633,14 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_label_components(pairs, reliable)
 
 
-def _min_label_components(pairs: DataFrame, reliable: bool) -> DataFrame:
+def _min_label_components(
+    pairs: DataFrame, reliable: bool, stats: dict | None = None
+) -> DataFrame:
     """Min-label-propagation connected components over an undirected
     (d1, d2) pair DataFrame — shared by the exact-Jaccard and the
     LSH-candidate cluster assignments (identical loop, different edge
-    generators)."""
+    generators).  `stats["rounds"]` records the converged round count
+    (the chain-fixture test compares it against the star variant)."""
     # materialize the edge list ONCE: without this every iteration's
     # join re-executes the whole shingle/posting-list pair generation
     # (measured 4 s of the loop's 9.5 s at sf0.1, once per round).
@@ -666,7 +669,9 @@ def _min_label_components(pairs: DataFrame, reliable: bool) -> DataFrame:
     # checkpoint per iteration (Spark's own cleaner is GC-driven and
     # off by default).
     prev_label_ckpt: str | None = _ckpt_file(labels) if reliable else None
+    rounds = 0
     for _ in range(CLUSTER_MAX_ITERS):
+        rounds += 1
         # min over self ∪ neighbor labels in ONE aggregate: the node's
         # own (node, comp) rows union the neighbor-relabeled edge rows,
         # replacing the old groupBy + left-join-back round trip.
@@ -685,9 +690,137 @@ def _min_label_components(pairs: DataFrame, reliable: bool) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Large-star / small-star connected components (Kiveris, Lattanzi,
+# Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+# MapReduce and Beyond", SoCC'14): the published web-scale CC that
+# converges in O(log² n) ROUNDS REGARDLESS OF DIAMETER, vs min-label
+# propagation's O(diameter).  At 100 TB a single skewed chain-shaped
+# component stalls the min-label loop (each round moves the min one
+# hop); the star operations re-wire the tree toward the component
+# minimum geometrically instead.  r7 verdict item 6.
+#
+#   large-star(u): connect every STRICTLY LARGER neighbor of u to
+#     m = min(Γ(u) ∪ {u})
+#   small-star(u): connect every smaller-or-equal neighbor AND u
+#     itself to m = min(Γ⁻(u) ∪ {u})
+#
+# Both are one groupBy (neighborhood min) + one join per application;
+# alternating them strictly decreases the total endpoint sum of the
+# canonical edge set on any change (ids are non-negative), so
+# (count, Σlo, Σhi) equality is an exact fixpoint test — one scalar
+# aggregate per round, same convergence-probe style as the min-label
+# loop.  At the fixpoint the graph is a union of stars rooted at each
+# component's minimum, so every node directly neighbors its component
+# id and the final labels are one neighborhood-min aggregate.
+STAR_MAX_ITERS = 25
+
+
+def _star_components(
+    pairs: DataFrame, reliable: bool, stats: dict | None = None
+) -> DataFrame:
+    """Alternating large-star/small-star CC over an undirected
+    (d1, d2) pair DataFrame — same contract (and same oracle: component
+    membership is algorithm-independent) as _min_label_components.
+    `stats["rounds"]` records the converged round count for the
+    chain-graph convergence test."""
+    edges = _materialize_iter(
+        pairs.select(
+            F.least("d1", "d2").alias("lo"),
+            F.greatest("d1", "d2").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct(),
+        reliable,
+    )
+    prev_ckpt: str | None = _ckpt_file(edges) if reliable else None
+    prev_sig = edges.agg(
+        F.count("*"), F.sum("lo"), F.sum("hi")
+    ).first()
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionAll(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    rounds = 0
+    for _ in range(STAR_MAX_ITERS):
+        rounds += 1
+        # LARGE-STAR: (v, m) for every neighbor v > u; m ≤ u < v so the
+        # canonical form is (lo=m, hi=v) with no self-loops possible
+        sym = _sym(edges)
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        edges = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+        # SMALL-STAR: for each u over its smaller neighbors Γ⁻(u):
+        # (v, m) for every v ∈ Γ⁻(u) plus (u, m), m = min Γ⁻(u) < u.
+        # Every canonical edge (a < b) is covered from b's perspective.
+        smaller = _sym(edges).where(F.col("v") < F.col("u"))
+        mins2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        edges = _materialize_iter(
+            smaller.join(mins2, "u")
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .unionAll(
+                mins2.select(
+                    F.col("m").alias("lo"), F.col("u").alias("hi")
+                )
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct(),
+            reliable,
+        )
+        if reliable:
+            _drop_ckpt(prev_ckpt)
+            prev_ckpt = _ckpt_file(edges)
+        sig = edges.agg(F.count("*"), F.sum("lo"), F.sum("hi")).first()
+        if tuple(sig) == tuple(prev_sig):
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    return (
+        _sym(edges)
+        .groupBy(F.col("u").alias("doc_id"))
+        .agg(F.min("v").alias("mn"))
+        .select(
+            "doc_id",
+            F.least("mn", F.col("doc_id")).alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_cluster_assign_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup graph via
+    alternating large-star/small-star — identical output contract (and
+    oracle) to dedup_cluster_assign, but O(log² n) rounds instead of
+    O(component diameter): the variant to prefer at 100 TB where one
+    chain-shaped component would stall min-label propagation.
+    tests/test_llm_pipeline.py asserts the round count is strictly
+    smaller on a chain-graph fixture."""
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    return _star_components(pairs, reliable)
 
 
 # reachability closure over the symmetric pair graph; component id =
@@ -1550,7 +1683,13 @@ DEDUP_FUNNEL_ORACLE = _funnel_oracle()
 # becomes negligible until ~10^9 docs per partition-disjoint shard.
 # Round 7's 10× scale probe caught exactly this: the 16-bit form ran
 # at ratio 8.6 (collision-quadratic); the block-combination form is
-# the shape that survives 100 TB.
+# the shape that survives 100 TB.  The r8 probe decomposition
+# (BENCH_DETAIL.json::scale_probe.simhash_stages) proves the
+# remaining ~8× time ratio at factor 10 is OUTPUT-driven, not
+# shape-driven: verified pairs grow 17.2× (506k → 8.7M — the replica
+# construction multiplies true near-dup pairs super-linearly) while
+# candidate+verify time grows only 7.7× and the signature stage 1.9×,
+# i.e. per-pair cost FALLS with scale.
 #
 # Zero signatures (token-less docs) are excluded: every empty doc
 # shares the all-zero signature and its bucket would go quadratic —
@@ -1844,6 +1983,7 @@ QUERIES = {
     "dedup_shingle_docfreq_hist": dedup_token_jaccard_stats,
     "dedup_simhash_signatures": dedup_simhash_signatures,
     "dedup_cluster_assign": dedup_cluster_assign,
+    "dedup_cluster_assign_star": dedup_cluster_assign_star,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_incremental_pairs": dedup_incremental_pairs,
     "dedup_boilerplate_lines": dedup_boilerplate_lines,
@@ -1865,6 +2005,8 @@ ORACLE = {
     "dedup_containment_pairs": DEDUP_CONTAINMENT_ORACLE,
     "dedup_shingle_docfreq_hist": DEDUP_DF_ORACLE,
     "dedup_cluster_assign": DEDUP_CLUSTER_ORACLE,
+    # same oracle: component membership is algorithm-independent
+    "dedup_cluster_assign_star": DEDUP_CLUSTER_ORACLE,
     "dedup_decontaminate": DEDUP_DECON_ORACLE,
     "dedup_incremental_pairs": DEDUP_INCR_ORACLE,
     "dedup_boilerplate_lines": DEDUP_BOILER_ORACLE,

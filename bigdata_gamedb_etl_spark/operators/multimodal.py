@@ -1,11 +1,13 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
-The decode tier is REAL for the codec-free formats a pure-Python
-parser can handle — binary PPM (P6) and uncompressed 24/32-bit BMP —
-and falls back to the deterministic stand-in (`fake_decode_features`)
-for anything else: the container has no JPEG/PNG/audio codecs, so
-those formats keep a clearly-marked NotImplementedError inside
-`decode_image` (swap in PIL/opencv in a full deployment).  Either
+The decode tier is REAL for the formats a pure-Python parser can
+handle — binary PPM (P6), uncompressed 24/32-bit BMP, and
+non-interlaced 8-bit PNG (gray/RGB/RGBA; inflate via stdlib zlib,
+scanline unfilter per PNG spec §9) — and falls back to the
+deterministic stand-in (`fake_decode_features`) for anything else:
+the container has no JPEG/audio codecs, so those formats keep a
+clearly-marked NotImplementedError inside `decode_image` (swap in
+PIL/opencv in a full deployment).  Either
 way the Spark-side plumbing is identical and real: binary payload
 column, typed metadata, Arrow-batched `mapInPandas` feature
 extraction with an explicit output schema, partition-preserving.
@@ -170,18 +172,137 @@ def _bmp_decode(data: bytes) -> tuple[int, int, list[float]]:
     return width, height, _channel_features(rsum, gsum, bsum, width * height)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_meta(data: bytes) -> tuple[int, int, int]:
+    """Validate a non-interlaced 8-bit PNG IHDR (color types 0 gray /
+    2 RGB / 6 RGBA): returns (width, height, color_type)."""
+    if data[:8] != _PNG_MAGIC or len(data) < 33:
+        raise ValueError("not a PNG")
+    if data[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    width, height = struct.unpack_from(">II", data, 16)
+    depth, ctype, comp, filt, interlace = struct.unpack_from(
+        "BBBBB", data, 24
+    )
+    if depth != 8 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ctype} unsupported "
+            "(8-bit gray/RGB/RGBA only)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    # dims >= 1 and plausibility-bounded, same contract as PPM/BMP
+    if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
+        raise ValueError(f"implausible PNG dims {width}x{height}")
+    return width, height, ctype
+
+
+def _png_pixels(data: bytes):
+    """Decode a non-interlaced 8-bit PNG (gray/RGB/RGBA) to an
+    (h, w, 3) uint8 RGB array: IDAT chunks concatenated → zlib
+    inflate (stdlib — the whole reason a real PNG tier is feasible in
+    this codec-less container) → per-scanline unfilter implementing
+    the five PNG spec §9 filter types (None/Sub/Up/Average/Paeth).
+    Grayscale replicates to RGB; RGBA drops alpha.  The per-byte
+    Python unfilter loop is fine here: corpus payloads never parse as
+    PNG (fallback tier), so this path only runs on fixture-sized
+    images."""
+    import zlib
+
+    import numpy as np
+
+    width, height, ctype = _png_meta(data)
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctag == b"IDAT":
+            idat += body
+        pos += 12 + clen
+        if ctag == b"IEND":
+            break
+    if not idat:
+        raise ValueError("PNG has no IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = (
+                    a
+                    if (pa <= pb and pa <= pc)
+                    else (b if pb <= pc else c)
+                )
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    img = out.reshape(height, width, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])  # drop alpha
+
+
+def _png_decode(data: bytes) -> tuple[int, int, list[float]]:
+    import numpy as np
+
+    px = _png_pixels(data)
+    n = px.shape[0] * px.shape[1]
+    sums = px.astype(np.int64).sum(axis=(0, 1))
+    return (
+        px.shape[1],
+        px.shape[0],
+        _channel_features(int(sums[0]), int(sums[1]), int(sums[2]), n),
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decode path for codec-free formats (pure Python, no deps):
-    binary PPM (P6) and uncompressed BMP.  Codec formats (JPEG/PNG/…)
-    raise NotImplementedError — this container has no image codecs;
-    swap in PIL/opencv in a full deployment."""
+    """Real decode path for the formats a pure-Python parser can
+    handle without codec libraries: binary PPM (P6), uncompressed
+    BMP, and non-interlaced 8-bit PNG (zlib is stdlib).  JPEG-class
+    codec formats raise NotImplementedError — this container has no
+    image codecs; swap in PIL/opencv in a full deployment."""
     if payload[:2] == b"P6":
         return _ppm_decode(payload)
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _png_decode(payload)
     raise NotImplementedError(
         "codec image formats unavailable in this environment "
-        "(PPM/BMP decode natively; use fake_decode_features otherwise)"
+        "(PPM/BMP/PNG decode natively; use fake_decode_features otherwise)"
     )
 
 
@@ -370,12 +491,14 @@ def _bmp_pixels(data: bytes):
 
 
 def decode_pixels(payload: bytes):
-    """Pixel-level decode for codec-free formats; raises like
-    decode_image for anything else."""
+    """Pixel-level decode for the natively-parseable formats; raises
+    like decode_image for anything else."""
     if payload[:2] == b"P6":
         return _ppm_pixels(payload)
     if payload[:2] == b"BM":
         return _bmp_pixels(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _png_pixels(payload)
     raise NotImplementedError(
         "codec image formats unavailable in this environment"
     )

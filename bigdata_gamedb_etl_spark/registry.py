@@ -61,6 +61,7 @@ MODULES = [
 # that registers them (enforced by
 # test_every_query_has_driver_evidence_or_is_queued).
 ROUND8_NEW: list[str] = [
+    "dedup_cluster_assign_star",
 ]
 
 #: Queries edited this round (new plan shape or new rounding recipe) —

@@ -202,7 +202,16 @@ def test_bench_summary_line_fits_capture_budget():
 
     worst_timings = {n: 99999.999 for n in HEADLINE}
     worst_fp = {"hash": "f" * 16, "total_bytes": 10**14, "n_files": 999}
-    line = json.dumps(summary_payload(worst_timings, worst_fp, 100.001))
+    worst_env = {
+        "load1": 99999.99,
+        "n_procs": 9999999,
+        "psi": {"avg10": 100.0, "avg60": 100.0, "avg300": 100.0},
+    }
+    line = json.dumps(
+        summary_payload(
+            worst_timings, worst_fp, 100.001, worst_env, worst_env
+        )
+    )
     assert len(line) <= SUMMARY_LINE_BUDGET, (
         f"worst-case summary line is {len(line)} chars (budget "
         f"{SUMMARY_LINE_BUDGET}) — it would overflow the driver's "
