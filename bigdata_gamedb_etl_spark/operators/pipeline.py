@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _fr4
 from .dedup import DEDUP_CLUSTER_ORACLE, dedup_cluster_assign
 from .textops import _TOKS, _TOKS_DUCK
 
@@ -275,6 +276,78 @@ SELECT doc_id, shard, token_count, t_offset,
             - FLOOR(t_offset / {PACK_SEQ_LEN}.0) + 1 AS BIGINT) AS n_chunks
 FROM pos
 ORDER BY shard, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Document-boundary-aware packing masks (r7 verdict item 8b): concat-
+# then-chunk packing puts multiple documents into one training
+# sequence, and a boundary-aware trainer masks cross-document
+# attention.  This mart is the manifest it consumes: one row per
+# (training chunk, document span) — where inside the chunk each
+# document's tokens sit.  Pure arithmetic over the packing manifest:
+# doc spanning chunks [cf, cl] contributes to chunk c the interval
+# [max(0, off − c·L), min(L, off + n − c·L)).
+def pipeline_pack_attention_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attention-mask span manifest: (shard, chunk_id, doc_id,
+    start_pos, span_len) for every document span inside every packed
+    PACK_SEQ_LEN-token training sequence.  Spans tile each chunk
+    exactly (pytest-pinned: contiguous, non-overlapping, summing to
+    the chunk length except each shard's final partial chunk).
+
+    Scale: a narrow explode over the packing manifest's per-shard
+    window — no shuffle beyond the one pipeline_pack_sequences
+    already does; output rows = Σ n_chunks, linear in corpus tokens
+    divided by the sequence length."""
+    L = PACK_SEQ_LEN
+    base = pipeline_pack_sequences(spark, sf_dir)
+    start = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("t_offset") - F.col("chunk_id") * L,
+    )
+    end = F.least(
+        F.lit(L).cast("long"),
+        F.col("t_offset") + F.col("token_count") - F.col("chunk_id") * L,
+    )
+    return (
+        base.select(
+            "doc_id",
+            "shard",
+            "token_count",
+            "t_offset",
+            F.explode(
+                F.expr("sequence(chunk_first, chunk_last)")
+            ).alias("chunk_id"),
+        )
+        .select(
+            "shard",
+            "chunk_id",
+            "doc_id",
+            start.cast("long").alias("start_pos"),
+            (end - start).cast("long").alias("span_len"),
+        )
+        .orderBy("shard", "chunk_id", "start_pos")
+    )
+
+
+PACK_ATTENTION_SPANS_ORACLE = f"""
+WITH pack AS ({PACK_SEQUENCES_ORACLE.replace("ORDER BY shard, doc_id", "")}),
+expanded AS (
+  SELECT shard, doc_id, token_count, t_offset,
+         UNNEST(generate_series(chunk_first, chunk_last)) AS chunk_id
+  FROM pack
+)
+SELECT shard, chunk_id, doc_id,
+       CAST(GREATEST(0, t_offset - chunk_id * {PACK_SEQ_LEN}) AS BIGINT)
+         AS start_pos,
+       CAST(LEAST({PACK_SEQ_LEN}, t_offset + token_count
+                  - chunk_id * {PACK_SEQ_LEN})
+            - GREATEST(0, t_offset - chunk_id * {PACK_SEQ_LEN}) AS BIGINT)
+         AS span_len
+FROM expanded
+ORDER BY shard, chunk_id, start_pos
 """
 
 
@@ -1053,6 +1126,148 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Cross-split contamination audit — the MEASUREMENT that closes the
+# leakage-safe-split story: after assigning splits, how much of each
+# eval split's shingle mass also occurs in train?  Cluster-aware
+# hashing guarantees near-DUPLICATES can't span splits, but distinct
+# documents legitimately share n-grams; this audit quantifies that
+# residual overlap so a training run can gate on it (a spike means
+# the dedup tier in front of the split missed a template family).
+def pipeline_split_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per eval split (val/test): docs, distinct 3-gram shingles,
+    shingles also present in any train doc, and the containment rate.
+
+    Scale shape: one corpus shingle explode shared by both sides, a
+    distinct per (split, shingle), and one shuffle join on the shingle
+    key against the train-side distinct — the same posting-list shape
+    as the Jaccard tier, never an all-pairs comparison."""
+    from .dedup import _SHINGLES
+
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    grouped = d.select("doc_id", "text").join(
+        clusters, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "text",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("_", F.lit(LEAK_SPLIT_SEED), "group_key")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assigned = grouped.select("doc_id", "text", split.alias("split"))
+    sh = assigned.select(
+        "split", "doc_id", F.explode(F.expr(_SHINGLES)).alias("sh")
+    )
+    train_sh = (
+        sh.where(F.col("split") == "train").select("sh").distinct()
+    )
+    eval_sh = (
+        sh.where(F.col("split") != "train")
+        .select("split", "sh")
+        .distinct()
+    )
+    docs = (
+        assigned.where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    overlap = (
+        eval_sh.join(
+            train_sh.withColumn("hit", F.lit(1)), "sh", "left"
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.col("hit").isNotNull().cast("long")).alias(
+                "train_hit_shingles"
+            ),
+        )
+    )
+    return (
+        docs.join(overlap, "split")
+        .select(
+            "split",
+            "n_docs",
+            "n_shingles",
+            "train_hit_shingles",
+            _fr4(
+                F.col("train_hit_shingles") / F.col("n_shingles")
+            ).alias("contamination_rate"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_contamination_oracle() -> str:
+    from .dedup import _SHINGLES_DUCK
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
+assigned AS (
+  SELECT d.doc_id, d.text,
+         CASE
+           WHEN CAST(concat('0x', substring(
+                  md5({LEAK_SPLIT_SEED} || '_' ||
+                      COALESCE(c.cluster_id, d.doc_id)), 1, 4))
+                AS INTEGER) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+           WHEN CAST(concat('0x', substring(
+                  md5({LEAK_SPLIT_SEED} || '_' ||
+                      COALESCE(c.cluster_id, d.doc_id)), 1, 4))
+                AS INTEGER) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+w AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM assigned),
+sh AS (
+  SELECT split, doc_id, UNNEST({_SHINGLES_DUCK}) AS sh FROM w
+  WHERE len(ws) >= 3
+),
+train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+eval_sh AS (SELECT DISTINCT split, sh FROM sh WHERE split <> 'train'),
+docs AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM assigned WHERE split <> 'train' GROUP BY split
+),
+overlap AS (
+  SELECT e.split,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS train_hit_shingles
+  FROM eval_sh e LEFT JOIN train_sh t ON t.sh = e.sh
+  GROUP BY e.split
+)
+SELECT d.split, d.n_docs, o.n_shingles, o.train_hit_shingles,
+       floor(o.train_hit_shingles * 1.0 / o.n_shingles * 10000.0 + 0.5)
+         / 10000.0 AS contamination_rate
+FROM docs d JOIN overlap o ON o.split = d.split
+ORDER BY d.split
+"""
+
+
+SPLIT_CONTAMINATION_ORACLE = _split_contamination_oracle()
+
+
 LEAKAGE_SPLIT_ORACLE = f"""
 WITH clusters AS ({DEDUP_CLUSTER_ORACLE}),
 grouped AS (
@@ -1139,6 +1354,65 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+def pipeline_source_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet — the "datasheets for datasets" block at
+    the provenance grain a curation decision actually uses: docs,
+    languages, token volume, exact-dup count WITHIN the source,
+    high-quality share input, and median length.  Same one-scan
+    hash-agg shape as the corpus-level pipeline_dataset_card, keyed by
+    source (output rows = |sources|, tiny at any corpus size)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(f"size({_TOKS})")
+    ratio = F.expr(
+        f"size(array_distinct({_TOKS})) * 1.0 / size({_TOKS})"
+    )
+    is_high = (toks >= 200) & (ratio >= 0.1)
+    fr2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    return (
+        d.select(
+            "source",
+            "lang",
+            F.md5("text").alias("digest"),
+            toks.cast("long").alias("tk"),
+            is_high.cast("long").alias("hi"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("tk").alias("total_tokens"),
+            (F.count("*") - F.countDistinct("digest")).alias("dup_docs"),
+            F.sum("hi").alias("high_quality_docs"),
+            fr2(F.expr("percentile(tk, 0.5)")).alias("p50_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_CARDS_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang, md5(text) AS digest,
+         CAST(len({_TOKS_DUCK}) AS BIGINT) AS tk,
+         CASE WHEN len({_TOKS_DUCK}) >= 200
+              AND len(list_distinct({_TOKS_DUCK})) * 1.0
+                  / len({_TOKS_DUCK}) >= 0.1
+              THEN 1 ELSE 0 END AS hi
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(tk) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT) AS dup_docs,
+       CAST(SUM(hi) AS BIGINT) AS high_quality_docs,
+       floor(quantile_cont(tk, 0.5) * 100.0 + 0.5) / 100.0 AS p50_tokens
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_mixture_reweight": pipeline_mixture_reweight,
@@ -1148,6 +1422,9 @@ QUERIES = {
     "pipeline_training_examples": pipeline_training_examples,
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_pack_sequences": pipeline_pack_sequences,
+    "pipeline_pack_attention_spans": pipeline_pack_attention_spans,
+    "pipeline_split_contamination": pipeline_split_contamination,
+    "pipeline_source_cards": pipeline_source_cards,
     "pipeline_domain_mixture": pipeline_domain_mixture,
     "pipeline_train_val_test": pipeline_train_val_test,
     "pipeline_per_group_sample": pipeline_per_group_sample,
@@ -1165,6 +1442,9 @@ ORACLE = {
     "pipeline_training_examples": TRAINING_EXAMPLES_ORACLE,
     "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,
+    "pipeline_pack_attention_spans": PACK_ATTENTION_SPANS_ORACLE,
+    "pipeline_split_contamination": SPLIT_CONTAMINATION_ORACLE,
+    "pipeline_source_cards": SOURCE_CARDS_ORACLE,
     "pipeline_domain_mixture": DOMAIN_MIXTURE_ORACLE,
     "pipeline_train_val_test": TRAIN_VAL_TEST_ORACLE,
     "pipeline_per_group_sample": PER_GROUP_SAMPLE_ORACLE,

@@ -42,6 +42,10 @@ LSH_TABLES = 24
 LSH_BITS = 4
 IVF_CELLS = 16
 IVF_NPROBE = 4
+# multi-probe tier: SAME codebook, 2x wider probe (see
+# sim_ivf_multiprobe_topk for why the finer-codebook-at-constant-
+# compute variant was rejected at this corpus scale)
+IVF_MP_NPROBE = 8
 DUP_COSINE_THRESHOLD = 0.42
 GEMM_BLOCK_ROWS = 4096  # target rows per packed matrix block
 
@@ -418,6 +422,34 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column for physical pruning.  Driver traffic is one row (the query
     vector + its cell) and the k centroids — model-sized, not
     data-sized."""
+    return _ivf_topk(spark, sf_dir, IVF_CELLS, IVF_NPROBE)
+
+
+def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (r7 verdict item 8a): the SAME codebook as
+    sim_ivf_topk probed twice as wide (nprobe 8 vs 4).  Because the
+    model is deterministic (fixed seed, same training sample) the
+    probed cell set is a SUPERSET of the single tier's, so the scanned
+    candidate set is a superset and recall@k is non-decreasing BY
+    CONSTRUCTION — the invariant tests/test_llm_pipeline.py pins,
+    alongside the recall floor.  nprobe is THE serving-time
+    recall/compute knob of an IVF index: the scanned fraction doubles
+    (8/16 of the corpus here; at production k≈√n it's a tiny slice),
+    the codebook and assignment stay untouched.
+
+    The textbook constant-compute alternative (4× finer codebook, 4×
+    wider probe) was measured WORSE at this corpus scale — k=64 cells
+    over ~500 vectors leaves ~8 vectors per cell, and centroids
+    trained on a 50% sample get too noisy to rank: recall@20 dropped
+    0.60 → 0.55 at sf0.001.  Finer codebooks need the corpus (and the
+    training sample) to grow with k; the nprobe ladder is the honest
+    knob at every scale."""
+    return _ivf_topk(spark, sf_dir, IVF_CELLS, IVF_MP_NPROBE)
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int, nprobe: int
+) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -426,7 +458,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic ~50% hash-sample for training: representative at any
     # SF, and half the fit cost; assignment still covers every row.
     train = vecs.where(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
-    model = KMeans(k=IVF_CELLS, seed=42, maxIter=20, featuresCol="features").fit(train)
+    model = KMeans(k=k, seed=42, maxIter=20, featuresCol="features").fit(train)
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
 
     centers = model.clusterCenters()
@@ -446,7 +478,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nv = _math.sqrt(sum(a * a for a in v)) or 1.0
         return d / (nu * nv)
 
-    probe = sorted(range(len(centers)), key=lambda c: -_cos(qv, centers[c]))[:IVF_NPROBE]
+    probe = sorted(range(len(centers)), key=lambda c: -_cos(qv, centers[c]))[:nprobe]
     qdf = spark.createDataFrame([(qv,)], "qv array<double>")
 
     scored = (
@@ -801,6 +833,9 @@ def _seed_assigned(
         F.min_by("c_label", F.struct("dist2", "c_label")).alias("assigned"),
         F.first("label").alias("label"),
         F.first("emb").alias("emb"),
+        # the assigned-centroid distance (min over centroids) — used
+        # by sim_centroid_outliers; other consumers ignore it
+        F.min("dist2").alias("dist2"),
     )
     return per_dim, assigned
 
@@ -878,7 +913,8 @@ assigned AS (
   SELECT vec_id,
          FIRST(c_label ORDER BY dist2, c_label) AS assigned,
          ANY_VALUE(label) AS label,
-         ANY_VALUE(emb) AS emb
+         ANY_VALUE(emb) AS emb,
+         MIN(dist2) AS dist2
   FROM scored GROUP BY vec_id
 )"""
 
@@ -908,6 +944,82 @@ counts AS (
 SELECT c.assigned AS centroid, n_assigned, n_migrated, movement
 FROM counts c JOIN move m ON m.assigned = c.assigned
 ORDER BY centroid
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-space outlier audit — the noise/poison screen a curation
+# pipeline runs before trusting embedding-derived signals (SemDeDup,
+# semantic decontamination, ANN retrieval): a vector sitting far from
+# its assigned centroid is mis-embedded junk, an adversarial insert,
+# or genuinely novel content — all worth surfacing.  Outlier rule is
+# EXACT decimal arithmetic (dist2 quantized to DECIMAL(28,12), then
+# dist2·n > factor·Σdist2 — no double division, so both engines agree
+# on every boundary case).
+#
+# Scale shape: shares the broadcast centroid assignment with the
+# Lloyd/SemDeDup stack (k×d grain), then one hash-agg to cluster
+# stats and one join back on the cluster key — |clusters| rows on the
+# build side, AQE broadcasts it.
+OUTLIER_FACTOR = 2  # outlier ⇔ dist² > factor × cluster mean dist²
+
+
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per cluster: members, members whose squared centroid distance
+    exceeds OUTLIER_FACTOR × the cluster mean, and the outlier share."""
+    _, assigned = _seed_assigned(spark, sf_dir)
+    per = assigned.select(
+        "vec_id",
+        "assigned",
+        F.col("dist2").cast("decimal(28,12)").alias("d2"),
+    )
+    stats = per.groupBy("assigned").agg(
+        F.count("*").alias("n_members"), F.sum("d2").alias("s2")
+    )
+    flagged = per.join(stats, "assigned").select(
+        "assigned",
+        "n_members",
+        (
+            F.col("d2") * F.col("n_members")
+            > F.lit(OUTLIER_FACTOR) * F.col("s2")
+        ).cast("long").alias("is_outlier"),
+    )
+    return (
+        flagged.groupBy("assigned", "n_members")
+        .agg(F.sum("is_outlier").alias("n_outliers"))
+        .select(
+            F.col("assigned").alias("cluster"),
+            "n_members",
+            "n_outliers",
+            _fr4(F.col("n_outliers") / F.col("n_members")).alias(
+                "outlier_share"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+SIM_OUTLIERS_ORACLE = f"""
+WITH {_ASSIGN_CTES},
+per AS (
+  SELECT vec_id, assigned, CAST(dist2 AS DECIMAL(28,12)) AS d2
+  FROM assigned
+),
+stats AS (
+  SELECT assigned, CAST(COUNT(*) AS BIGINT) AS n_members,
+         SUM(d2) AS s2
+  FROM per GROUP BY assigned
+)
+SELECT p.assigned AS cluster,
+       s.n_members,
+       CAST(SUM(CASE WHEN p.d2 * s.n_members > {OUTLIER_FACTOR} * s.s2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       floor(SUM(CASE WHEN p.d2 * s.n_members > {OUTLIER_FACTOR} * s.s2
+                 THEN 1 ELSE 0 END) * 1.0 / s.n_members
+             * 10000.0 + 0.5) / 10000.0 AS outlier_share
+FROM per p JOIN stats s ON s.assigned = p.assigned
+GROUP BY p.assigned, s.n_members
+ORDER BY cluster
 """
 
 
@@ -1268,10 +1380,12 @@ QUERIES = {
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_knn_top1": sim_knn_top1,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_multiprobe_topk": sim_ivf_multiprobe_topk,
     "sim_cosine_dup_pairs": sim_cosine_dup_pairs,
     "sim_sq8_topk": sim_sq8_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_kmeans_lloyd_step": sim_kmeans_lloyd_step,
+    "sim_centroid_outliers": sim_centroid_outliers,
     "sim_pca_power_iteration": sim_pca_power_iteration,
 }
 
@@ -1286,6 +1400,7 @@ ORACLE = {
     "sim_cosine_dup_pairs": SIM_DUP_ORACLE,
     "sim_sq8_topk": SIM_SQ8_ORACLE,
     "sim_kmeans_lloyd_step": SIM_LLOYD_ORACLE,
+    "sim_centroid_outliers": SIM_OUTLIERS_ORACLE,
     "sim_pca_power_iteration": SIM_PCA_ORACLE,
     # sim_ann_lsh_topk, sim_ivf_topk, sim_pq_topk: rows-only
     # (approximate recall by design)

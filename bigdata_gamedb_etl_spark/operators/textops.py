@@ -1313,6 +1313,274 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Per-source quality-drift monitor (r7 verdict item 8c): the quality
+# scorecard crossed with an ingestion grain.  A source whose quality
+# mix shifts batch-over-batch (scraper broke, upstream changed
+# templates) is the DQ event a pretraining pipeline must catch before
+# the tokens are in the run.  The ingestion batch here is a
+# deterministic doc_id range (the corpus carries no ingest timestamp);
+# in deployment the same query keys on the ingest-date partition
+# column.  drift_pp = the largest absolute percentage-point gap
+# between a batch's quality-bucket share and its source's overall
+# share.
+#
+# Scale shape: one corpus scan → two hash-aggs (source×batch and
+# source grain) → a join on source (batch grain, tiny) — no windows,
+# no corpus-sized join sides.
+QD_BATCH_DOCS = 100
+
+
+def dq_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, ingest batch): docs, quality-bucket counts, and
+    drift_pp vs the source's overall mix (floor recipe at 4 dp on
+    identical integer inputs in both engines)."""
+    d = table(spark, sf_dir, "documents")
+    j = d.select(
+        "source",
+        F.expr(f"doc_id DIV {QD_BATCH_DOCS}").alias("batch_id"),
+        "doc_id",
+    ).join(text_quality(spark, sf_dir).select("doc_id", "quality_bucket"), "doc_id")
+
+    def _cnt(b: str):
+        return F.sum((F.col("quality_bucket") == b).cast("long"))
+
+    per_batch = j.groupBy("source", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        _cnt("high").alias("hi_docs"),
+        _cnt("medium").alias("med_docs"),
+        _cnt("low").alias("low_docs"),
+    )
+    per_src = j.groupBy("source").agg(
+        F.count("*").alias("s_n"),
+        _cnt("high").alias("s_hi"),
+        _cnt("medium").alias("s_med"),
+        _cnt("low").alias("s_low"),
+    )
+
+    def _gap(b: str, s: str):
+        return F.abs(
+            F.col(b) * 100.0 / F.col("n_docs")
+            - F.col(s) * 100.0 / F.col("s_n")
+        )
+
+    return (
+        per_batch.join(per_src, "source")
+        .select(
+            "source",
+            "batch_id",
+            "n_docs",
+            "hi_docs",
+            "med_docs",
+            "low_docs",
+            _fr4(
+                F.greatest(
+                    _gap("hi_docs", "s_hi"),
+                    _gap("med_docs", "s_med"),
+                    _gap("low_docs", "s_low"),
+                )
+            ).alias("drift_pp"),
+        )
+        .orderBy("source", "batch_id")
+    )
+
+
+DQ_QUALITY_DRIFT_ORACLE = f"""
+WITH q AS ({TEXT_QUALITY_ORACLE.replace("ORDER BY doc_id", "")}),
+j AS (
+  SELECT d.source, d.doc_id // {QD_BATCH_DOCS} AS batch_id,
+         q.quality_bucket
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+),
+pb AS (
+  SELECT source, batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN quality_bucket = 'high' THEN 1 ELSE 0 END)
+              AS BIGINT) AS hi_docs,
+         CAST(SUM(CASE WHEN quality_bucket = 'medium' THEN 1 ELSE 0 END)
+              AS BIGINT) AS med_docs,
+         CAST(SUM(CASE WHEN quality_bucket = 'low' THEN 1 ELSE 0 END)
+              AS BIGINT) AS low_docs
+  FROM j GROUP BY source, batch_id
+),
+ps AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS s_n,
+         CAST(SUM(CASE WHEN quality_bucket = 'high' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s_hi,
+         CAST(SUM(CASE WHEN quality_bucket = 'medium' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s_med,
+         CAST(SUM(CASE WHEN quality_bucket = 'low' THEN 1 ELSE 0 END)
+              AS BIGINT) AS s_low
+  FROM j GROUP BY source
+)
+SELECT pb.source, pb.batch_id, pb.n_docs, pb.hi_docs, pb.med_docs,
+       pb.low_docs,
+       floor(GREATEST(
+         abs(pb.hi_docs * 100.0 / pb.n_docs - ps.s_hi * 100.0 / ps.s_n),
+         abs(pb.med_docs * 100.0 / pb.n_docs - ps.s_med * 100.0 / ps.s_n),
+         abs(pb.low_docs * 100.0 / pb.n_docs - ps.s_low * 100.0 / ps.s_n)
+       ) * 10000.0 + 0.5) / 10000.0 AS drift_pp
+FROM pb JOIN ps ON ps.source = pb.source
+ORDER BY pb.source, pb.batch_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law fit — the companion diagnostic to text_zipf_slope: vocab
+# size grows ~ (corpus tokens)^β with β ≈ 0.4-0.6 for natural text; a
+# β near 1 means unbounded novel junk (random strings), near 0 means
+# template spam.  Fit at an ORDERED BUCKET grain, not per-doc: the
+# cumulative window runs over n_docs/HEAPS_BUCKET_DOCS rows (tiny at
+# any scale — bucket count is the knob), never over the corpus.
+# First-occurrence attribution (token → min doc_id) is one hash-agg.
+HEAPS_BUCKET_DOCS = 100
+
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: points fitted, OLS slope (the Heaps exponent β) and
+    intercept of ln(cumulative vocab) on ln(cumulative tokens) over
+    doc_id-ordered ingestion buckets.  Same DECIMAL-sum OLS recipe as
+    text_zipf_slope."""
+    raw = table(spark, sf_dir, "documents")
+    d = raw.select(
+        "doc_id", F.expr(f"size({_TOKS})").cast("long").alias("tk")
+    )
+    first_doc = (
+        raw.select("doc_id", F.explode(F.expr(_TOKS)).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            F.expr(f"first_doc DIV {HEAPS_BUCKET_DOCS}").alias("bucket")
+        )
+        .agg(F.count("*").alias("new_types"))
+    )
+    per_bucket = (
+        d.groupBy(F.expr(f"doc_id DIV {HEAPS_BUCKET_DOCS}").alias("bucket"))
+        .agg(F.sum("tk").alias("bucket_tokens"))
+        .join(first_doc, "bucket", "left")
+        .select(
+            "bucket",
+            "bucket_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    w = Window.orderBy("bucket")  # bucket grain: tiny by construction
+    cum = per_bucket.select(
+        F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    ).where((F.col("cum_tokens") > 0) & (F.col("cum_types") > 0))
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_types").cast("double"))
+    terms = cum.select(
+        x.cast("decimal(28,15)").alias("x"),
+        y.cast("decimal(28,15)").alias("y"),
+        (x * y).cast("decimal(28,15)").alias("xy"),
+        (x * x).cast("decimal(28,15)").alias("xx"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        fr6(slope).alias("beta"),
+        fr6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+
+
+TEXT_HEAPS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS_DUCK}) AS BIGINT) AS tk FROM documents
+),
+first_doc AS (
+  SELECT t, MIN(doc_id) // {HEAPS_BUCKET_DOCS} AS bucket
+  FROM (SELECT doc_id, UNNEST({_TOKS_DUCK}) AS t FROM documents)
+  GROUP BY t
+),
+new_types AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_doc GROUP BY bucket
+),
+per_bucket AS (
+  SELECT d.doc_id // {HEAPS_BUCKET_DOCS} AS bucket,
+         CAST(SUM(d.tk) AS BIGINT) AS bucket_tokens
+  FROM d GROUP BY bucket
+),
+joined AS (
+  SELECT p.bucket, p.bucket_tokens,
+         COALESCE(n.new_types, 0) AS new_types
+  FROM per_bucket p LEFT JOIN new_types n ON n.bucket = p.bucket
+),
+cum AS (
+  SELECT SUM(bucket_tokens) OVER (ORDER BY bucket) AS cum_tokens,
+         SUM(new_types) OVER (ORDER BY bucket) AS cum_types
+  FROM joined
+),
+terms AS (
+  SELECT CAST(ln(cum_tokens) AS DECIMAL(28,15)) AS x,
+         CAST(ln(cum_types) AS DECIMAL(28,15)) AS y,
+         CAST(ln(cum_tokens) * ln(cum_types) AS DECIMAL(28,15)) AS xy,
+         CAST(ln(cum_tokens) * ln(cum_tokens) AS DECIMAL(28,15)) AS xx
+  FROM cum WHERE cum_tokens > 0 AND cum_types > 0
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+         AS beta,
+       floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             * 1e6 + 0.5) / 1e6 AS intercept
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Token frequency spectrum (count-of-counts): how many vocabulary
+# types occur exactly k times — the input to Good-Turing smoothing and
+# the quickest shape check on a corpus's tail (a healthy corpus has a
+# long hapax-heavy tail; dedup failures and template spam fold it).
+# Scale: explode → vocab-grain hash-agg → spectrum-grain hash-agg;
+# output rows = distinct frequency values (grows ~log with corpus).
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(freq, n_types) for every occurrence count in the corpus
+    vocabulary, ordered by freq."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.expr(_TOKS)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .groupBy("freq")
+        .agg(F.count("*").alias("n_types"))
+        .orderBy("freq")
+    )
+
+
+TEXT_FREQ_SPECTRUM_ORACLE = f"""
+SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+FROM (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST({_TOKS_DUCK}) AS t FROM documents)
+  GROUP BY t
+)
+GROUP BY freq
+ORDER BY freq
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_zipf_slope": text_zipf_slope,
@@ -1334,6 +1602,9 @@ QUERIES = {
     "text_bigram_logprob": text_bigram_logprob,
     "text_char_entropy": text_char_entropy,
     "text_langid_confusion": text_langid_confusion,
+    "dq_source_quality_drift": dq_source_quality_drift,
+    "text_heaps_law": text_heaps_law,
+    "text_freq_spectrum": text_freq_spectrum,
 }
 
 ORACLE = {
@@ -1357,4 +1628,7 @@ ORACLE = {
     "text_bigram_logprob": TEXT_BIGRAM_LM_ORACLE,
     "text_char_entropy": TEXT_ENTROPY_ORACLE,
     "text_langid_confusion": TEXT_LANGID_CONF_ORACLE,
+    "dq_source_quality_drift": DQ_QUALITY_DRIFT_ORACLE,
+    "text_heaps_law": TEXT_HEAPS_ORACLE,
+    "text_freq_spectrum": TEXT_FREQ_SPECTRUM_ORACLE,
 }

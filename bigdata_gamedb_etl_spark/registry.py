@@ -62,6 +62,14 @@ MODULES = [
 # test_every_query_has_driver_evidence_or_is_queued).
 ROUND8_NEW: list[str] = [
     "dedup_cluster_assign_star",
+    "sim_ivf_multiprobe_topk",
+    "pipeline_pack_attention_spans",
+    "dq_source_quality_drift",
+    "text_heaps_law",
+    "text_freq_spectrum",
+    "pipeline_split_contamination",
+    "pipeline_source_cards",
+    "sim_centroid_outliers",
 ]
 
 #: Queries edited this round (new plan shape or new rounding recipe) —

@@ -81,6 +81,24 @@ def test_no_driver_collect_in_registered_query_modules():
 
 
 @pytest.mark.parametrize("sf", SF_DIRS)
+def test_ivf_multiprobe_recall_dominates_single(spark, sf):
+    """Multi-probe IVF shares sim_ivf_topk's deterministic codebook
+    and probes a SUPERSET of its cells, so its scanned candidate set
+    is a superset and recall@k can never drop — plus an absolute
+    floor (measured 0.9 / 0.7 at the two SFs; pinned at the lower)."""
+    exact = [r["vec_id"] for r in similarity.sim_cosine_topk(spark, sf).collect()]
+    sgl = {r["vec_id"] for r in similarity.sim_ivf_topk(spark, sf).collect()}
+    mp = {
+        r["vec_id"]
+        for r in similarity.sim_ivf_multiprobe_topk(spark, sf).collect()
+    }
+    r_sgl = len(sgl & set(exact)) / len(exact)
+    r_mp = len(mp & set(exact)) / len(exact)
+    assert r_mp >= r_sgl, (r_mp, r_sgl)
+    assert r_mp >= 0.7, f"multi-probe IVF recall {r_mp} < 0.7 at {sf}"
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
 def test_sq8_recall_vs_exact(spark, sf):
     exact = [r["vec_id"] for r in similarity.sim_cosine_topk(spark, sf).collect()]
     sq8 = {r["vec_id"] for r in similarity.sim_sq8_topk(spark, sf).collect()}
@@ -742,6 +760,39 @@ def test_star_cc_matches_min_label_and_converges_faster_on_chain(spark):
         for r in dedup.dedup_cluster_assign_star(spark, sf).collect()
     }
     assert a == b
+
+
+def test_pack_attention_spans_tile_chunks_exactly(spark):
+    """Every packed chunk must be tiled exactly by its document spans:
+    sorted spans are contiguous from 0 with no overlap, and every
+    chunk except each shard's final one sums to PACK_SEQ_LEN."""
+    from collections import defaultdict
+
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    rows = pipeline.pipeline_pack_attention_spans(
+        spark, SF_DIRS[1]
+    ).collect()
+    chunks: dict = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["start_pos"] < pipeline.PACK_SEQ_LEN
+        assert 1 <= r["span_len"] <= pipeline.PACK_SEQ_LEN
+        chunks[(r["shard"], r["chunk_id"])].append(
+            (r["start_pos"], r["span_len"])
+        )
+    last_chunk = {}
+    for (shard, cid) in chunks:
+        last_chunk[shard] = max(last_chunk.get(shard, -1), cid)
+    for (shard, cid), spans in chunks.items():
+        spans.sort()
+        pos = 0
+        for start, ln in spans:
+            assert start == pos, (shard, cid, spans)
+            pos += ln
+        if cid < last_chunk[shard]:
+            assert pos == pipeline.PACK_SEQ_LEN, (shard, cid, pos)
+        else:
+            assert pos <= pipeline.PACK_SEQ_LEN
 
 
 def test_weighted_sample_prefers_heavy_docs(spark):

@@ -13,7 +13,7 @@ from bigdata_gamedb_etl_spark.registry import all_queries
 from bigdata_gamedb_etl_spark.sources.catalog import TABLE_NAMES, TABLE_SCHEMAS
 
 #: IVF/PQ train KMeans models — undefined on an empty corpus by design.
-EMPTY_EXEMPT = {"sim_ivf_topk", "sim_pq_topk"}
+EMPTY_EXEMPT = {"sim_ivf_topk", "sim_ivf_multiprobe_topk", "sim_pq_topk"}
 
 #: fixed-row-count reports: one row per audited relationship, even on
 #: empty input (a DQ report that vanishes when the data does is a bug).
