@@ -108,6 +108,11 @@ EXTRAS = [
     "graph_neighbor_jaccard",
     "dedup_bloom_prefilter",
     "pipeline_leakage_safe_split",
+    # round-8 heavies: the cross-split shingle-containment audit (CC +
+    # split hash + posting-list join) and the large-star/small-star CC
+    # (the O(log² n)-round variant of dedup_cluster_assign)
+    "pipeline_split_contamination",
+    "dedup_cluster_assign_star",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -151,6 +156,10 @@ SCALE_PROBE_QUERIES = [
     # broadcast bloom probe — both claimed linear, both new shapes
     "text_novelty_rate",
     "dedup_bloom_prefilter",
+    # round-8: the star-operation CC — same edge generator as
+    # dedup_cluster_assign, rounds bounded by O(log² n) instead of
+    # diameter, so its probe ratio should track min-label's
+    "dedup_cluster_assign_star",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"

@@ -695,11 +695,165 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Audio tier (r8): RIFF/WAVE PCM16 is codec-FREE — a header walk plus
+# raw little-endian samples — so like PPM/BMP/PNG it gets a REAL
+# pure-Python decode: duration, peak amplitude, and RMS from exact
+# integer sums.  Compressed audio (MP3/AAC/OGG) raises the codec-class
+# error and routes to the md5-derived stand-in, mirroring the image
+# tiers.
+def _wav_pcm16(data: bytes):
+    """Parse a RIFF/WAVE file with an uncompressed PCM16 fmt chunk:
+    returns (sample_rate, n_channels, int16 numpy array of samples,
+    interleaved)."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            if clen < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV fmt={audio_fmt} bits={bits} unsupported "
+                    "(uncompressed PCM16 only)"
+                )
+            if not (1 <= n_ch <= 8 and 1 <= rate <= 1_000_000):
+                raise ValueError(f"implausible WAV fmt {n_ch}ch {rate}Hz")
+            fmt = (rate, n_ch)
+        elif tag == b"data":
+            samples = np.frombuffer(
+                body[: len(body) // 2 * 2], dtype="<i2"
+            )
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or samples is None or samples.size == 0:
+        raise ValueError("WAV missing fmt/data")
+    return fmt[0], fmt[1], samples
+
+
+def decode_audio_meta(payload: bytes) -> tuple[int, int, float]:
+    """Real audio tier: (duration_ms, peak, rms) from PCM16 WAV.
+    duration_ms is exact integer arithmetic (frames·1000 DIV rate);
+    peak is max |sample|; rms from the exact int64 sum of squares,
+    rounded at 6 dp like the image features."""
+    import math
+
+    rate, n_ch, s = _wav_pcm16(payload)
+    frames = s.size // n_ch
+    duration_ms = frames * 1000 // rate
+    peak = int(max(int(s.max()), -int(s.min())))
+    sq = int((s.astype("int64") ** 2).sum())
+    rms = round(math.sqrt(sq / s.size), 6)
+    return duration_ms, peak, rms
+
+
+def fake_audio_meta(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic md5-derived stand-in for codec audio formats —
+    same contract as fake_decode_features: digest bytes become the
+    stats, so the full Arrow plumbing is exercised and the oracle can
+    recompute every value with hex-nibble arithmetic."""
+    d = hashlib.md5(payload).digest()
+    duration_ms = d[0] * 256 + d[1]
+    peak = d[2] * 256 + d[3]
+    rms = round(d[4] / 255.0, 6)
+    return duration_ms, peak, rms
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_bytes", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("tier", StringType()),
+    ]
+)
+
+
+def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            try:
+                dur, peak, rms = decode_audio_meta(raw)
+                tier = "decoded"
+            except (NotImplementedError, ValueError):
+                dur, peak, rms = fake_audio_meta(raw)
+                tier = "fallback"
+            rows.append((doc_id, len(raw), dur, peak, rms, tier))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "payload_bytes",
+                "duration_ms",
+                "peak",
+                "rms",
+                "tier",
+            ],
+        )
+
+
+def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction over binary payloads (mapInPandas):
+    REAL PCM16-WAV decode (duration/peak/RMS pinned by WAV fixtures in
+    tests/test_llm_pipeline.py), md5-derived stand-in for codec
+    formats.  Oracle-backed on this corpus via the fallback tier (no
+    text payload parses as RIFF/WAVE; the `tier` column makes any
+    decoded row a loud mismatch)."""
+    return (
+        with_payload(spark, sf_dir)
+        .mapInPandas(_audio_batches, AUDIO_META_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def _mm_audio_oracle() -> str:
+    def byte(i: int) -> str:
+        hi = f"strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1"
+        lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
+        return f"(({hi}) * 16 + ({lo}))"
+
+    return f"""
+WITH hx AS (
+  SELECT doc_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS payload_bytes,
+         md5(text) AS h
+  FROM documents
+)
+SELECT doc_id, payload_bytes,
+       CAST({byte(0)} * 256 + {byte(1)} AS BIGINT) AS duration_ms,
+       CAST({byte(2)} * 256 + {byte(3)} AS INTEGER) AS peak,
+       round({byte(4)} / 255.0, 6) AS rms,
+       'fallback' AS tier
+FROM hx
+ORDER BY doc_id
+"""
+
+
+MM_AUDIO_ORACLE = _mm_audio_oracle()
+
+
 QUERIES = {
     "mm_payload_meta": mm_payload_meta,
     "mm_feature_extract": mm_feature_extract_flat,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_meta": mm_audio_meta,
 }
 
 ORACLE = {
@@ -712,4 +866,5 @@ ORACLE = {
     # oracle-backed as of r7: the real tier landed, and the fallback
     # now emits an md5-verifiable hex payload (nested VARCHAR md5)
     "mm_resize": MM_RESIZE_ORACLE,
+    "mm_audio_meta": MM_AUDIO_ORACLE,
 }

@@ -1355,6 +1355,53 @@ FROM d
 
 
 # --------------------------------------------------------------------------
+# Deterministic per-epoch shuffle manifest — multi-epoch training
+# needs each epoch to see a DIFFERENT order (shuffling matters for
+# convergence) that is nonetheless REPRODUCIBLE (restarts, audits,
+# data-order ablations).  The order key is md5(seed, epoch, doc_id):
+# a pure column map, no RNG, no global sort — trainers range-read the
+# manifest sorted within output shards, so the engine never needs a
+# corpus-wide ORDER BY (the presentation sort here is the oracle
+# convention, cheap at report grain).
+EPOCH_SHUFFLE_SEED = 271
+EPOCH_COUNT = 2
+
+
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch, doc_id, shard, order_key) for EPOCH_COUNT epochs: the
+    hex order key shuffles docs within each of PACK_N_SHARDS shards,
+    differently per epoch.  tests/test_llm_pipeline.py pins that the
+    two epochs' orders actually differ and replay identically."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.crossJoin(
+        F.broadcast(spark.range(EPOCH_COUNT).select(F.col("id").alias("epoch")))
+    )
+    key = F.md5(
+        F.concat_ws("_", F.lit(EPOCH_SHUFFLE_SEED), "epoch", "doc_id")
+    )
+    return (
+        epochs.select(
+            "epoch",
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(PACK_N_SHARDS)).alias("shard"),
+            key.alias("order_key"),
+        )
+        .orderBy("epoch", "doc_id")
+    )
+
+
+EPOCH_SHUFFLE_ORACLE = f"""
+SELECT e.epoch, d.doc_id,
+       d.doc_id % {PACK_N_SHARDS} AS shard,
+       md5({EPOCH_SHUFFLE_SEED} || '_' || e.epoch || '_' || d.doc_id)
+         AS order_key
+FROM documents d
+CROSS JOIN (SELECT UNNEST(range({EPOCH_COUNT})) AS epoch) e
+ORDER BY e.epoch, d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 def pipeline_source_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source datasheet — the "datasheets for datasets" block at
     the provenance grain a curation decision actually uses: docs,
@@ -1425,6 +1472,7 @@ QUERIES = {
     "pipeline_pack_attention_spans": pipeline_pack_attention_spans,
     "pipeline_split_contamination": pipeline_split_contamination,
     "pipeline_source_cards": pipeline_source_cards,
+    "pipeline_epoch_shuffle": pipeline_epoch_shuffle,
     "pipeline_domain_mixture": pipeline_domain_mixture,
     "pipeline_train_val_test": pipeline_train_val_test,
     "pipeline_per_group_sample": pipeline_per_group_sample,
@@ -1445,6 +1493,7 @@ ORACLE = {
     "pipeline_pack_attention_spans": PACK_ATTENTION_SPANS_ORACLE,
     "pipeline_split_contamination": SPLIT_CONTAMINATION_ORACLE,
     "pipeline_source_cards": SOURCE_CARDS_ORACLE,
+    "pipeline_epoch_shuffle": EPOCH_SHUFFLE_ORACLE,
     "pipeline_domain_mixture": DOMAIN_MIXTURE_ORACLE,
     "pipeline_train_val_test": TRAIN_VAL_TEST_ORACLE,
     "pipeline_per_group_sample": PER_GROUP_SAMPLE_ORACLE,

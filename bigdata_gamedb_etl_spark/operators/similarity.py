@@ -1024,6 +1024,71 @@ ORDER BY cluster
 
 
 # --------------------------------------------------------------------------
+# Per-dimension embedding health profile — the encoder sanity check a
+# pipeline runs before trusting any embedding-derived signal: a
+# near-zero-variance ("dead") dimension means the encoder collapsed
+# there (truncation bug, dtype clip, bad export), and it silently
+# wastes index capacity in every downstream ANN structure.  One
+# posexplode → per-dim hash-agg (64 output rows); moments quantized
+# at 1e9 (the _q9 recipe) so partition-order double noise can't leak
+# into the hash.
+DEAD_DIM_VAR = 1e-6
+
+
+def sim_dim_variance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per embedding dimension: n, quantized mean and variance
+    (E[x²] − E[x]², computed on the quantized moments — identical
+    IEEE arithmetic in both engines), and the dead-dimension flag."""
+    emb = _emb_double(spark, sf_dir).where(F.size("emb") > 0)
+    per_dim = (
+        emb.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            _q9(F.avg("v")).alias("mean_v"),
+            _q9(F.avg(F.col("v") * F.col("v"))).alias("mean_sq"),
+        )
+    )
+    var = F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")
+    return (
+        per_dim.select(
+            "dim",
+            "n",
+            "mean_v",
+            var.alias("var_v"),
+            (var < DEAD_DIM_VAR).alias("is_dead"),
+        )
+        .orderBy("dim")
+    )
+
+
+SIM_DIM_PROFILE_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE len(embedding) > 0
+),
+per_dim AS (
+  SELECT dim - 1 AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         floor(AVG(v) * 1e9 + 0.5) / 1e9 AS mean_v,
+         floor(AVG(v * v) * 1e9 + 0.5) / 1e9 AS mean_sq
+  FROM (
+    SELECT UNNEST(emb) AS v, UNNEST(range(1, len(emb) + 1)) AS dim
+    FROM e
+  )
+  GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim, n, mean_v,
+       mean_sq - mean_v * mean_v AS var_v,
+       (mean_sq - mean_v * mean_v) < {DEAD_DIM_VAR} AS is_dead
+FROM per_dim
+ORDER BY dim
+"""
+
+
+# --------------------------------------------------------------------------
 # One power-iteration step toward the dominant principal direction of
 # the raw (uncentered) second-moment matrix — the distributed linear-
 # algebra primitive behind PCA whitening / spectral embedding-quality
@@ -1386,6 +1451,7 @@ QUERIES = {
     "sim_pq_topk": sim_pq_topk,
     "sim_kmeans_lloyd_step": sim_kmeans_lloyd_step,
     "sim_centroid_outliers": sim_centroid_outliers,
+    "sim_dim_variance_profile": sim_dim_variance_profile,
     "sim_pca_power_iteration": sim_pca_power_iteration,
 }
 
@@ -1401,6 +1467,7 @@ ORACLE = {
     "sim_sq8_topk": SIM_SQ8_ORACLE,
     "sim_kmeans_lloyd_step": SIM_LLOYD_ORACLE,
     "sim_centroid_outliers": SIM_OUTLIERS_ORACLE,
+    "sim_dim_variance_profile": SIM_DIM_PROFILE_ORACLE,
     "sim_pca_power_iteration": SIM_PCA_ORACLE,
     # sim_ann_lsh_topk, sim_ivf_topk, sim_pq_topk: rows-only
     # (approximate recall by design)

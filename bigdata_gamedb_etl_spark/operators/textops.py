@@ -1581,6 +1581,128 @@ ORDER BY freq
 """
 
 
+# --------------------------------------------------------------------------
+# First BPE merge iteration — the tokenizer-TRAINING primitive: count
+# every adjacent character pair inside every word occurrence and rank
+# the merge candidates.  A full BPE trainer is this aggregation run
+# iteratively with the winning pair merged into the symbol stream;
+# the first iteration is where ~all the corpus scan cost lives, and
+# its shape (explode → bounded-key hash-agg → TakeOrdered) is exactly
+# what survives 100 TB (pair cardinality is alphabet², not corpus).
+BPE_TOP_PAIRS = 50
+
+
+def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BPE_TOP_PAIRS adjacent character pairs by corpus occurrence
+    count (ties broken by pair text), with their merge rank."""
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(F.expr(_TOKS)).alias("t"))
+        .where(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> substring(t, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    top = pairs.orderBy(F.col("pair_count").desc(), "pair").limit(
+        BPE_TOP_PAIRS
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return top.select(
+        F.row_number().over(w).alias("rank"), "pair", "pair_count"
+    ).orderBy("rank")
+
+
+TEXT_BPE_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST({_TOKS_DUCK}) AS t FROM documents
+),
+pairs AS (
+  SELECT UNNEST(list_transform(range(1, length(t)), i -> substr(t, i, 2)))
+           AS pair
+  FROM tok WHERE length(t) >= 2
+),
+counts AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY pair
+),
+top AS (
+  SELECT pair, pair_count FROM counts
+  ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_PAIRS}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INTEGER)
+         AS rank,
+       pair, pair_count
+FROM top
+ORDER BY rank
+"""
+
+
+# --------------------------------------------------------------------------
+# Adjacent-token repetition rate — the degeneration signal Gopher's
+# DISTINCT-based dup ratios can't see: "the the the" has dup_token
+# share identical to any 3-of-a-kind doc, but its ADJACENT repeat
+# rate is 1.0 (model-loop output, stutter artifacts).  Pure per-row
+# map over the token array; no shuffle at all before the final
+# presentation sort.
+def text_repetition_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document (≥2 tokens): tokens, adjacent equal-token pairs,
+    and the repeat rate n_repeats / (n_tokens − 1)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(f"size({_TOKS})")
+    reps = F.expr(
+        f"""size(filter(
+              zip_with(slice({_TOKS}, 1, size({_TOKS}) - 1),
+                       slice({_TOKS}, 2, size({_TOKS}) - 1),
+                       (a, b) -> a = b),
+              x -> x))"""
+    )
+    return (
+        d.select(
+            "doc_id",
+            toks.cast("long").alias("n_tokens"),
+            reps.cast("long").alias("n_repeats"),
+        )
+        .where(F.col("n_tokens") >= 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_repeats",
+            _fr4(F.col("n_repeats") / (F.col("n_tokens") - 1)).alias(
+                "repeat_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS_DUCK} AS ws FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(
+                list_transform(range(1, len(ws)),
+                               i -> ws[i] = ws[i + 1]),
+                x -> x)) AS BIGINT) AS n_repeats
+  FROM d WHERE len(ws) >= 2
+)
+SELECT doc_id, n_tokens, n_repeats,
+       floor(n_repeats * 1.0 / (n_tokens - 1) * 10000.0 + 0.5) / 10000.0
+         AS repeat_rate
+FROM counted
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_zipf_slope": text_zipf_slope,
@@ -1605,6 +1727,8 @@ QUERIES = {
     "dq_source_quality_drift": dq_source_quality_drift,
     "text_heaps_law": text_heaps_law,
     "text_freq_spectrum": text_freq_spectrum,
+    "text_bpe_first_merges": text_bpe_first_merges,
+    "text_repetition_rate": text_repetition_rate,
 }
 
 ORACLE = {
@@ -1631,4 +1755,6 @@ ORACLE = {
     "dq_source_quality_drift": DQ_QUALITY_DRIFT_ORACLE,
     "text_heaps_law": TEXT_HEAPS_ORACLE,
     "text_freq_spectrum": TEXT_FREQ_SPECTRUM_ORACLE,
+    "text_bpe_first_merges": TEXT_BPE_ORACLE,
+    "text_repetition_rate": TEXT_REPETITION_ORACLE,
 }

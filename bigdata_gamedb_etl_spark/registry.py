@@ -70,6 +70,11 @@ ROUND8_NEW: list[str] = [
     "pipeline_split_contamination",
     "pipeline_source_cards",
     "sim_centroid_outliers",
+    "mm_audio_meta",
+    "text_bpe_first_merges",
+    "text_repetition_rate",
+    "sim_dim_variance_profile",
+    "pipeline_epoch_shuffle",
 ]
 
 #: Queries edited this round (new plan shape or new rounding recipe) —

@@ -122,6 +122,72 @@ def read_events_stream(
     )
 
 
+DOCUMENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a DIRECTORY of documents parquet files —
+    the ingestion feed a live curation pipeline consumes (each arriving
+    file is one micro-batch of crawled/ingested documents)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def quality_monitor_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the quality-mix core of
+    operators.textops.dq_source_quality_drift: per source, running
+    quality-bucket counts over the document feed (the same exact
+    bucket predicate as textops.text_quality).  Complete-mode
+    scorecard; a live monitor diffs successive emissions to get the
+    per-batch mix the batch audit computes per ingest range, and
+    alerts on the same drift rule.
+
+    Scale: stateless per-row classification then one hash-agg — state
+    is |sources| rows regardless of feed rate (no windows, no
+    timestamps needed: the grain is provenance, not time)."""
+    toks = F.expr(
+        "size(filter(split(text, ' '), t -> t <> ''))"
+    )
+    distinct = F.expr(
+        "size(array_distinct(filter(split(text, ' '), t -> t <> '')))"
+    )
+    ratio = distinct * F.lit(1.0) / toks
+    bucket = (
+        F.when((toks >= 200) & (ratio >= 0.1), "high")
+        .when(toks >= 50, "medium")
+        .otherwise("low")
+    )
+    return (
+        docs.select("source", bucket.alias("quality_bucket"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("quality_bucket") == "high").cast("long")).alias(
+                "hi_docs"
+            ),
+            F.sum(
+                (F.col("quality_bucket") == "medium").cast("long")
+            ).alias("med_docs"),
+            F.sum((F.col("quality_bucket") == "low").cast("long")).alias(
+                "low_docs"
+            ),
+        )
+    )
+
+
 def read_rate_stream(
     spark: SparkSession, rows_per_batch: int = 100, num_partitions: int = 2
 ) -> DataFrame:

@@ -560,6 +560,74 @@ def test_real_decode_tier_png_end_to_end(spark):
         multimodal.decode_image(degenerate)
 
 
+def _wav_bytes(rate, samples, n_ch=1, extra_chunk=False):
+    """Encode a PCM16 RIFF/WAVE fixture (optionally with an extra
+    LIST chunk before data, exercising the chunk walk)."""
+    import struct as _s
+
+    data = b"".join(_s.pack("<h", v) for v in samples)
+    fmt = _s.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        chunks += b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    chunks += b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_real_audio_tier_wav_end_to_end(spark):
+    """The audio tier is REAL for PCM16 WAV: fixtures flow through the
+    exact mapInPandas plumbing mm_audio_meta ships and produce true
+    duration/peak/RMS; codec-format and garbage payloads take the
+    deterministic fallback."""
+    import math
+
+    from bigdata_gamedb_etl_spark.operators import multimodal
+
+    # 8 samples at 8000 Hz mono -> exactly 1 ms
+    mono = [0, 1000, -2000, 3000, -3000, 2000, -1000, 0]
+    wav1 = _wav_bytes(8000, mono)
+    # stereo with an extra chunk: 4 frames at 4 Hz -> 1000 ms
+    stereo = [100, -200, 300, -400, 500, -600, 700, -800]
+    wav2 = _wav_bytes(4, stereo, n_ch=2, extra_chunk=True)
+    payloads = [
+        (1, wav1),
+        (2, wav2),
+        (3, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(
+            multimodal._audio_batches, multimodal.AUDIO_META_SCHEMA
+        ).collect()
+    }
+    assert out[1]["tier"] == "decoded"
+    assert out[1]["duration_ms"] == 8 * 1000 // 8000
+    assert out[1]["peak"] == 3000
+    assert out[1]["rms"] == round(
+        math.sqrt(sum(v * v for v in mono) / len(mono)), 6
+    )
+    assert out[2]["tier"] == "decoded"
+    assert out[2]["duration_ms"] == 1000
+    assert out[2]["peak"] == 800
+    assert out[3]["tier"] == "fallback"
+    d, p, r = multimodal.fake_audio_meta(payloads[2][1])
+    assert (out[3]["duration_ms"], out[3]["peak"], out[3]["rms"]) == (d, p, r)
+    # unsupported variants raise the codec-class error
+    import pytest as _pytest
+    import struct as _s
+
+    fmt24 = _s.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav24 = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt24)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt24)) + fmt24
+    )
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio_meta(wav24)
+    with _pytest.raises(ValueError):
+        multimodal.decode_audio_meta(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
 def test_real_resize_png_input(spark):
     """mm_resize's real tier covers PNG inputs: a 4x4 quadrant PNG
     box-filters to the quadrant colors and re-encodes as valid P6."""
@@ -793,6 +861,30 @@ def test_pack_attention_spans_tile_chunks_exactly(spark):
             assert pos == pipeline.PACK_SEQ_LEN, (shard, cid, pos)
         else:
             assert pos <= pipeline.PACK_SEQ_LEN
+
+
+def test_epoch_shuffle_orders_differ_and_replay(spark):
+    """Each epoch's shuffle order must differ from the others' (the
+    point of reshuffling) while replaying identically run-over-run
+    (the point of determinism)."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    sf = SF_DIRS[0]
+    a = pipeline.pipeline_epoch_shuffle(spark, sf).collect()
+    b = pipeline.pipeline_epoch_shuffle(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    by_epoch: dict = {}
+    for r in a:
+        by_epoch.setdefault(r["epoch"], []).append(
+            (r["order_key"], r["doc_id"])
+        )
+    orders = {
+        e: [doc for _, doc in sorted(v)] for e, v in by_epoch.items()
+    }
+    assert len(orders) == pipeline.EPOCH_COUNT
+    e0, e1 = orders[0], orders[1]
+    assert sorted(e0) == sorted(e1)  # same membership
+    assert e0 != e1  # different order
 
 
 def test_weighted_sample_prefers_heavy_docs(spark):

@@ -503,6 +503,41 @@ def test_streaming_conformity_monitor_matches_batch(spark, sf_dir, events_dir):
     assert folded["n_events"] > 0
 
 
+def test_streaming_quality_monitor_matches_batch_drift_totals(
+    spark, sf_dir, tmp_path
+):
+    """quality_monitor_stream's per-source scorecard must equal the
+    batch dq_source_quality_drift rows folded over ingest batches —
+    the same exact bucket predicate classifying the same feed."""
+    from bigdata_gamedb_etl_spark.operators.textops import (
+        dq_source_quality_drift,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", d / "documents.parquet")
+    docs = streaming.read_documents_stream(spark, str(d))
+    assert docs.isStreaming
+    monitor = streaming.quality_monitor_stream(docs)
+    streaming.run_stream_to_memory(monitor, "quality_t", "complete")
+
+    got = {
+        r["source"]: (r["n_docs"], r["hi_docs"], r["med_docs"], r["low_docs"])
+        for r in spark.table("quality_t").collect()
+    }
+    folded: dict = {}
+    for r in dq_source_quality_drift(spark, sf_dir).collect():
+        n, hi, med, lo = folded.get(r["source"], (0, 0, 0, 0))
+        folded[r["source"]] = (
+            n + r["n_docs"],
+            hi + r["hi_docs"],
+            med + r["med_docs"],
+            lo + r["low_docs"],
+        )
+    assert got == folded
+    assert sum(v[0] for v in got.values()) > 0
+
+
 def test_streaming_dau_sketch_bounds_exact_batch(spark, sf_dir, events_dir):
     """daily_active_users_stream: n_events must equal the batch count
     exactly; approx_users must land within HLL's ±5% of the exact
