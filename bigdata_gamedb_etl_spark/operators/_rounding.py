@@ -28,3 +28,29 @@ def _fr4(x):
     reading exact dyadic negative halfway values should expect the
     +inf direction."""
     return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def _fr(x, digits: int):
+    """The floor recipe at an arbitrary decimal scale — same semantics
+    as _fr4 (half-toward-+inf on exact halves, engine-agreed given
+    identical double inputs).  Used by the r8 round-on-average sweep:
+    every per-group average of a double column now goes through an
+    exact DECIMAL sum divided by the count, then this recipe — ROUND
+    on the double average was the w10 hazard class (Spark half-up vs
+    DuckDB half-even on representable halves, on top of
+    partition-order fp sums feeding the two engines different
+    doubles)."""
+    s = float(10 ** digits)
+    return F.floor(x * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def _avg_dec(col, digits: int, decimal_type: str = "decimal(18,6)"):
+    """Engine-agreed average of a double column: exact DECIMAL sum
+    (order-free) cast back to double, divided by the non-null count,
+    floor-rounded at `digits`.  Oracle twin:
+    floor(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(c)
+          * 10^digits + 0.5) / 10^digits."""
+    return _fr(
+        F.sum(col.cast(decimal_type)).cast("double") / F.count(col),
+        digits,
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _fr
 
 _HOURS_US = 3_600_000_000.0  # microseconds per hour
 
@@ -58,9 +59,12 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("viewers"),
         F.count("first_click").alias("clickers"),
         F.count("first_purchase").alias("purchasers"),
-        F.round(F.sum(hours) / F.count("first_purchase"), 2)
-        .cast("double")
-        .alias("avg_hours_to_purchase"),
+        # decimal-exact sum, then one double ratio through the floor
+        # recipe — ROUND on the decimal/int division had engine-specific
+        # scale semantics (r8 sweep)
+        _fr(
+            F.sum(hours).cast("double") / F.count("first_purchase"), 2
+        ).alias("avg_hours_to_purchase"),
     )
 
 
@@ -84,9 +88,9 @@ fp AS (
 SELECT COUNT(*) AS viewers,
        COUNT(fc.first_click) AS clickers,
        COUNT(fp.first_purchase) AS purchasers,
-       CAST(ROUND(SUM(CAST((epoch_us(fp.first_purchase) - epoch_us(fv.first_view))
-                           / 3600000000.0 AS DECIMAL(18,6)))
-                  / COUNT(fp.first_purchase), 2) AS DOUBLE)
+       floor(CAST(SUM(CAST((epoch_us(fp.first_purchase) - epoch_us(fv.first_view))
+                            / 3600000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(fp.first_purchase) * 100.0 + 0.5) / 100.0
          AS avg_hours_to_purchase
 FROM fv
 LEFT JOIN fc ON fv.user_id = fc.user_id
@@ -301,8 +305,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact decimal total, then one double division+round done
             # identically by both engines (decimal÷int rounding rules
             # differ between Spark and DuckDB; double division doesn't)
-            F.round(F.sum("monetary").cast("double") / F.count("*"), 2)
-            .alias("avg_spend"),
+            _fr(
+                F.sum("monetary").cast("double") / F.count("*"), 2
+            ).alias("avg_spend"),
         )
         .orderBy("r_score", "f_score")
     )
@@ -352,7 +357,8 @@ scored AS (
 SELECT r_score, f_score,
        COUNT(*) AS customers,
        floor(AVG(m_score) * 10000.0 + 0.5) / 10000.0 AS avg_m_score,
-       ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS avg_spend
+       floor(CAST(SUM(monetary) AS DOUBLE) / COUNT(*) * 100.0 + 0.5) / 100.0
+         AS avg_spend
 FROM scored
 GROUP BY r_score, f_score
 ORDER BY r_score, f_score

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _avg_dec
 
 def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -150,7 +151,7 @@ def a4_price_bin_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(_price_bin().alias("price_bin"))
         .agg(
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            _avg_dec(F.col("c_acctbal"), 2).alias("avg_acctbal"),
             F.count("*").alias("order_count"),
         )
         .orderBy("price_bin")
@@ -159,7 +160,8 @@ def a4_price_bin_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A4_ORACLE = f"""
 SELECT {_PRICE_BIN_SQL} AS price_bin,
-       ROUND(AVG(c_acctbal), 2) AS avg_acctbal,
+       floor(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(c_acctbal) * 100.0 + 0.5) / 100.0 AS avg_acctbal,
        COUNT(*) AS order_count
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY price_bin
@@ -200,8 +202,8 @@ def a8_word_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.groupBy(F.size(F.split(F.col("p_name"), " ")).alias("word_count"))
         .agg(
             F.count("*").alias("part_count"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
-            F.round(F.avg("p_size"), 2).alias("avg_size"),
+            _avg_dec(F.col("p_retailprice"), 2).alias("avg_price"),
+            _avg_dec(F.col("p_size"), 2).alias("avg_size"),
         )
         .orderBy("word_count")
     )
@@ -210,8 +212,10 @@ def a8_word_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 A8_ORACLE = """
 SELECT CAST(len(string_split(p_name, ' ')) AS INTEGER) AS word_count,
        COUNT(*) AS part_count,
-       ROUND(AVG(p_retailprice), 2) AS avg_price,
-       ROUND(AVG(p_size), 2) AS avg_size
+       floor(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(p_retailprice) * 100.0 + 0.5) / 100.0 AS avg_price,
+       floor(CAST(SUM(CAST(p_size AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(p_size) * 100.0 + 0.5) / 100.0 AS avg_size
 FROM part
 GROUP BY word_count
 ORDER BY word_count
@@ -338,14 +342,15 @@ def a13_global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"),
         F.count("*").alias("item_count"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        _avg_dec(F.col("l_extendedprice"), 2).alias("avg_price"),
     )
 
 
 A13_ORACLE = f"""
 SELECT CAST(ROUND(SUM(CAST({_REV_SQL} AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
        COUNT(*) AS item_count,
-       ROUND(AVG(l_extendedprice), 2) AS avg_price
+       floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(l_extendedprice) * 100.0 + 0.5) / 100.0 AS avg_price
 FROM lineitem
 """
 
@@ -356,14 +361,15 @@ def a14_year_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .agg(_avg_dec(F.col("o_totalprice"), 2).alias("avg_price"))
         .orderBy("o_year")
     )
 
 
 A14_ORACLE = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       ROUND(AVG(o_totalprice), 2) AS avg_price
+       floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o_totalprice) * 100.0 + 0.5) / 100.0 AS avg_price
 FROM orders
 GROUP BY o_year
 ORDER BY o_year

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _avg_dec, _fr4
 
 SESSION_GAP_MINUTES = 30
 
@@ -243,7 +244,7 @@ def f1_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            _avg_dec(F.col("o_totalprice"), 2).alias("avg_price"),
         )
         .orderBy("o_quarter", "o_isodow")
     )
@@ -253,7 +254,8 @@ F1_ORACLE = """
 SELECT CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
        CAST(isodow(o_orderdate) AS INTEGER) AS o_isodow,
        COUNT(*) AS order_count,
-       ROUND(AVG(o_totalprice), 2) AS avg_price
+       floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(o_totalprice) * 100.0 + 0.5) / 100.0 AS avg_price
 FROM orders
 GROUP BY o_quarter, o_isodow
 ORDER BY o_quarter, o_isodow
@@ -274,7 +276,7 @@ def f2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("initial")
         .agg(
             F.count("*").alias("part_count"),
-            F.round(F.avg("name_len"), 2).alias("avg_name_len"),
+            _avg_dec(F.col("name_len"), 2).alias("avg_name_len"),
             F.count_distinct(F.col("tag")).alias("distinct_tags"),
         )
         .orderBy("initial")
@@ -284,7 +286,8 @@ def f2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 F2_ORACLE = """
 SELECT upper(substring(p_name, 1, 1)) AS initial,
        COUNT(*) AS part_count,
-       ROUND(AVG(length(p_name)), 2) AS avg_name_len,
+       floor(CAST(SUM(CAST(length(p_name) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(p_name) * 100.0 + 0.5) / 100.0 AS avg_name_len,
        COUNT(DISTINCT lower(p_brand) || '-' || replace(p_type, ' ', '_')) AS distinct_tags
 FROM part
 GROUP BY initial
@@ -451,7 +454,7 @@ def p5_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("distinct_parts"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+        _avg_dec(F.col("l_discount"), 4).alias("avg_discount"),
         F.round(F.stddev_pop("l_quantity"), 4).alias("stddev_qty"),
     )
 
@@ -462,7 +465,8 @@ SELECT COUNT(*) AS row_count,
        COUNT(DISTINCT l_partkey) AS distinct_parts,
        ROUND(MIN(l_extendedprice), 2) AS min_price,
        ROUND(MAX(l_extendedprice), 2) AS max_price,
-       ROUND(AVG(l_discount), 4) AS avg_discount,
+       floor(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_discount,
        ROUND(stddev_pop(l_quantity), 4) AS stddev_qty
 FROM lineitem
 """
@@ -925,8 +929,8 @@ def p7_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     )
     n = F.count("*")
-    mean_of = lambda c: F.round(  # noqa: E731
-        F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / n, 4
+    mean_of = lambda c: _fr4(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / n
     )
     return (
         clamped.groupBy("event_type")
@@ -934,8 +938,8 @@ def p7_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n_events"),
             mean_of("value").alias("mean_raw"),
             mean_of("wv").alias("mean_winsor"),
-            F.round(F.min("p05"), 4).alias("p05"),
-            F.round(F.max("p95"), 4).alias("p95"),
+            _fr4(F.min("p05")).alias("p05"),
+            _fr4(F.max("p95")).alias("p95"),
         )
         .orderBy("event_type")
     )
@@ -955,12 +959,13 @@ clamped AS (
 )
 SELECT event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
-         AS mean_raw,
-       ROUND(CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+       floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             * 10000.0 + 0.5) / 10000.0 AS mean_raw,
+       floor(CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             * 10000.0 + 0.5) / 10000.0
          AS mean_winsor,
-       ROUND(MIN(p05), 4) AS p05,
-       ROUND(MAX(p95), 4) AS p95
+       floor(MIN(p05) * 10000.0 + 0.5) / 10000.0 AS p05,
+       floor(MAX(p95) * 10000.0 + 0.5) / 10000.0 AS p95
 FROM clamped
 GROUP BY event_type
 ORDER BY event_type

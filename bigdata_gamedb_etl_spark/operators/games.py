@@ -282,6 +282,10 @@ def dev_analytics_mart(games: DataFrame) -> DataFrame:
         .agg(
             F.count("AppID").alias("game_count"),
             F.sum("avg_owners").alias("total_owners"),
+            # deliberately NOT the r8 floor-recipe sweep: this module's
+            # contract is byte-exact fidelity to the reference's own
+            # Spark ROUND(avg) outputs (BASELINE.md goldens), so it
+            # keeps the reference's rounding semantics
             F.round(F.avg("clean_price"), 2).alias("avg_price"),
             F.map_from_entries(
                 F.sort_array(

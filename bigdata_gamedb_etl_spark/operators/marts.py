@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table, write_parquet
+from ._rounding import _avg_dec
 
 
 # --------------------------------------------------------------------------
@@ -66,7 +67,7 @@ def mart_supplier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("l_orderkey").alias("item_count"),
             F.round(F.sum("l_quantity"), 2).alias("total_quantity"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            _avg_dec(F.col("l_extendedprice"), 2).alias("avg_price"),
         )
         .withColumn("row_key", F.regexp_replace("s_name", " ", "_"))
         .select("row_key", "s_name", "item_count", "total_quantity", "avg_price")
@@ -79,7 +80,8 @@ SELECT replace(s_name, ' ', '_') AS row_key,
        s_name,
        COUNT(l_orderkey) AS item_count,
        ROUND(SUM(l_quantity), 2) AS total_quantity,
-       ROUND(AVG(l_extendedprice), 2) AS avg_price
+       floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(l_extendedprice) * 100.0 + 0.5) / 100.0 AS avg_price
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 ORDER BY s_name

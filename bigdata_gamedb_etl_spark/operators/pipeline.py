@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
-from ._rounding import _fr4
+from ._rounding import _avg_dec, _fr4
 from .dedup import DEDUP_CLUSTER_ORACLE, dedup_cluster_assign
 from .textops import _TOKS, _TOKS_DUCK
 
@@ -46,7 +46,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("lang")
         .agg(
             F.count("*").alias("kept_docs"),
-            F.round(F.avg("token_count"), 2).alias("avg_tokens"),
+            _avg_dec(F.col("token_count"), 2).alias("avg_tokens"),
         )
         .join(raw, "lang")
         .select(
@@ -86,7 +86,8 @@ raw AS (
 SELECT s.lang,
        COUNT(*) AS kept_docs,
        raw.raw_docs,
-       ROUND(AVG(s.token_count), 2) AS avg_tokens,
+       floor(CAST(SUM(CAST(s.token_count AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(s.token_count) * 100.0 + 0.5) / 100.0 AS avg_tokens,
        floor(COUNT(*) * 1.0 / raw.raw_docs * 10000.0 + 0.5) / 10000.0
          AS kept_ratio
 FROM survivors s JOIN raw ON s.lang = raw.lang

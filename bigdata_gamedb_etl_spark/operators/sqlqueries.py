@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _avg_dec
 
 
 # --------------------------------------------------------------------------
@@ -29,8 +30,12 @@ def sql_word_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT word,
                COUNT(*) AS part_count,
-               ROUND(AVG(p_retailprice), 2) AS avg_price,
-               ROUND(percentile(p_retailprice, 0.5), 2) AS median_price,
+               floor(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     / COUNT(p_retailprice) * 100.0 + 0.5) / 100.0
+                 AS avg_price,
+               floor(percentile(p_retailprice, 0.5) * 100.0 + 0.5) / 100.0
+                 AS median_price,
                ROUND(MIN(p_retailprice), 2) AS min_price,
                ROUND(MAX(p_retailprice), 2) AS max_price
         FROM (
@@ -48,8 +53,10 @@ def sql_word_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_A6_ORACLE = """
 SELECT word,
        COUNT(*) AS part_count,
-       ROUND(AVG(p_retailprice), 2) AS avg_price,
-       ROUND(quantile_cont(p_retailprice, 0.5), 2) AS median_price,
+       floor(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(p_retailprice) * 100.0 + 0.5) / 100.0 AS avg_price,
+       floor(quantile_cont(p_retailprice, 0.5) * 100.0 + 0.5) / 100.0
+         AS median_price,
        ROUND(MIN(p_retailprice), 2) AS min_price,
        ROUND(MAX(p_retailprice), 2) AS max_price
 FROM (
@@ -74,7 +81,8 @@ def sql_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s_name,
                COUNT(*) AS item_count,
                CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
-               ROUND(AVG(revenue), 2) AS avg_revenue
+               floor(CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(revenue) * 100.0 + 0.5) / 100.0 AS avg_revenue
         FROM (
           SELECT trim(s.s_name) AS s_name,
                  l.l_extendedprice * (1 - l.l_discount) AS revenue
@@ -94,7 +102,8 @@ SQL_A7_ORACLE = """
 SELECT s_name,
        COUNT(*) AS item_count,
        CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
-       ROUND(AVG(revenue), 2) AS avg_revenue
+       floor(CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(revenue) * 100.0 + 0.5) / 100.0 AS avg_revenue
 FROM (
   SELECT trim(s.s_name) AS s_name,
          l.l_extendedprice * (1 - l.l_discount) AS revenue
@@ -150,7 +159,7 @@ def sql_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.groupBy((F.col("p.k") % 10).alias("k_mod10"))
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _avg_dec(F.col("value"), 4).alias("avg_value"),
         )
         .orderBy("k_mod10")
     )
@@ -159,7 +168,8 @@ def sql_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FROM_JSON_ORACLE = """
 SELECT CAST(CAST(props->>'k' AS INTEGER) % 10 AS INTEGER) AS k_mod10,
        COUNT(*) AS event_count,
-       ROUND(AVG(value), 4) AS avg_value
+       floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM events
 GROUP BY k_mod10
 ORDER BY k_mod10
@@ -182,7 +192,7 @@ def sql_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            _avg_dec(F.col("k"), 4).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -193,7 +203,10 @@ def sql_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VARIANT_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       floor(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                    AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             * 10000.0 + 0.5) / 10000.0 AS avg_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events

@@ -57,7 +57,7 @@ def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # Both averages are ratios of exact BIGINTs, so round-half-up at
     # 2 dp is exact INTEGER arithmetic: (200*s + c) DIV (2*c) — no
-    # double ever sees a halfway value, unlike ROUND(AVG(..), 2)
+    # double ever sees a halfway value, unlike rounding the double avg
     # whose tie-break differs between Spark (half-up) and DuckDB
     # (half-even) on exactly-representable halves.
     def _avg2(sum_col: str, cnt_col: str):

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _fr
 
 Q4_START, Q4_END = "1996-01-01", "1996-04-01"
 Q14_START, Q14_END = "1996-01-01", "1996-02-01"
@@ -245,16 +246,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "l_suppkey")
         .agg(
-            F.round(
-                F.avg(
+            # decimal-exact sum / count via the floor recipe — AVG of a
+            # DECIMAL returns DECIMAL in Spark but DOUBLE in DuckDB,
+            # so the old round-the-average form was engine-divergent
+            # on the scale semantics (r8 round-on-average sweep)
+            _fr(
+                F.sum(
                     (F.col("l_extendedprice") / F.col("l_quantity")).cast(
                         "decimal(18,6)"
                     )
-                ),
+                ).cast("double")
+                / F.count("l_quantity"),
                 4,
-            )
-            .cast("double")
-            .alias("avg_unit_price")
+            ).alias("avg_unit_price")
         )
     )
     w = Window.partitionBy("p_partkey").orderBy("avg_unit_price", "l_suppkey")
@@ -270,7 +274,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q2_ORACLE = """
 WITH per_ps AS (
   SELECT p_partkey, p_name, l_suppkey,
-         CAST(ROUND(AVG(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
+         floor(CAST(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
+                    AS DOUBLE)
+               / COUNT(l_quantity) * 10000.0 + 0.5) / 10000.0
            AS avg_unit_price
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_size = 1 AND l_quantity > 0

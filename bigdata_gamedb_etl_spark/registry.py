@@ -88,6 +88,23 @@ RECHECK_CHANGED: list[str] = [
     "text_unigram_logprob",        # ROUND -> floor recipe
     "text_lang_rollup",            # ROUND(AVG) -> exact integer half-up
     "w3_moving_avg_events",        # windowed ROUND -> decimal sum + floor
+    # r8 round-on-average sweep (non-control members; the swept
+    # controls tpch_q1 / a4 / mart_supplier_summary /
+    # sql_word_price_stats re-green from the CONTROLS block):
+    "a8_word_count_stats",
+    "a13_global_totals",
+    "a14_year_avg_price",
+    "f1_date_parts",
+    "f2_string_funcs",
+    "p5_lineitem_profile",
+    "p7_winsorized_value",
+    "funnel_user_conversion",
+    "rfm_customer_segments",
+    "sql_from_json_struct",
+    "sql_variant_props_stats",
+    "pipeline_clean_corpus",
+    "sql_supplier_distribution",
+    "tpch_q2_min_cost_supplier",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration

@@ -98,6 +98,34 @@ def test_ivf_multiprobe_recall_dominates_single(spark, sf):
     assert r_mp >= 0.7, f"multi-probe IVF recall {r_mp} < 0.7 at {sf}"
 
 
+def test_no_round_on_double_average_policy():
+    """r8 grep-clean policy closing the w10 hazard class: no operator
+    module may ROUND a double AVERAGE (Spark half-up vs DuckDB
+    half-even on representable halves, fed different doubles by
+    partition-order sums).  Averages go through _rounding._avg_dec /
+    the floor recipe.  games.py is the one documented exception — its
+    contract is byte-exact fidelity to the reference's own Spark
+    ROUND(avg) outputs."""
+    import glob
+    import os
+
+    root = os.path.join(
+        os.path.dirname(__file__), "..", "bigdata_gamedb_etl_spark"
+    )
+    offenders = []
+    for f in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        if os.path.basename(f) == "games.py":
+            continue
+        src = open(f).read()
+        if "F.round(F.avg(" in src or "ROUND(AVG(" in src:
+            offenders.append(os.path.basename(f))
+    assert not offenders, (
+        f"ROUND-on-double-average reintroduced in {offenders} — use "
+        "_rounding._avg_dec (exact DECIMAL sum + floor recipe) and "
+        "mirror it in the oracle"
+    )
+
+
 @pytest.mark.parametrize("sf", SF_DIRS)
 def test_sq8_recall_vs_exact(spark, sf):
     exact = [r["vec_id"] for r in similarity.sim_cosine_topk(spark, sf).collect()]
