@@ -44,6 +44,34 @@ def _fr(x, digits: int):
     return F.floor(x * F.lit(s) + F.lit(0.5)) / F.lit(s)
 
 
+def _avg_q(col, digits: int):
+    """Engine-agreed average of a FIXED-POINT double column (values
+    exact at ≤ `digits` decimal places, non-negative): quantize each
+    row to a scaled BIGINT (round(col·10^digits) — exact, the input is
+    never near a rounding boundary because it IS a digits-dp value up
+    to ~1e-9 of fp noise), long-sum (integer sums are order-free, so
+    both engines see the identical total), scale back, floor-round.
+
+    This is the cheap twin of _avg_dec for the hot path: a decimal
+    aggregation runs the 128-bit sum loop per row, ~2× the whole-stage
+    cost of a long sum on the q1 shape (measured 2.16 s → 1.09 s at
+    sf0.1).  Only valid where the column is certified fixed-point
+    (TPC-H money/quantity/rate columns — pinned by
+    tests/test_properties.py::test_money_columns_are_fixed_point);
+    free-form doubles (events.value) stay on _avg_dec.
+
+    Overflow bound: the scaled sum must fit BIGINT.  Worst case
+    l_extendedprice ≈ 1.05e7 cents/row → ~8e11 rows (the ~100 TB
+    TPC-H lineitem) sums to ~3e18 of the 9.2e18 BIGINT range — ~3×
+    headroom at target scale; the all-scales-safe fallback is
+    _avg_dec.  Oracle twin (op-for-op identical double arithmetic):
+    floor(SUM(CAST(round(col * 10^d) AS BIGINT)) / 10^d.0
+          / COUNT(col) * 10^d.0 + 0.5) / 10^d.0"""
+    s = float(10 ** digits)
+    q = F.round(col * F.lit(s)).cast("long")
+    return _fr(F.sum(q) / F.lit(s) / F.count(col), digits)
+
+
 def _avg_dec(col, digits: int, decimal_type: str = "decimal(18,6)"):
     """Engine-agreed average of a double column: exact DECIMAL sum
     (order-free) cast back to double, divided by the non-null count,

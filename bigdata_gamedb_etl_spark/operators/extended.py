@@ -1583,6 +1583,77 @@ FROM {tbl}"""
 DQ_COMPLETENESS_ORACLE = _completeness_oracle()
 
 
+# --------------------------------------------------------------------------
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile of the customer table under the classic
+    quasi-identifier triple (nation, market segment, account-balance
+    band at $1000 granularity): how many rows sit in an equivalence
+    class of size k — the privacy-release readiness check a training
+    pipeline runs before emitting user-derived features (k = 1 rows
+    are individually re-identifiable from the quasi-identifiers
+    alone; the k < 5 share is the standard suppression budget).
+
+    Shape: one hash-agg to the equivalence-class grain, one to the
+    4-bucket histogram — both map-side combined; the row total rides
+    along as a window-free scalar join of a 1-row aggregate.  At
+    100 TB the class grain is the only real shuffle and its
+    cardinality is bounded by the QID domain, not the row count."""
+    c = table(spark, sf_dir, "customer")
+    grp = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).alias("acctbal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "acctbal_band")
+        .agg(F.count("*").alias("k"))
+    )
+    bucket = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    tot = grp.agg(F.sum("k").alias("n_total"))
+    return (
+        grp.select(bucket.alias("k_bucket"), "k")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+        )
+        .crossJoin(tot)
+        .select(
+            "k_bucket",
+            "n_groups",
+            "n_rows",
+            _fr4(F.col("n_rows") / F.col("n_total")).alias("row_share"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+DQ_K_ANONYMITY_ORACLE = """
+WITH grp AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, acctbal_band
+),
+tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n_total FROM grp)
+SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+            WHEN k <= 9 THEN '5-9' ELSE '10+' END AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       floor(SUM(k) * 1.0 / (SELECT n_total FROM tot)
+             * 10000.0 + 0.5) / 10000.0 AS row_share
+FROM grp
+GROUP BY 1
+ORDER BY k_bucket
+"""
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -1611,6 +1682,7 @@ QUERIES = {
     "dq_key_skew_profile": dq_key_skew_profile,
     "dq_quarantine_mart": dq_quarantine_mart,
     "ga3_grouping_sets_margins": ga3_grouping_sets_margins,
+    "dq_k_anonymity": dq_k_anonymity,
 }
 
 ORACLE = {
@@ -1641,4 +1713,5 @@ ORACLE = {
     "dq_key_skew_profile": DQ_SKEW_ORACLE,
     "dq_quarantine_mart": DQ_QUARANTINE_ORACLE,
     "ga3_grouping_sets_margins": GA3_ORACLE,
+    "dq_k_anonymity": DQ_K_ANONYMITY_ORACLE,
 }

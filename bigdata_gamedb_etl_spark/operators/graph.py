@@ -492,6 +492,110 @@ ORDER BY p.d1, p.d2
 """
 
 
+# --------------------------------------------------------------------------
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the near-dup graph:
+    for every node of degree ≥ 2, the share of its neighbor pairs that
+    are themselves connected — 2·T(v) / (d·(d−1)).  High coefficient =
+    the node sits inside a near-clique (a template family where every
+    variant matches every other); low = a hub stitching otherwise-
+    unrelated documents (the "glue page" reviewers want to inspect
+    before trusting transitive cluster collapse).
+
+    Shape: the ordered-wedge triangle join from graph_triangle_count
+    (oriented edge list materialized once for its join legs + the
+    degree census), then per-node explode + two hash-aggs.  Linear in
+    |E|·degree on a DF-capped graph — the same bound as the census.
+    The coefficient is _fr4's floor recipe on a ratio of exact
+    BIGINTs, the engine-agreed form (see _rounding.py)."""
+    from ._rounding import _fr4
+
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
+    p = _materialize_iter(
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select(
+            F.least("d1", "d2").alias("lo"),
+            F.greatest("d1", "d2").alias("hi"),
+        )
+        .distinct(),
+        reliable,
+    )
+    tri = (
+        p.alias("ab")
+        .join(p.alias("bc"), F.col("ab.hi") == F.col("bc.lo"))
+        .join(
+            p.alias("ac"),
+            (F.col("ab.lo") == F.col("ac.lo"))
+            & (F.col("bc.hi") == F.col("ac.hi")),
+        )
+        .select(
+            F.col("ab.lo").alias("a"),
+            F.col("ab.hi").alias("b"),
+            F.col("bc.hi").alias("c"),
+        )
+    )
+    per_node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = (
+        p.select(F.explode(F.array("lo", "hi")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("degree"))
+    )
+    possible = F.col("degree") * (F.col("degree") - 1)
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(per_node_tri, "n", "left")
+        .select(
+            F.col("n").alias("doc_id"),
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            _fr4(
+                F.lit(2) * F.coalesce("triangles", F.lit(0)) / possible
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+GRAPH_CLUSTERING_ORACLE = f"""
+WITH base_pairs AS ({DEDUP_JACCARD_ORACLE}),
+edges AS (
+  SELECT DISTINCT LEAST(d1, d2) AS lo, GREATEST(d1, d2) AS hi
+  FROM base_pairs
+),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM edges ab
+  JOIN edges bc ON ab.hi = bc.lo
+  JOIN edges ac ON ab.lo = ac.lo AND bc.hi = ac.hi
+),
+per_node_tri AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY n
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT lo AS n FROM edges UNION ALL SELECT hi FROM edges
+  ) GROUP BY n
+)
+SELECT deg.n AS doc_id, deg.degree,
+       COALESCE(t.triangles, 0) AS triangles,
+       floor(2.0 * COALESCE(t.triangles, 0)
+             / (deg.degree * (deg.degree - 1))
+             * 10000.0 + 0.5) / 10000.0 AS clustering_coeff
+FROM deg LEFT JOIN per_node_tri t ON t.n = deg.n
+WHERE deg.degree >= 2
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "graph_2hop_reach": graph_2hop_reach,
     "graph_neighbor_jaccard": graph_neighbor_jaccard,
@@ -499,6 +603,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_component_sizes": graph_component_sizes,
+    "graph_clustering_coeff": graph_clustering_coeff,
 }
 
 ORACLE = {
@@ -508,4 +613,5 @@ ORACLE = {
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_degree_distribution": GRAPH_DEGREE_ORACLE,
     "graph_component_sizes": GRAPH_COMPONENT_SIZES_ORACLE,
+    "graph_clustering_coeff": GRAPH_CLUSTERING_ORACLE,
 }

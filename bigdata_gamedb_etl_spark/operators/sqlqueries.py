@@ -30,8 +30,8 @@ def sql_word_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT word,
                COUNT(*) AS part_count,
-               floor(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6)))
-                          AS DOUBLE)
+               floor(SUM(CAST(round(p_retailprice * 100.0) AS BIGINT))
+                     / 100.0
                      / COUNT(p_retailprice) * 100.0 + 0.5) / 100.0
                  AS avg_price,
                floor(percentile(p_retailprice, 0.5) * 100.0 + 0.5) / 100.0
@@ -53,7 +53,7 @@ def sql_word_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_A6_ORACLE = """
 SELECT word,
        COUNT(*) AS part_count,
-       floor(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+       floor(SUM(CAST(round(p_retailprice * 100.0) AS BIGINT)) / 100.0
              / COUNT(p_retailprice) * 100.0 + 0.5) / 100.0 AS avg_price,
        floor(quantile_cont(p_retailprice, 0.5) * 100.0 + 0.5) / 100.0
          AS median_price,

@@ -1703,6 +1703,82 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-document repeated-substring spans — the substring-granular
+# exact-dedup signal (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): document-level dedup misses the
+# boilerplate PARAGRAPH pasted into thousands of otherwise-distinct
+# pages, and it is exactly those repeated spans a training pipeline
+# wants cut.  The full suffix-array construction is replaced by the
+# fixed-width sliding-window form (every run of SPAN_TOKENS
+# consecutive tokens), which a distributed engine expresses as one
+# explode + one hash-agg: any repeated substring of ≥ SPAN_TOKENS
+# tokens necessarily repeats at least one width-SPAN_TOKENS window,
+# so window-grain doc frequency is a complete detector at that
+# granularity.
+#
+# Scale: window count = token count (minus W−1 per doc), so the
+# shuffle is one map-side-combined hash-agg on the span key — the
+# text_novelty_rate / repeated_ngram_share shape, linear in corpus
+# tokens, never pairwise.  Top-k via TakeOrderedAndProject.
+SPAN_TOKENS = 6
+SPAN_TOP_K = 50
+
+_SPANS_EXPR = f"""CASE WHEN size({_TOKS}) >= {SPAN_TOKENS} THEN
+    transform(sequence(1, size({_TOKS}) - {SPAN_TOKENS} + 1),
+              i -> concat_ws(' ', slice({_TOKS}, i, {SPAN_TOKENS})))
+  ELSE array() END"""
+
+
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{SPAN_TOP_K} width-{SPAN_TOKENS} token windows appearing in
+    ≥2 distinct documents: span text, distinct-document frequency, and
+    total occurrence count (a span repeated within one document counts
+    every occurrence — within-doc templating and cross-doc boilerplate
+    are both visible, split across the two columns)."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", F.explode(F.expr(_SPANS_EXPR)).alias("span"))
+        .groupBy("doc_id", "span")
+        .agg(F.count("*").alias("n_in_doc"))
+    )
+    return (
+        per_doc.groupBy("span")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_in_doc").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "span"
+        )
+        .limit(SPAN_TOP_K)
+    )
+
+
+TEXT_REPEATED_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS ts FROM documents),
+spans AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ts) - {SPAN_TOKENS} + 2),
+                i -> array_to_string(
+                       list_slice(ts, i, i + {SPAN_TOKENS} - 1), ' ')))
+           AS span
+  FROM toks WHERE len(ts) >= {SPAN_TOKENS}
+),
+per_doc AS (
+  SELECT doc_id, span, COUNT(*) AS n_in_doc
+  FROM spans GROUP BY doc_id, span
+)
+SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY span
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span
+LIMIT {SPAN_TOP_K}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_zipf_slope": text_zipf_slope,
@@ -1729,6 +1805,7 @@ QUERIES = {
     "text_freq_spectrum": text_freq_spectrum,
     "text_bpe_first_merges": text_bpe_first_merges,
     "text_repetition_rate": text_repetition_rate,
+    "text_repeated_spans": text_repeated_spans,
 }
 
 ORACLE = {
@@ -1757,4 +1834,5 @@ ORACLE = {
     "text_freq_spectrum": TEXT_FREQ_SPECTRUM_ORACLE,
     "text_bpe_first_merges": TEXT_BPE_ORACLE,
     "text_repetition_rate": TEXT_REPETITION_ORACLE,
+    "text_repeated_spans": TEXT_REPEATED_SPANS_ORACLE,
 }

@@ -75,6 +75,9 @@ ROUND8_NEW: list[str] = [
     "text_repetition_rate",
     "sim_dim_variance_profile",
     "pipeline_epoch_shuffle",
+    "text_repeated_spans",
+    "graph_clustering_coeff",
+    "dq_k_anonymity",
 ]
 
 #: Queries edited this round (new plan shape or new rounding recipe) —

@@ -670,3 +670,97 @@ def test_dataset_card_golden(spark, tmp_path_factory):
     assert r["dup_docs"] == 1
     assert r["high_quality_docs"] == 0
     assert r["p50_tokens"] == 2.0
+
+
+def test_repeated_spans_golden(spark, tmp_path_factory):
+    """One 6-token span shared by 3 docs (twice in the third) -> the
+    only surviving row is (span, n_docs=3, n_occurrences=4); every
+    other window is unique to its document and dies at df >= 2."""
+    from bigdata_gamedb_etl_spark.operators.textops import (
+        text_repeated_spans,
+    )
+
+    span = "s1 s2 s3 s4 s5 s6"
+    docs = [
+        _doc(1, f"{span} t1"),
+        _doc(2, f"u1 {span}"),
+        _doc(3, f"{span} z {span}"),
+    ]
+    d = tmp_path_factory.mktemp("golden_spans")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = text_repeated_spans(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["span"] == span
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["n_occurrences"] == 4
+
+
+def test_clustering_coeff_golden(spark, tmp_path_factory):
+    """Near-dup graph = a triangle {1,2,3} (identical texts), an
+    isolated edge {4,5} (degree-1 endpoints excluded by the >= 2
+    filter), and an open wedge 6-7-8 (10-of-12-word overlaps on the
+    adjacent pairs, 8-of-14 Jaccard 0.4286 < 0.5 on the closing pair)
+    -> coefficients 1.0 for the triangle nodes, 0.0 for the wedge
+    center, nothing else."""
+    from bigdata_gamedb_etl_spark.operators.graph import (
+        graph_clustering_coeff,
+    )
+
+    tri_text = "a1 a2 a3 a4 a5"
+    pair_text = "b1 b2 b3 b4 b5"
+    w = [f"w{i}" for i in range(1, 17)]
+    docs = [
+        _doc(1, tri_text),
+        _doc(2, tri_text),
+        _doc(3, tri_text),
+        _doc(4, pair_text),
+        _doc(5, pair_text),
+        _doc(6, " ".join(w[0:12])),
+        _doc(7, " ".join(w[2:14])),
+        _doc(8, " ".join(w[4:16])),
+    ]
+    d = tmp_path_factory.mktemp("golden_coeff")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {
+        r["doc_id"]: r for r in graph_clustering_coeff(spark, str(d)).collect()
+    }
+    assert set(rows) == {1, 2, 3, 7}
+    for n in (1, 2, 3):
+        assert (rows[n]["degree"], rows[n]["triangles"]) == (2, 1)
+        assert rows[n]["clustering_coeff"] == 1.0
+    assert (rows[7]["degree"], rows[7]["triangles"]) == (2, 0)
+    assert rows[7]["clustering_coeff"] == 0.0
+
+
+def test_k_anonymity_golden(spark, tmp_path_factory):
+    """6 customers: a singleton class, a class of 2, and a class of 3
+    -> buckets '1' (1 group / 1 row), '2-4' (2 groups / 5 rows);
+    row shares 1/6 and 5/6 under the floor recipe."""
+    from bigdata_gamedb_etl_spark.operators.extended import dq_k_anonymity
+
+    cust = [
+        # (custkey, name, nationkey, acctbal, mktsegment)
+        (1, "c1", 1, 1500.0, "AUTO"),   # class A (nation 1, AUTO, band 1)
+        (2, "c2", 1, 1600.0, "AUTO"),   # class A
+        (3, "c3", 1, 1999.0, "AUTO"),   # class A  -> k = 3
+        (4, "c4", 1, 2500.0, "AUTO"),   # class B (band 2) -> k = 2
+        (5, "c5", 1, 2100.0, "AUTO"),   # class B
+        (6, "c6", 2, 1500.0, "AUTO"),   # class C (nation 2) -> k = 1
+    ]
+    d = tmp_path_factory.mktemp("golden_kanon")
+    spark.createDataFrame(cust, TABLE_SCHEMAS["customer"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "customer.parquet"))
+
+    rows = {r["k_bucket"]: r for r in dq_k_anonymity(spark, str(d)).collect()}
+    assert set(rows) == {"1", "2-4"}
+    assert (rows["1"]["n_groups"], rows["1"]["n_rows"]) == (1, 1)
+    assert rows["1"]["row_share"] == 0.1667
+    assert (rows["2-4"]["n_groups"], rows["2-4"]["n_rows"]) == (2, 5)
+    assert rows["2-4"]["row_share"] == 0.8333

@@ -435,3 +435,28 @@ def test_scd2_run_collapse_matches_python(spark, rows):
             vto = runs[v][1] if v < len(runs) else None
             want.append((u, v, state, vfrom, vto, n))
     assert got == want
+
+
+def test_money_columns_are_fixed_point():
+    """Data contract behind _rounding._avg_q (the quantized-BIGINT
+    average in tpch_q1 / sql_word_price_stats): the TPC-H money/rate
+    columns must be exact at 2 decimal places, else round(col*scale)
+    would CHANGE values instead of merely re-encoding them and the
+    quantized recipe would silently drift from the true average."""
+    import duckdb
+
+    con = duckdb.connect()
+    checks = [
+        ("lineitem", "l_quantity"),
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_discount"),
+        ("part", "p_retailprice"),
+    ]
+    for sf in ("sf0.001", "sf0.01"):
+        for tbl, col in checks:
+            (err,) = con.execute(
+                f"SELECT COALESCE(max(abs({col} * 100 - "
+                f"round({col} * 100))), 0) "
+                f"FROM '/root/testdata/{sf}/{tbl}.parquet'"
+            ).fetchone()
+            assert err < 1e-6, f"{sf}/{tbl}.{col} not 2dp fixed-point: {err}"
