@@ -1,12 +1,13 @@
 """Multimodal column plumbing — image/audio/video as opaque binary.
 
 The decode tier is REAL for the formats a pure-Python parser can
-handle — binary PPM (P6), uncompressed 24/32-bit BMP, and
-non-interlaced 8-bit PNG (gray/RGB/RGBA; inflate via stdlib zlib,
-scanline unfilter per PNG spec §9) — and falls back to the
-deterministic stand-in (`fake_decode_features`) for anything else:
-the container has no JPEG/audio codecs, so those formats keep a
-clearly-marked NotImplementedError inside `decode_image` (swap in
+handle — binary PPM (P6), uncompressed 24/32-bit BMP, non-interlaced
+8-bit PNG (gray/RGB/RGBA; inflate via stdlib zlib, scanline unfilter
+per PNG spec §9), and baseline sequential JPEG (operators/_jpeg.py:
+Huffman + numpy IDCT per ITU-T T.81, 4:4:4 through 4:2:0 sampling) —
+and falls back to the deterministic stand-in (`fake_decode_features`)
+for anything else: non-baseline JPEG modes and compressed audio keep
+a clearly-marked NotImplementedError inside `decode_image` (swap in
 PIL/opencv in a full deployment).  Either
 way the Spark-side plumbing is identical and real: binary payload
 column, typed metadata, Arrow-batched `mapInPandas` feature
@@ -40,6 +41,7 @@ from pyspark.sql.types import (
 )
 
 from ..sources.catalog import table
+from . import _jpeg
 
 # The mapInPandas fns below reference module-level helpers
 # (fake_decode_features, fake_resize).  Functions in an importable
@@ -51,6 +53,9 @@ from ..sources.catalog import table
 # ships the function bodies inside the serialized task instead; their
 # only foreign deps (hashlib, pandas) exist on every worker.
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
+# the decode tier calls into the baseline-JPEG module; ship it by
+# value too, or a foreign-cwd executor dies unpickling decode_image
+cloudpickle.register_pickle_by_value(_jpeg)
 
 FEATURE_DIM = 4
 
@@ -288,21 +293,39 @@ def _png_decode(data: bytes) -> tuple[int, int, list[float]]:
     )
 
 
+def _jpeg_decode(data: bytes) -> tuple[int, int, list[float]]:
+    import numpy as np
+
+    px = _jpeg.decode_pixels(data)
+    n = px.shape[0] * px.shape[1]
+    sums = px.astype(np.int64).sum(axis=(0, 1))
+    return (
+        px.shape[1],
+        px.shape[0],
+        _channel_features(int(sums[0]), int(sums[1]), int(sums[2]), n),
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """Real decode path for the formats a pure-Python parser can
     handle without codec libraries: binary PPM (P6), uncompressed
-    BMP, and non-interlaced 8-bit PNG (zlib is stdlib).  JPEG-class
-    codec formats raise NotImplementedError — this container has no
-    image codecs; swap in PIL/opencv in a full deployment."""
+    BMP, non-interlaced 8-bit PNG (zlib is stdlib), and baseline
+    sequential JPEG (operators/_jpeg.py — Huffman + IDCT in
+    numpy).  Non-baseline JPEG modes (progressive, 12-bit,
+    arithmetic) raise NotImplementedError and take the fallback
+    tier; swap in PIL/opencv in a full deployment for those."""
     if payload[:2] == b"P6":
         return _ppm_decode(payload)
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
     if payload[:8] == _PNG_MAGIC:
         return _png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_decode(payload)
     raise NotImplementedError(
         "codec image formats unavailable in this environment "
-        "(PPM/BMP/PNG decode natively; use fake_decode_features otherwise)"
+        "(PPM/BMP/PNG/baseline-JPEG decode natively; use "
+        "fake_decode_features otherwise)"
     )
 
 
@@ -499,6 +522,8 @@ def decode_pixels(payload: bytes):
         return _bmp_pixels(payload)
     if payload[:8] == _PNG_MAGIC:
         return _png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg.decode_pixels(payload)
     raise NotImplementedError(
         "codec image formats unavailable in this environment"
     )
@@ -538,9 +563,10 @@ def encode_ppm(px) -> bytes:
 def real_resize(
     payload: bytes, target: tuple[int, int]
 ) -> tuple[int, int, bytes]:
-    """Decode → box-filter resample → P6 re-encode, for the codec-free
-    formats.  Raises NotImplementedError/ValueError for codec formats
-    and malformed rasters (callers fall back to fake_resize)."""
+    """Decode → box-filter resample → P6 re-encode, for the natively
+    decodable formats (PPM/BMP/PNG/baseline JPEG).  Raises
+    NotImplementedError/ValueError for unsupported codec modes and
+    malformed rasters (callers fall back to fake_resize)."""
     tw, th = target
     return tw, th, encode_ppm(_box_resize(decode_pixels(payload), tw, th))
 
@@ -559,12 +585,14 @@ def fake_resize(payload: bytes, target: tuple[int, int]) -> tuple[int, int, byte
 
 def mm_resize(spark: SparkSession, sf_dir: str, width: int = 224, height: int = 224) -> DataFrame:
     """Batch image resize over binary payloads (mapInPandas): REAL
-    box-filter downsample + P6 re-encode for codec-free formats
-    (PPM/BMP — pixel means pinned by tests/test_llm_pipeline.py), the
-    deterministic md5 stand-in for codec formats.  Oracle-backed on
-    this corpus via the fallback tier: every corpus payload is a text
-    blob (none parses as P6/BMP — the header guards reject
-    near-misses), so out_md5 = md5 of the stand-in hex digest, which
+    box-filter downsample + P6 re-encode for the natively decodable
+    formats (PPM/BMP/PNG/baseline JPEG — pixel means pinned by
+    tests/test_llm_pipeline.py), the deterministic md5 stand-in for
+    unsupported codec modes.  Oracle-backed on this corpus via the
+    fallback tier: every corpus payload is a text blob (none parses
+    as P6/BMP/PNG/JPEG — the header guards reject near-misses, and a
+    UTF-8 text blob can never begin with the 0xFFD8 SOI bytes), so
+    out_md5 = md5 of the stand-in hex digest, which
     DuckDB recomputes with nested VARCHAR md5 (MM_RESIZE_ORACLE).  The
     `tier` column makes any real-decode row visible to the oracle
     (it would mismatch loudly rather than silently pass)."""

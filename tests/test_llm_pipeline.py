@@ -588,6 +588,107 @@ def test_real_decode_tier_png_end_to_end(spark):
         multimodal.decode_image(degenerate)
 
 
+def test_real_decode_tier_jpeg_end_to_end(spark):
+    """The baseline-JPEG tier is REAL (operators/_jpeg.py): encoded
+    fixtures flow through the shipped mapInPandas plumbing and produce
+    true pixel statistics.  JPEG is lossy, so exactness is pinned on
+    flat fields (DC-only blocks: a uniform 130 encodes to DC
+    quotient 1 under the Annex K quantizer and decodes back to
+    exactly 130 — hand-computable without the codec), while gradient
+    fixtures assert a tight tolerance; non-baseline modes route to the
+    fallback tier with the codec-class error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_gamedb_etl_spark.operators import _jpeg, multimodal
+
+    flat = np.full((16, 16), 130, dtype=np.uint8)
+    jpg_flat = _jpeg.encode_baseline(flat)
+    grad = np.zeros((24, 32, 3))
+    grad[:, :, 0] = np.linspace(0, 255, 32)[None, :]
+    grad[:, :, 1] = np.linspace(0, 255, 24)[:, None]
+    grad[:, :, 2] = 90
+    grad = grad.astype(np.uint8)
+    jpg_444 = _jpeg.encode_baseline(grad)
+    jpg_420 = _jpeg.encode_baseline(grad, subsample=True)
+
+    payloads = [(1, jpg_flat), (2, jpg_444), (3, jpg_420)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(
+            multimodal._extract_batches, schema=multimodal.FEATURE_SCHEMA
+        ).collect()
+    }
+    # flat field: exact — mean 130/255 on every channel
+    assert (out[1]["width"], out[1]["height"]) == (16, 16)
+    m = round(130 / 255.0, 6)
+    luma = round(0.299 * m + 0.587 * m + 0.114 * m, 6)
+    assert out[1]["features"] == [m, m, m, luma]
+    # gradients: true means within ~2/255 per channel for both
+    # sampling modes (quantization noise, not systematic bias)
+    true = [
+        grad[:, :, c].astype(np.int64).sum() / grad[:, :, c].size / 255.0
+        for c in range(3)
+    ]
+    for doc in (2, 3):
+        assert (out[doc]["width"], out[doc]["height"]) == (32, 24)
+        for got, want in zip(out[doc]["features"][:3], true):
+            assert abs(got - want) < 2 / 255.0, (doc, got, want)
+
+    # resize path: flat JPEG through the real tier stays flat
+    w, h, resized = multimodal.real_resize(jpg_flat, (4, 4))
+    px = multimodal._ppm_pixels(resized)
+    assert px.shape == (4, 4, 3) and np.all(px == 130)
+
+    # progressive (SOF2) routes to the codec-class error
+    progressive = bytearray(jpg_444)
+    sof = progressive.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(progressive))
+    # truncated entropy data raises ValueError (malformed, not codec)
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(jpg_flat[:-20])
+    # degenerate dims rejected
+    zero = bytearray(jpg_flat)
+    sof = zero.find(b"\xff\xc0")
+    zero[sof + 5 : sof + 7] = b"\x00\x00"  # height 0
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(bytes(zero))
+
+
+def test_jpeg_decoder_exception_contract_under_fuzz():
+    """The batch decode tier catches exactly (NotImplementedError,
+    ValueError); any other exception class escaping the JPEG parser
+    would crash the whole mapInPandas job on one adversarial payload.
+    Deterministic mutation fuzz over both sampling modes pins the
+    contract (the parser normalizes IndexError/KeyError/OverflowError/
+    struct.error to ValueError)."""
+    import random
+
+    import numpy as np
+
+    from bigdata_gamedb_etl_spark.operators import _jpeg
+
+    img = (np.arange(24 * 24 * 3).reshape(24, 24, 3) % 251).astype(np.uint8)
+    rng = random.Random(42)
+    for src in (
+        _jpeg.encode_baseline(img),
+        _jpeg.encode_baseline(img, subsample=True),
+    ):
+        for _ in range(200):
+            b = bytearray(src)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                b = bytes(b[: rng.randrange(2, len(b))])
+            try:
+                _jpeg.decode_pixels(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def _wav_bytes(rate, samples, n_ch=1, extra_chunk=False):
     """Encode a PCM16 RIFF/WAVE fixture (optionally with an extra
     LIST chunk before data, exercising the chunk walk)."""
