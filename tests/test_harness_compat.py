@@ -219,6 +219,24 @@ def test_bench_summary_line_fits_capture_budget():
     )
 
 
+def test_bench_summary_payload_tolerates_shared12_only_timings():
+    """The SHARED12-only diagnostic mode (SPARK_GRAFT_BENCH_SET=
+    shared12) builds the summary line from a timings dict that has NO
+    EXTRAS entries; summary_payload must not KeyError on the missing
+    series (extras_sec reports 0 for the absent set)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import SHARED12, summary_payload
+
+    timings = {n: 1.0 for n in SHARED12}
+    fp = {"hash": "f" * 16, "total_bytes": 1, "n_files": 10}
+    payload = summary_payload(timings, fp, 0.1, {}, {})
+    assert payload["shared12_sec"] == float(len(SHARED12))
+    assert payload["extras_sec"] == 0
+
+
 def test_bench_names_are_registered():
     """Every bench series (headline + scale probe) must name a
     registered query — a typo here would crash the driver's per-round
