@@ -11,8 +11,12 @@ Scale notes:
   the partial aggregate collapses them per-partition first; grouping
   cardinality (distinct words/brands) stays tiny, so the exchange is
   negligible at any SF.
-- Joins against `part`/`supplier` broadcast (dimension-sized); lineitem
-  never shuffles for them.
+- Joins against `part`/`supplier` are AQE/size-decided, never hinted
+  (r8 sweep: both tables scale ×SF — part is SF×200k rows, supplier
+  SF×10k — so a forced hint would OOM the build side at 100 TB exactly
+  like the banned customer/orders hints; at test SFs AQE broadcasts
+  them and lineitem still never shuffles for them).  Only nation (25
+  rows) and region (5) keep explicit hints anywhere in the engine.
 - Bin queries (A4, A10, A11) are single-pass CASE WHEN + hash agg over
   a handful of groups — the 100 TB plan is scan-bound, as it should be.
 """
@@ -39,7 +43,7 @@ def a1_word_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.explode(F.split(F.col("p_name"), " ")).alias("word"),
             _rev().alias("revenue"),
@@ -76,7 +80,7 @@ def a2_supplier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(
             F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"),
@@ -176,7 +180,7 @@ def a5_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"))
         .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey"))
@@ -315,7 +319,7 @@ def a12_brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.concat_ws(" ", "p_brand", "p_type").alias("combo")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("combo")
         .agg(
             F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"),

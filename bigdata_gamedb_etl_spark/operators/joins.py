@@ -6,12 +6,13 @@ capability for free; the engine declares the full join surface the
 driver's oracle harness expects (SURVEY.md §2.6).
 
 Scale notes:
-- True dimension sides (region/nation/supplier/part — bounded
-  cardinality, sources/catalog.py DIMENSION_TABLES) carry explicit
-  broadcast hints.  Customer scales with SF, so it is NEVER hinted:
-  an explicit hint overrides AQE's size check and would OOM the build
-  side at 100×; un-hinted, AQE broadcasts it while it fits and falls
-  back to shuffle join when it doesn't.
+- Only the fixed-cardinality dimensions (region: 5 rows, nation: 25)
+  carry explicit broadcast hints.  Every SF-proportional table —
+  customer, orders, AND part/supplier (r8 sweep: they grow ×SF too,
+  just slower) — is AQE/size-decided: an explicit hint overrides AQE's
+  size check and would OOM the build side at 100×; un-hinted, AQE
+  broadcasts it while it fits and falls back to shuffle join when it
+  doesn't.
 - Semi/anti joins use Spark's dedicated left_semi/left_anti plans —
   no row duplication, no post-join distinct.
 """
@@ -201,7 +202,8 @@ ORDER BY kind, entity_key
 
 
 # --------------------------------------------------------------------------
-# Double-broadcast enrichment: fact + two dims in one pass
+# Two-dim enrichment: fact + part + supplier in one pass (both
+# AQE-broadcast at test SFs; shuffle joins at 100 TB where they grow)
 def j8_brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -209,8 +211,8 @@ def j8_brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_brand", "s_name")
         .agg(F.round(F.sum(_rev().cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"))
         .orderBy("p_brand", "s_name")

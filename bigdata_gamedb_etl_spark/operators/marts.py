@@ -62,7 +62,7 @@ def mart_supplier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(
             F.count("l_orderkey").alias("item_count"),

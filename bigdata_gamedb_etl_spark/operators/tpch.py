@@ -127,7 +127,8 @@ LIMIT 10
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: revenue by nation where supplier and customer share the
     nation (the co-location predicate joins two dimension paths of the
-    same fact row).  Dimension sides broadcast; lineitem⋈orders is the
+    same fact row).  Nation hint-broadcasts; every SF-proportional
+    side (customer, supplier) is AQE-decided; lineitem⋈orders is the
     only big shuffle."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -136,10 +137,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        # customer scales ×SF — AQE decides (see q3 note); supplier and
-        # nation are true dimensions, safe to hint.
+        # customer AND supplier scale ×SF — AQE decides (see q3 note);
+        # only nation (25 rows) is safe to hint.
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

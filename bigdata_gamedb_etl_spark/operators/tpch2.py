@@ -128,7 +128,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp"))
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0)).cast(
             "decimal(18,6)"
@@ -201,7 +201,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates post-join inside codegen."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -243,7 +243,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     per_ps = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "p_name", "l_suppkey")
         .agg(
             # decimal-exact sum / count via the floor recipe — AVG of a
@@ -265,7 +265,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_ps.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "avg_unit_price")
         .orderBy("p_partkey")
     )
@@ -306,7 +306,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -336,7 +336,7 @@ def q16_supplier_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_type", "p_size"
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -401,8 +401,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: revenue flowing between a nation pair per ship-year —
     the widest join in the suite (lineitem ⋈ orders ⋈ customer ⋈ n1,
     lineitem ⋈ supplier ⋈ n2) with a symmetric pair predicate.  Both
-    nation joins broadcast (true dims); supplier broadcasts under AQE's
-    size check; orders/customer stay shuffle joins on the fact grain."""
+    nation joins hint-broadcast (true dims); supplier is un-hinted and
+    broadcasts under AQE's size check while it fits; orders/customer
+    stay shuffle joins on the fact grain."""
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     n1 = n.where(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -534,14 +535,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     one brand.  The correlated scalar subquery becomes aggregate-then-
     join: per-part averages are computed once on the brand-filtered
     fact slice and joined back (both sides pre-filtered by the same
-    broadcast part dim, so the per-part agg is small and broadcasts
-    under AQE)."""
+    part slice — AQE-broadcast while it fits — so the per-part agg is
+    small and broadcasts under AQE)."""
     p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
         "p_partkey"
     )
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
-    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(p, F.col("l_partkey") == F.col("p_partkey"))
     per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
@@ -601,7 +602,7 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_order.where((F.col("nsupp") >= 2) & (F.col("nret") == 1))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(F.broadcast(s), F.col("sole_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("sole_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -717,7 +718,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,6)")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -797,7 +798,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     li = table(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("ps_qty")

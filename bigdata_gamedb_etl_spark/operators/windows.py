@@ -37,7 +37,7 @@ def w1_pareto_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     per_sup = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum(_rev().cast("decimal(18,6)")).alias("rev"))
     )

@@ -114,6 +114,16 @@ RECHECK_CHANGED: list[str] = [
 #: (the staleness guard goes red and names land here).
 RECONFIRM_STALE: list[str] = []
 
+# r8 part/supplier hint sweep (19 sites in core/joins/marts/windows/
+# tpch/tpch2): forced broadcasts of SF-proportional tables removed,
+# AQE decides (test_plan_quality.py::
+# test_sf_proportional_joins_are_aqe_decided).  NOT re-queued: a join
+# HINT changes physical strategy only — results are provably identical
+# — and the window is at capacity; the swept queries that are in the
+# window anyway (tpch_q5, w1, mart_supplier_summary, a1, tpch_q2) give
+# driver evidence of the new plans, and tests/test_oracle_parity.py
+# re-verified every other swept query locally this round.
+
 CONTROLS = [
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",

@@ -33,6 +33,11 @@ def test_a1_part_scan_prunes_columns(spark, sf_dir):
 
 
 def test_dimension_joins_broadcast(spark, sf_dir):
+    """part/supplier carry no hints (they scale ×SF — see
+    test_sf_proportional_joins_are_aqe_decided) but at any SF where
+    they fit the threshold AQE must still pick broadcast: a
+    sort-merge join here would mean the size estimate broke and the
+    fact side is shuffling for a fits-in-memory table."""
     for q in (core.a1_word_revenue, core.a2_supplier_metrics, joins.j8_brand_supplier_revenue):
         df = q(spark, sf_dir)
         assert plans.uses_broadcast_join(df), f"{q.__name__} lost its broadcast"
@@ -66,29 +71,37 @@ def test_q6_pushes_every_predicate(spark, sf_dir):
 def test_q5_broadcasts_all_dimensions(spark, sf_dir):
     df = tpch.q5_local_supplier_volume(spark, sf_dir)
     plan = plans.physical(df)
-    # supplier + nation broadcast (customer may too, but by AQE/size
-    # estimate, never by hint); only lineitem⋈orders and the final
+    # supplier + nation broadcast at this SF (supplier by AQE/size
+    # estimate, nation by hint); only lineitem⋈orders and the final
     # aggregation may shuffle
     assert plan.count("BroadcastExchange") >= 2
     assert plan.count("Exchange hashpartitioning") <= 3
-    # exactly the two true-dim hints (supplier, nation) — customer must
-    # be AQE-decided
-    assert plans.num_broadcast_hints(df) == 2
+    # exactly the one fixed-cardinality hint (nation) — customer AND
+    # supplier scale ×SF and must be AQE-decided (r8 sweep)
+    assert plans.num_broadcast_hints(df) == 1
 
 
-def test_customer_joins_are_aqe_decided(spark, sf_dir):
-    """Customer/orders scale with the fact side (×SF): an explicit
-    broadcast hint would override AQE's size check and OOM the build
-    side at 100×.  These queries must carry zero hints."""
-    from bigdata_gamedb_etl_spark.operators import extended
+def test_sf_proportional_joins_are_aqe_decided(spark, sf_dir):
+    """Customer, orders, part, and supplier all scale with SF (×150k,
+    ×1.5M, ×200k, ×10k rows respectively): an explicit broadcast hint
+    would override AQE's size check and OOM the build side at 100×.
+    These queries must carry zero hints — only nation (25 rows) and
+    region (5) are hintable anywhere in the engine (r8 sweep extending
+    the customer/orders rule to part/supplier)."""
+    from bigdata_gamedb_etl_spark.operators import extended, tpch2
 
     for q in (
         tpch.q3_top_revenue_orders,   # li⋈orders⋈customer
         core.a4_price_bin_acctbal,    # orders⋈customer
         extended.ga2_cube_segment_priority,  # orders⋈customer cube
+        core.a1_word_revenue,         # li⋈part
+        core.a2_supplier_metrics,     # li⋈supplier
+        joins.j8_brand_supplier_revenue,  # li⋈part⋈supplier
+        tpch2.q14_promo_revenue,      # li⋈part
+        tpch2.q17_small_quantity_revenue,  # li⋈part agg-then-join
     ):
         assert plans.num_broadcast_hints(q(spark, sf_dir)) == 0, (
-            f"{q.__name__} hint-forces a fact-scaling table"
+            f"{q.__name__} hint-forces an SF-scaling table"
         )
     # j1 keeps hints only on nation+region; customer un-hinted
     assert plans.num_broadcast_hints(joins.j1_region_revenue(spark, sf_dir)) == 2
