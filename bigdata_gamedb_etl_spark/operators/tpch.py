@@ -13,8 +13,9 @@ Scale notes:
 - Q3 joins orders→lineitem on the join key both sides shuffle on; the
   customer side carries NO broadcast hint — customer scales with SF, so
   AQE picks broadcast when it fits and shuffle join when it doesn't.
-  Explicit hints are reserved for true dimensions (DIMENSION_TABLES in
-  sources/catalog.py).
+  Explicit hints are reserved for the fixed-cardinality dimensions
+  (DIMENSION_TABLES in sources/catalog.py: region, nation); supplier
+  and part scale ×SF and are AQE-decided too (r8 sweep).
 """
 
 from __future__ import annotations

@@ -642,8 +642,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: one nation's share of revenue among a region's
     customers, per order-year — a conditional-aggregate ratio
     (CASE-sum / sum) on top of a 6-table join.  nation/region broadcast
-    as true dims; the supplier join carries the numerator flag so the
-    share needs no second pass."""
+    as fixed-cardinality dims; the un-hinted supplier join carries the
+    numerator flag so the share needs no second pass."""
     r = table(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
     n_c = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     n_s = table(spark, sf_dir, "nation").select(

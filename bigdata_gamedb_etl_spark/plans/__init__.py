@@ -58,8 +58,9 @@ def num_exchanges(df: DataFrame) -> int:
 def num_broadcast_hints(df: DataFrame) -> int:
     """Explicit broadcast hints in the analyzed logical plan.  A hint
     overrides AQE's size check, so the scale contract allows them ONLY
-    on true dimension tables (sources.catalog.DIMENSION_TABLES) —
-    fact-side-scaling tables (customer, orders) must be AQE-decided."""
+    on fixed-cardinality dimensions (sources.catalog.DIMENSION_TABLES:
+    region, nation) — every SF-scaling table (customer, orders, part,
+    supplier) must be AQE-decided."""
     return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
 
 

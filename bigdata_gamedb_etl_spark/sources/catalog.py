@@ -42,8 +42,13 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-#: Small dimension tables that should always broadcast in joins.
-DIMENSION_TABLES = {"region", "nation", "supplier", "part"}
+#: Fixed-cardinality dimension tables (region: 5 rows, nation: 25) —
+#: the ONLY relations the engine may hint-broadcast.  supplier and
+#: part are deliberately NOT here (r8 sweep): they scale ×SF (×10k and
+#: ×200k rows respectively), so joins against them are AQE/size-
+#: decided like customer/orders — broadcast while they fit, shuffle
+#: join at 100 TB.
+DIMENSION_TABLES = {"region", "nation"}
 
 
 def _s(*fields: tuple[str, object]) -> StructType:
