@@ -1151,7 +1151,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     fr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    return agg.select(
+    # x-variance guard: n·sxx − sx² = 0 iff every x is identical (≤1
+    # distinct rank — a ≤1-token corpus).  Spark ANSI throws
+    # DIVIDE_BY_ZERO on double/0 where DuckDB yields NaN, so the
+    # degenerate fit must emit zero rows in BOTH engines instead.
+    return agg.where(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
         F.col("n").cast("long").alias("n_tokens"),
         fr6(slope).alias("slope"),
         fr6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
@@ -1189,6 +1195,7 @@ SELECT CAST(n AS BIGINT) AS n_tokens,
        floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
              * 1e6 + 0.5) / 1e6 AS intercept
 FROM agg
+WHERE n * sxx - sx * sx > 0
 """
 
 
@@ -1489,7 +1496,12 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     fr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    return agg.select(
+    # same x-variance guard as text_zipf_slope: a ≤1-bucket corpus has
+    # zero x-variance — emit zero rows in both engines, never a Spark
+    # ANSI DIVIDE_BY_ZERO vs DuckDB NaN divergence.
+    return agg.where(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
         F.col("n").cast("long").alias("n_points"),
         fr6(slope).alias("beta"),
         fr6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
@@ -1545,6 +1557,7 @@ SELECT CAST(n AS BIGINT) AS n_points,
        floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
              * 1e6 + 0.5) / 1e6 AS intercept
 FROM agg
+WHERE n * sxx - sx * sx > 0
 """
 
 

@@ -91,6 +91,8 @@ RECHECK_CHANGED: list[str] = [
     "text_unigram_logprob",        # ROUND -> floor recipe
     "text_lang_rollup",            # ROUND(AVG) -> exact integer half-up
     "w3_moving_avg_events",        # windowed ROUND -> decimal sum + floor
+    "text_zipf_slope",             # degenerate-corpus x-variance guard
+    #   (text_heaps_law got the same guard; it is already in ROUND8_NEW)
     # r8 round-on-average sweep (non-control members; the swept
     # controls tpch_q1 / a4 / mart_supplier_summary /
     # sql_word_price_stats re-green from the CONTROLS block):

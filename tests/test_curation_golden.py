@@ -764,3 +764,26 @@ def test_k_anonymity_golden(spark, tmp_path_factory):
     assert rows["1"]["row_share"] == 0.1667
     assert (rows["2-4"]["n_groups"], rows["2-4"]["n_rows"]) == (2, 5)
     assert rows["2-4"]["row_share"] == 0.8333
+
+
+def test_ols_fits_emit_zero_rows_on_degenerate_corpus(
+    spark, tmp_path_factory
+):
+    """A one-token corpus has a single (rank, freq) point / a single
+    Heaps bucket, so the OLS x-variance n*sxx - sx^2 is 0.  Spark ANSI
+    throws DIVIDE_BY_ZERO on double/0 where DuckDB yields NaN; the
+    variance guard must instead emit ZERO rows in both engines (the
+    oracles carry the same WHERE)."""
+    from bigdata_gamedb_etl_spark.operators.textops import (
+        text_heaps_law,
+        text_zipf_slope,
+    )
+
+    docs = [_doc(1, "solo")]
+    d = tmp_path_factory.mktemp("golden_degenerate_ols")
+    spark.createDataFrame(docs, TABLE_SCHEMAS["documents"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    assert text_zipf_slope(spark, str(d)).collect() == []
+    assert text_heaps_law(spark, str(d)).collect() == []
