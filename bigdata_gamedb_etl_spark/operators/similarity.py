@@ -67,10 +67,26 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _emb_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-norm embeddings — the domain of every cosine-SCORED
+    operator.  A zero vector has no direction: its cosine is 0/0 = NaN
+    (or an ANSI DIVIDE_BY_ZERO throw Spark-side), and NaN sorts
+    greatest in DESC order in both engines, so an unfiltered zero
+    vector silently takes the top of every top-k list — the hazard
+    class the r7 ADVICE flagged on the MRL audit, closed fleet-wide
+    here (every oracle twin carries the same WHERE).  Operators that
+    AVERAGE vectors (centroids, dimension variance, Lloyd assignment)
+    deliberately keep zero vectors — the mean is well-defined there."""
+    return _emb_double(spark, sf_dir).where(
+        _dot(F.col("emb"), F.col("emb")) > 0
+    )
+
+
 # --------------------------------------------------------------------------
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs the embedding of vec_id=0."""
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_cosine(spark, sf_dir)
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("emb").alias("qv"))
     scored = emb.crossJoin(F.broadcast(q)).select(
         "vec_id",
@@ -93,6 +109,7 @@ SELECT vec_id,
          / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
             * sqrt(list_dot_product(qv, qv))), 4) AS cosine
 FROM embeddings, q
+WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
 ORDER BY cosine DESC, vec_id
 LIMIT {TOP_K}
 """
@@ -207,7 +224,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching buckets — the (table, bucket) index is also the natural
     physical partition key for scan pruning.  No full-corpus scoring
     scan, no driver traffic beyond the plan."""
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_cosine(spark, sf_dir)
     index = _lsh_buckets_of(emb).select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"b{t}") for t in range(LSH_TABLES)])).alias(
@@ -341,7 +358,7 @@ def sim_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_cosine(spark, sf_dir)
     pairs = _block_pairs(_packed_blocks(emb))
 
     out_schema = StructType(
@@ -390,6 +407,7 @@ WITH e AS (
 ),
 n AS (
   SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+  WHERE list_dot_product(emb, emb) > 0
 ),
 pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -453,15 +471,34 @@ def _ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_cosine(spark, sf_dir)
     vecs = emb.withColumn("features", array_to_vector("emb"))
     # deterministic ~50% hash-sample for training: representative at any
     # SF, and half the fit cost; assignment still covers every row.
     train = vecs.where(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
-    model = KMeans(k=k, seed=42, maxIter=20, featuresCol="features").fit(train)
-    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
-
-    centers = model.clusterCenters()
+    # degenerate-corpus clamp: MLlib KMeans crashes (AIOOBE) when k
+    # exceeds the training-point count and rejects k < 2 outright; on
+    # a tiny/filtered corpus fall back to the full set, cap k, and
+    # below 2 usable points skip the codebook entirely (single-cell
+    # index — IVF degenerates to the brute-force scan it approximates).
+    # The counts are scalar jobs over a narrow projection — at real SF
+    # n_train >> k and every branch is a no-op.
+    n_train = train.count()
+    if n_train < 2:
+        train = vecs
+        n_train = train.count()
+    if n_train < 2:
+        assigned = vecs.withColumn("cell", F.lit(0).cast("int"))
+        centers = []
+    else:
+        model = KMeans(
+            k=max(2, min(k, n_train)), seed=42, maxIter=20,
+            featuresCol="features",
+        ).fit(train)
+        assigned = model.transform(vecs).withColumnRenamed(
+            "prediction", "cell"
+        )
+        centers = model.clusterCenters()
     q = (
         assigned.where(F.col("vec_id") == QUERY_VEC_ID)
         .select("emb", "cell")
@@ -479,6 +516,7 @@ def _ivf_topk(
         return d / (nu * nv)
 
     probe = sorted(range(len(centers)), key=lambda c: -_cos(qv, centers[c]))[:nprobe]
+    probe = probe or [0]  # codebook-less fallback: the one cell
     qdf = spark.createDataFrame([(qv,)], "qv array<double>")
 
     scored = (
@@ -512,7 +550,7 @@ def sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_cosine(spark, sf_dir)
     pairs = _block_pairs(_packed_blocks(emb))
 
     out_schema = StructType(
@@ -550,6 +588,7 @@ WITH e AS (
 ),
 n AS (
   SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+  WHERE list_dot_product(emb, emb) > 0
 )
 SELECT a.vec_id AS v1, b.vec_id AS v2,
        ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
@@ -583,7 +622,7 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as sim_cosine_topk: broadcast 1-row query, distributed scan,
     TakeOrderedAndProject top-k; the dot product runs in integer
     arithmetic."""
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_cosine(spark, sf_dir)
     unit = F.transform(
         F.col("emb"), lambda x: x / F.sqrt(_dot(F.col("emb"), F.col("emb")))
     )
@@ -612,6 +651,8 @@ WITH unit AS (
            x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                  y -> y * y)))) AS u
   FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ),
 quant AS (
   SELECT vec_id,
@@ -655,7 +696,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = _emb_double(spark, sf_dir)
+    emb = _emb_cosine(spark, sf_dir)
     unit_expr = F.transform(
         F.col("emb"), lambda x: x / F.sqrt(_dot(F.col("emb"), F.col("emb")))
     )
@@ -672,9 +713,14 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     encoded = with_subs
     models = []
+    # same degenerate-corpus clamp as _ivf_topk: MLlib KMeans AIOOBEs
+    # when k exceeds the point count and rejects k < 2 (scalar count
+    # job, no-op at SF; a sub-2-point corpus keeps k=2 and relies on
+    # _emb_cosine having already filtered the unusable vectors)
+    pq_k = max(2, min(PQ_K, with_subs.count()))
     for j in range(PQ_M):
         m = KMeans(
-            k=PQ_K,
+            k=pq_k,
             seed=42 + j,
             maxIter=10,
             featuresCol=f"sub_{j}",

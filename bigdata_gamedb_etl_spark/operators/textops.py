@@ -104,7 +104,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = F.expr(f"size({_TOKS})")
     distinct = F.expr(f"size(array_distinct({_TOKS}))")
-    ratio = distinct * F.lit(1.0) / toks
+    # empty doc → NULL ratio in BOTH engines: DuckDB yields NULL on
+    # x/0 where Spark ANSI throws, so the guard IS the parity (the
+    # doc still rows out as quality_bucket = 'low').
+    ratio = F.when(toks > 0, distinct * F.lit(1.0) / toks)
     bucket = (
         F.when((toks >= 200) & (ratio >= 0.1), "high")
         .when(toks >= 50, "medium")
@@ -480,43 +483,56 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = F.expr(_TOKS)
     n = F.size(toks)
+    # slice length clamps at 0 (Spark throws on negative slice length
+    # for an empty doc); every ratio is NULL-guarded on its own
+    # denominator because DuckDB yields NULL on x/0 where Spark ANSI
+    # throws — the when() guards ARE the cross-engine parity for
+    # empty / one-token / empty-text degenerate docs (the oracle's
+    # bigram denominator carries the matching NULLIF(GREATEST(...))).
+    # Empty docs additionally drop entirely: they explode no tokens,
+    # so the top_share inner join has no row for them in either
+    # engine.
     bigrams = F.expr(
-        f"zip_with(slice({_TOKS}, 1, size({_TOKS}) - 1),"
-        f" slice({_TOKS}, 2, size({_TOKS}) - 1),"
+        f"zip_with(slice({_TOKS}, 1, greatest(size({_TOKS}) - 1, 0)),"
+        f" slice({_TOKS}, 2, greatest(size({_TOKS}) - 1, 0)),"
         " (a, b) -> concat(a, ' ', b))"
     )
     row_sig = d.select(
         "doc_id",
         n.alias("token_count"),
-        (
+        F.when(
+            n > 0,
             F.floor((1 - F.size(F.array_distinct(toks)) / n) * F.lit(10000.0) + F.lit(0.5))
-            / F.lit(10000.0)
+            / F.lit(10000.0),
         ).alias("dup_token_ratio"),
-        (
+        F.when(
+            F.size(bigrams) > 0,
             F.floor(
                 (1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams))
                 * F.lit(10000.0)
                 + F.lit(0.5)
             )
-            / F.lit(10000.0)
+            / F.lit(10000.0),
         ).alias("dup_bigram_ratio"),
-        (
+        F.when(
+            n > 0,
             F.floor(
                 F.expr(f"aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t))")
                 / n
                 * F.lit(10000.0)
                 + F.lit(0.5)
             )
-            / F.lit(10000.0)
+            / F.lit(10000.0),
         ).alias("mean_word_len"),
-        (
+        F.when(
+            F.length("text") > 0,
             F.floor(
                 F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
                 / F.length("text")
                 * F.lit(10000.0)
                 + F.lit(0.5)
             )
-            / F.lit(10000.0)
+            / F.lit(10000.0),
         ).alias("symbol_ratio"),
     )
     top_share = (
@@ -556,7 +572,8 @@ WITH row_sig AS (
          floor((1 - len(list_distinct(
                  list_transform(range(1, len({_TOKS_DUCK})),
                    i -> {_TOKS_DUCK}[i] || ' ' || {_TOKS_DUCK}[i + 1]))) * 1.0
-               / (len({_TOKS_DUCK}) - 1)) * 10000.0 + 0.5) / 10000.0
+               / NULLIF(GREATEST(len({_TOKS_DUCK}) - 1, 0), 0))
+               * 10000.0 + 0.5) / 10000.0
            AS dup_bigram_ratio,
          floor(list_sum(list_transform({_TOKS_DUCK}, t -> length(t))) * 1.0
                / len({_TOKS_DUCK}) * 10000.0 + 0.5) / 10000.0

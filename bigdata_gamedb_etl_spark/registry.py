@@ -93,6 +93,20 @@ RECHECK_CHANGED: list[str] = [
     "w3_moving_avg_events",        # windowed ROUND -> decimal sum + floor
     "text_zipf_slope",             # degenerate-corpus x-variance guard
     #   (text_heaps_law got the same guard; it is already in ROUND8_NEW)
+    # r8 degenerate-input sweep (tests/test_degenerate_inputs.py):
+    # zero-norm embeddings excluded from every cosine-SCORED operator
+    # (oracles carry the same WHERE), and the Gopher bigram denominator
+    # NULLIFs at < 2 tokens.  sf-level outputs are bit-identical
+    # (local parity 214/214 green) — these re-queue because their
+    # ORACLES changed.  text_quality changed Spark-side only (NULL
+    # ratio guard matching DuckDB's existing x/0 = NULL) and keeps its
+    # oracle + evidence.
+    "sim_cosine_topk",
+    "sim_knn_top1",
+    "sim_cosine_dup_pairs",
+    "sim_sq8_topk",
+    "dedup_semantic_fused_pairs",  # composes SIM_DUP_ORACLE
+    "text_gopher_quality",
     # r8 round-on-average sweep (non-control members; the swept
     # controls tpch_q1 / a4 / mart_supplier_summary /
     # sql_word_price_stats re-green from the CONTROLS block):
