@@ -425,20 +425,33 @@ def p4_user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = table(spark, sf_dir, "events").select("user_id", "value")
+    # declared domain: measured values of identified users — a NULL
+    # user_id reaches the pandas UDF as NaN (int(NaN) raises) and a
+    # NULL value would make numpy's median NaN where DuckDB's
+    # quantile_cont silently ignores NULLs, so both engines filter the
+    # same rows up front instead of diverging on them.
+    e = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "value")
+    )
     return e.groupBy("user_id").applyInPandas(mad, schema=out_schema).orderBy("user_id")
 
 
 P4_ORACLE = """
-WITH med AS (
+WITH src AS (
+  SELECT user_id, value FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+med AS (
   SELECT user_id, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY user_id
+  FROM src GROUP BY user_id
 )
 SELECT e.user_id,
        COUNT(*) AS n_events,
        ROUND(ANY_VALUE(m.med), 2) AS median_value,
        ROUND(quantile_cont(abs(e.value - m.med), 0.5), 2) AS mad_value
-FROM events e JOIN med m ON e.user_id = m.user_id
+FROM src e JOIN med m ON e.user_id = m.user_id
 GROUP BY e.user_id
 ORDER BY e.user_id
 """

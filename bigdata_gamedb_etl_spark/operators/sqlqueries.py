@@ -186,7 +186,11 @@ def sql_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     many paths are extracted, which is the 100-TB reason the type
     exists.  Oracle: DuckDB JSON path extraction."""
     e = table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: a malformed props row (ingestion reality) becomes
+    # a NULL variant instead of a MALFORMED_RECORD throw; the oracle's
+    # json_valid() CASE is the same declared semantics (DuckDB's
+    # json_extract errors on malformed input rather than yielding NULL).
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -201,15 +205,21 @@ def sql_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_VARIANT_ORACLE = """
+WITH src AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+         END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n_events,
-       floor(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
-                    AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))
+       floor(CAST(SUM(CAST(k AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(k)
              * 10000.0 + 0.5) / 10000.0 AS avg_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-FROM events
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM src
 GROUP BY event_type
 ORDER BY event_type
 """

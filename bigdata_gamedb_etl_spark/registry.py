@@ -107,6 +107,11 @@ RECHECK_CHANGED: list[str] = [
     "sim_sq8_topk",
     "dedup_semantic_fused_pairs",  # composes SIM_DUP_ORACLE
     "text_gopher_quality",
+    # events leg of the same sweep: MAD declared over identified
+    # users/measured values; variant stats tolerate malformed props
+    # via try_parse_json + json_valid (sql_variant_props_stats is
+    # already queued above from the rounding sweep)
+    "p4_user_value_mad",
     # r8 round-on-average sweep (non-control members; the swept
     # controls tpch_q1 / a4 / mart_supplier_summary /
     # sql_word_price_stats re-green from the CONTROLS block):

@@ -91,3 +91,67 @@ def degenerate_sf_dir(spark, tmp_path_factory):
 def test_query_survives_degenerate_corpus(name, spark, degenerate_sf_dir):
     df = all_queries()[name](spark, degenerate_sf_dir)
     df.collect()  # any ANSI DIVIDE_BY_ZERO / INVALID_ARRAY_INDEX throws here
+
+
+# ---------------------------------------------------------------------------
+# Degenerate EVENTS feed: the ingestion surface where nulls are the
+# norm, not the exception — null ts (unparseable timestamps), null
+# user/event ids, unknown types, null values, malformed JSON props,
+# and a duplicated event_id.  The DQ operators HANDLE these shapes by
+# design (dq_event_conformity counts them); this sweep asserts that
+# every OTHER operator at least survives them.
+
+from datetime import datetime as _dt  # noqa: E402
+
+DEGENERATE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (1, None, 7, "click", 1.0, '{"k": 1}'),
+    (2, _dt(2024, 1, 1, 0, 0, 1), None, "click", None, "not json"),
+    (3, _dt(2024, 1, 1, 0, 0, 2), 7, None, -1.5, None),
+    (None, _dt(2024, 1, 1, 0, 0, 3), 8, "mystery_type", 0.0, "{}"),
+    (5, _dt(2024, 1, 1, 0, 0, 4), 8, "purchase", 9.99, '{"k": 2}'),
+    (5, _dt(2024, 1, 1, 0, 0, 5), 9, "view", 0.0, '{"k": 3}'),
+    (6, _dt(2024, 1, 2, 12, 0, 0), 9, "error", 3.5, '{"k": 4}'),
+]
+
+
+@pytest.fixture(scope="session")
+def degenerate_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("degenerate_events")
+    for name in TABLE_SCHEMAS:
+        if name == "events":
+            continue
+        shutil.copy(
+            f"{SRC_SF_DIR}/{name}.parquet", str(d / f"{name}.parquet")
+        )
+    spark.createDataFrame(
+        DEGENERATE_EVENTS, TABLE_SCHEMAS["events"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+def _reads_events(name: str) -> bool:
+    """Cheap static filter: only sweep queries whose module source
+    mentions the events table in the function body — running all 214
+    again for a fixture most never read doubles suite time for zero
+    coverage."""
+    import inspect
+
+    fn = all_queries()[name]
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return True  # can't tell — sweep it
+    return '"events"' in src or "'events'" in src or "read_events" in src
+
+
+EVENT_QUERIES = sorted(n for n in all_queries() if _reads_events(n))
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_query_survives_degenerate_events(
+    name, spark, degenerate_events_dir
+):
+    all_queries()[name](spark, degenerate_events_dir).collect()
