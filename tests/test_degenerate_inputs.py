@@ -144,7 +144,11 @@ def _reads_events(name: str) -> bool:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         return True  # can't tell — sweep it
-    return '"events"' in src or "'events'" in src or "read_events" in src
+    # deliberately loose (any 'events' substring, including helper
+    # names like _events_us and docstring mentions): over-matching
+    # only costs a redundant run, under-matching silently skips a
+    # query the fixture was built for.
+    return "events" in src
 
 
 EVENT_QUERIES = sorted(n for n in all_queries() if _reads_events(n))
