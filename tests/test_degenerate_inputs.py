@@ -159,3 +159,26 @@ def test_query_survives_degenerate_events(
     name, spark, degenerate_events_dir
 ):
     all_queries()[name](spark, degenerate_events_dir).collect()
+
+
+def test_zero_norm_vector_never_reaches_a_cosine_topk(
+    spark, degenerate_sf_dir
+):
+    """The sharper form of the sweep's no-crash bar for the sim
+    family: vec_id=1 (the all-zero embedding) must be ABSENT from
+    every cosine-ranked result — an unfiltered zero vector scores
+    0/0 = NaN, and NaN sorts greatest in DESC order, so its presence
+    would mean it silently occupies a top-k slot."""
+    from bigdata_gamedb_etl_spark.operators import similarity as sim
+
+    for q in (
+        sim.sim_cosine_topk,
+        sim.sim_ann_lsh_topk,
+        sim.sim_knn_top1,
+        sim.sim_sq8_topk,
+        sim.sim_pq_topk,
+        sim.sim_ivf_topk,
+        sim.sim_ivf_multiprobe_topk,
+    ):
+        ids = {r["vec_id"] for r in q(spark, degenerate_sf_dir).collect()}
+        assert 1 not in ids, f"{q.__name__} ranked the zero-norm vector"
