@@ -504,6 +504,12 @@ def _ivf_topk(
         .select("emb", "cell")
         .first()
     )  # single driver job: one row
+    if q is None:
+        # query vector absent or zero-norm (filtered by _emb_cosine):
+        # cosine against it is undefined — empty result, same schema
+        return spark.createDataFrame(
+            [], "vec_id bigint, cell int, cosine double"
+        )
     qv = q["emb"]
     # nprobe nearest cells to the query vector (tiny driver-side math on
     # k centroids — the model itself, not data)
@@ -732,6 +738,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query-side ADC lookup tables: partial dot of the query subvector
     # against each sub-codebook centroid — model-sized driver math
     q = unit.where(F.col("vec_id") == QUERY_VEC_ID).first()
+    if q is None:
+        # query vector absent or zero-norm (filtered by _emb_cosine):
+        # cosine against it is undefined — empty result, same schema
+        return spark.createDataFrame(
+            [], "vec_id bigint, approx_cosine double"
+        )
     qu = q["u"]
     score = F.lit(0.0)
     for j in range(PQ_M):

@@ -182,3 +182,53 @@ def test_zero_norm_vector_never_reaches_a_cosine_topk(
     ):
         ids = {r["vec_id"] for r in q(spark, degenerate_sf_dir).collect()}
         assert 1 not in ids, f"{q.__name__} ranked the zero-norm vector"
+
+
+@pytest.fixture(scope="session")
+def zero_query_sf_dir(spark, tmp_path_factory):
+    """Same corpus, but the ANCHOR vector (vec_id = QUERY_VEC_ID = 0)
+    is itself all-zero — the query side of every cosine op vanishes
+    behind the _emb_cosine filter."""
+    d = tmp_path_factory.mktemp("zero_query_sf")
+    for name in TABLE_SCHEMAS:
+        if name in ("documents", "embeddings"):
+            continue
+        shutil.copy(
+            f"{SRC_SF_DIR}/{name}.parquet", str(d / f"{name}.parquet")
+        )
+    spark.createDataFrame(
+        DEGENERATE_DOCS, TABLE_SCHEMAS["documents"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    embs = [(0, [0.0] * EMB_DIM, 1)] + [
+        (i, e, lbl) for i, e, lbl in DEGENERATE_EMBS[2:]
+    ]
+    spark.createDataFrame(
+        embs, TABLE_SCHEMAS["embeddings"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "embeddings.parquet")
+    )
+    return str(d)
+
+
+def test_zero_norm_query_vector_yields_empty_topk(
+    spark, zero_query_sf_dir
+):
+    """When the anchor vector itself has zero norm, cosine against it
+    is undefined for EVERY candidate: the query-anchored ops must
+    return an empty result with their normal schema (ivf/pq previously
+    crashed on .first() returning None) rather than throw or rank by
+    NaN."""
+    from bigdata_gamedb_etl_spark.operators import similarity as sim
+
+    for q in (
+        sim.sim_cosine_topk,
+        sim.sim_ann_lsh_topk,
+        sim.sim_sq8_topk,
+        sim.sim_pq_topk,
+        sim.sim_ivf_topk,
+        sim.sim_ivf_multiprobe_topk,
+    ):
+        rows = q(spark, zero_query_sf_dir).collect()
+        assert rows == [], f"{q.__name__} returned rows for a zero query"
