@@ -345,20 +345,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     fingerprint = _testdata_fingerprint(SF_DIR)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
 
     if BENCH_SET == "shared12":
         # diagnostic mode: print the SHARED12 line only — no detail
         # file, no probe, no deltas (this run is not the committed
         # round record and must not overwrite it).
         env_after = _env_capture()
-        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-        try:
-            sf_only: float | str = float(sf)
-        except ValueError:
-            sf_only = sf
         print(json.dumps(
             summary_payload(
-                timings, fingerprint, sf_only, env_before, env_after
+                timings, fingerprint, sf_val, env_before, env_after
             )
         ))
         return
@@ -405,12 +405,6 @@ def main() -> None:
     # fallback (SHARED12 coverage only, post-r6 format).
     deltas = _deltas_vs_prior(timings, fingerprint["hash"])
     env_after = _env_capture()
-
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
 
     detail = {
         "metric": (

@@ -101,7 +101,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_TOPK_ORACLE = f"""
 WITH q AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {QUERY_VEC_ID}
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 )
 SELECT vec_id,
        ROUND(
@@ -717,13 +720,39 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(PQ_M)
         ],
     )
+    # query probe FIRST: if the anchor is absent or zero-norm
+    # (filtered by _emb_cosine) the result is empty — skip the count
+    # and all PQ_M codebook fits on that path
+    q = unit.where(F.col("vec_id") == QUERY_VEC_ID).first()
+    if q is None:
+        # cosine against a directionless query is undefined — empty
+        # result, same schema
+        return spark.createDataFrame(
+            [], "vec_id bigint, approx_cosine double"
+        )
+    qu = q["u"]
+
+    # degenerate-corpus clamp (cf. _ivf_topk): MLlib KMeans AIOOBEs
+    # when k exceeds the point count and rejects k < 2, so below 2
+    # usable vectors skip quantization entirely and rank the ≤1
+    # candidates by exact cosine (identical semantics at that size;
+    # the count is a scalar job, a no-op branch at real SF)
+    n_points = with_subs.count()
+    if n_points < 2:
+        exact = F.aggregate(
+            F.zip_with("u", F.lit(qu), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            unit.select("vec_id", F.round(exact, 4).alias("approx_cosine"))
+            .orderBy(F.col("approx_cosine").desc(), F.col("vec_id"))
+            .limit(TOP_K)
+        )
+
     encoded = with_subs
     models = []
-    # same degenerate-corpus clamp as _ivf_topk: MLlib KMeans AIOOBEs
-    # when k exceeds the point count and rejects k < 2 (scalar count
-    # job, no-op at SF; a sub-2-point corpus keeps k=2 and relies on
-    # _emb_cosine having already filtered the unusable vectors)
-    pq_k = max(2, min(PQ_K, with_subs.count()))
+    pq_k = min(PQ_K, n_points)
     for j in range(PQ_M):
         m = KMeans(
             k=pq_k,
@@ -737,14 +766,6 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query-side ADC lookup tables: partial dot of the query subvector
     # against each sub-codebook centroid — model-sized driver math
-    q = unit.where(F.col("vec_id") == QUERY_VEC_ID).first()
-    if q is None:
-        # query vector absent or zero-norm (filtered by _emb_cosine):
-        # cosine against it is undefined — empty result, same schema
-        return spark.createDataFrame(
-            [], "vec_id bigint, approx_cosine double"
-        )
-    qu = q["u"]
     score = F.lit(0.0)
     for j in range(PQ_M):
         qsub = qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]

@@ -132,32 +132,17 @@ def degenerate_events_dir(spark, tmp_path_factory):
     return str(d)
 
 
-def _reads_events(name: str) -> bool:
-    """Cheap static filter: only sweep queries whose module source
-    mentions the events table in the function body — running all 214
-    again for a fixture most never read doubles suite time for zero
-    coverage."""
-    import inspect
-
-    fn = all_queries()[name]
-    try:
-        src = inspect.getsource(fn)
-    except (OSError, TypeError):
-        return True  # can't tell — sweep it
-    # deliberately loose (any 'events' substring, including helper
-    # names like _events_us and docstring mentions): over-matching
-    # only costs a redundant run, under-matching silently skips a
-    # query the fixture was built for.
-    return "events" in src
-
-
-EVENT_QUERIES = sorted(n for n in all_queries() if _reads_events(n))
-
-
-@pytest.mark.parametrize("name", EVENT_QUERIES)
+@pytest.mark.parametrize("name", sorted(all_queries()))
 def test_query_survives_degenerate_events(
     name, spark, degenerate_events_dir
 ):
+    # the FULL registry, not a static source-scan filter: a first cut
+    # matched 'events' in the function source and silently skipped
+    # queries that reach the table through module-level constants
+    # (dq_key_skew_profile via _SKEW_KEYS) or same-module delegation
+    # (dq_quarantine_mart); queries that never touch events re-run on
+    # their sf0.001 copies — redundant but cheap, and the sweep can
+    # never under-match again.
     all_queries()[name](spark, degenerate_events_dir).collect()
 
 
