@@ -365,6 +365,30 @@ def _decode_scan(data, pos, frame, sel, quant, huff_dc, huff_ac, dri):
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise ValueError("invalid sampling factors")
+    # per-component check too: a 0 nibble on a NON-max component passes
+    # the max() checks above but divides by zero at the upsample step
+    # (vmax // c['v']) — ZeroDivisionError would escape the decode
+    # tier's (NotImplementedError, ValueError) fallback contract
+    if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+        raise ValueError("zero component sampling factor")
+    if set(sel) != {c["id"] for c in comps}:
+        # a scan covering a component subset is a sequential
+        # NON-interleaved multi-scan file — route to the fallback tier
+        # via the decode contract instead of a KeyError below
+        raise NotImplementedError(
+            "multi-scan (non-interleaved) baseline JPEG unsupported"
+        )
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the
+        # MCU is ONE data unit and blocks cover the component's
+        # full-resolution grid in raster order, whatever sampling
+        # factors the SOF declares (libjpeg writes 2x2 luma for
+        # grayscale).  Forcing 1x1 factors makes the generic
+        # interleaved loop below coincide exactly with that layout;
+        # restart intervals still count one data unit per MCU, as the
+        # spec requires for non-interleaved scans.
+        comps = [dict(comps[0], h=1, v=1)]
+        hmax = vmax = 1
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
@@ -437,30 +461,6 @@ def _decode_scan(data, pos, frame, sel, quant, huff_dc, huff_ac, dri):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-
-
-def meta(data: bytes):
-    """(width, height, n_components) from the SOF0 header alone."""
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    pos = 2
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG marker desync")
-        marker = data[pos + 1]
-        pos += 2
-        if marker == 0xC0:
-            h, w = struct.unpack_from(">HH", data, pos + 3)
-            if h < 1 or w < 1:
-                raise ValueError("degenerate JPEG dimensions")
-            return w, h, data[pos + 7]
-        if marker in (0xC2,):
-            raise NotImplementedError("progressive JPEG unsupported")
-        if 0xD0 <= marker <= 0xD9:
-            continue
-        (seglen,) = struct.unpack_from(">H", data, pos)
-        pos += seglen
-    raise ValueError("JPEG missing SOF0")
 
 
 # -- encoder (fixture generation) ------------------------------------------

@@ -237,7 +237,14 @@ def _png_pixels(data: bytes):
             break
     if not idat:
         raise ValueError("PNG has no IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # normalize to the decode tier's fallback contract: the batch
+        # loops catch (NotImplementedError, ValueError) — a raw
+        # zlib.error from a corrupt IDAT would kill the whole
+        # mapInPandas job instead of routing one payload to fallback
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = width * ch
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG raster")

@@ -1313,7 +1313,9 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"size(array_distinct({_TOKS})) * 1.0 / size({_TOKS})"
     )
     is_high = (toks >= 200) & (ratio >= 0.1)
-    fr2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    from ._rounding import _fr
+
+    fr2 = lambda c: _fr(c, 2)  # noqa: E731
     return (
         d.select(
             "source",
@@ -1416,7 +1418,9 @@ def pipeline_source_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"size(array_distinct({_TOKS})) * 1.0 / size({_TOKS})"
     )
     is_high = (toks >= 200) & (ratio >= 0.1)
-    fr2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    from ._rounding import _fr
+
+    fr2 = lambda c: _fr(c, 2)  # noqa: E731
     return (
         d.select(
             "source",

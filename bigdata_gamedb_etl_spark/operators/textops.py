@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
-from ._rounding import _fr4
+from ._rounding import _fr, _fr4
 
 # tokens: split on single space, drop empties (both engines agree).
 _TOKS = "filter(split(text, ' '), t -> t <> '')"
@@ -1167,7 +1167,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    fr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    fr6 = lambda c: _fr(c, 6)  # noqa: E731
     # x-variance guard: n·sxx − sx² = 0 iff every x is identical (≤1
     # distinct rank — a ≤1-token corpus).  Spark ANSI throws
     # DIVIDE_BY_ZERO on double/0 where DuckDB yields NaN, so the
@@ -1512,7 +1512,7 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    fr6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    fr6 = lambda c: _fr(c, 6)  # noqa: E731
     # same x-variance guard as text_zipf_slope: a ≤1-bucket corpus has
     # zero x-variance — emit zero rows in both engines, never a Spark
     # ANSI DIVIDE_BY_ZERO vs DuckDB NaN divergence.

@@ -1037,3 +1037,63 @@ def test_weighted_sample_prefers_heavy_docs(spark):
         .first()[0]
     )
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_jpeg_grayscale_2x2_sampling_decodes_noninterleaved():
+    """T.81 A.2 regression: a single-component scan is NON-interleaved
+    (MCU = one data unit, raster order over the full-res block grid)
+    regardless of the SOF's declared sampling factors — libjpeg writes
+    2x2 luma for grayscale.  Patching the fixture's SOF sampling byte
+    from 1x1 to 2x2 must decode to the identical pixels (the entropy
+    stream IS the non-interleaved layout); the pre-fix interleaved
+    reader consumed a 4-blocks-per-16x16-MCU grid instead."""
+    import numpy as np
+
+    from bigdata_gamedb_etl_spark.operators import _jpeg
+
+    # non-square so block-count coincidences can't mask order bugs
+    img = (np.arange(24 * 16).reshape(16, 24) * 7 % 251).astype(np.uint8)
+    jpg = _jpeg.encode_baseline(img)
+    base = _jpeg.decode_pixels(jpg)
+
+    patched = jpg.replace(bytes([1, 0x11, 0]), bytes([1, 0x22, 0]), 1)
+    assert patched != jpg, "SOF grayscale component entry not found"
+    assert np.array_equal(_jpeg.decode_pixels(patched), base)
+
+
+def test_jpeg_zero_component_sampling_is_valueerror():
+    """A component sampling nibble of 0 passes the hmax/vmax check but
+    divided by zero at the upsample step — must be normalized to the
+    decode contract's ValueError, not ZeroDivisionError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdata_gamedb_etl_spark.operators import _jpeg
+
+    img = (np.arange(16 * 16 * 3).reshape(16, 16, 3) % 251).astype(np.uint8)
+    jpg = _jpeg.encode_baseline(img, subsample=True)
+    # chroma components are declared 0x11; zero one nibble
+    patched = jpg.replace(bytes([2, 0x11, 1]), bytes([2, 0x01, 1]), 1)
+    assert patched != jpg, "SOF chroma component entry not found"
+    with _pytest.raises(ValueError):
+        _jpeg.decode_pixels(patched)
+
+
+def test_png_corrupt_idat_is_valueerror():
+    """zlib.error from a corrupt IDAT must be normalized to ValueError
+    (the batch decode tier catches exactly NotImplementedError and
+    ValueError; a raw zlib.error would crash the whole job)."""
+    import pytest as _pytest
+
+    from bigdata_gamedb_etl_spark.operators import multimodal
+
+    good = _png_bytes(
+        3, 3, [(i * 7 % 251, i * 11 % 251, i * 13 % 251) for i in range(9)],
+        ctype=2,
+    )
+    # replace the IDAT body with bytes that are not a zlib stream
+    idx = good.index(b"IDAT")
+    corrupt = bytearray(good)
+    corrupt[idx + 4 : idx + 8] = b"\x00\xff\x00\xff"
+    with _pytest.raises(ValueError):
+        multimodal._png_pixels(bytes(corrupt))
