@@ -209,7 +209,15 @@ def read_rate_stream(
 
 def daily_rollup_stream(events: DataFrame) -> DataFrame:
     """Watermarked tumbling-window rollup — the streaming twin of
-    operators.windows.w4_daily_event_rollup."""
+    operators.windows.w4_daily_event_rollup.
+
+    Twin contract on null event times: rows with ts IS NULL never
+    reach the windowed aggregate (dropped at the watermark operator),
+    while the batch twin keeps them as a NULL-day group — so
+    stream result == batch twin WHERE day IS NOT NULL (pinned by
+    tests/test_streaming.py::
+    test_streaming_rollup_drops_null_ts_rows_batch_keeps_them; the
+    same asymmetry is documented on conformity_monitor_stream)."""
     return (
         events.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")

@@ -606,3 +606,75 @@ def test_streaming_heavy_users_exact_below_cardinality(spark, sf_dir, events_dir
         kth = sorted(per_day_counts[day], reverse=True)[: n_rows][-1]
         floor = min(est for d, _, est in got if d == day)
         assert floor >= kth, (day, floor, kth)
+
+
+def test_streaming_rollup_drops_null_ts_rows_batch_keeps_them(
+    spark, tmp_path
+):
+    """Declared twin semantics on a null-heavy feed: the watermark
+    operator drops rows whose event time is NULL before the windowed
+    aggregate (same reason conformity_monitor_stream's bad_keys
+    omits the ts rule), while the batch twin keeps them as a
+    NULL-day group.  Pin the exact relationship:
+    stream result == batch twin restricted to ts IS NOT NULL."""
+    from datetime import datetime
+
+    from bigdata_gamedb_etl_spark.operators.windows import (
+        w4_daily_event_rollup,
+    )
+    from bigdata_gamedb_etl_spark.sources.catalog import TABLE_SCHEMAS
+
+    rows = [
+        (1, None, 7, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 1, 0, 0), 7, "click", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 2, 0, 0), 8, "click", 3.0, "{}"),
+        (4, None, 8, "view", 4.0, "{}"),
+        (5, datetime(2024, 1, 2, 1, 0, 0), 8, "view", 5.0, "{}"),
+    ]
+    d = tmp_path / "null_ts_events"
+    d.mkdir()
+    staged = tmp_path / "staged"
+    # match the driver-generated testdata's MICROS int64 encoding —
+    # Spark's default INT96 output would misroute the footer unit probe
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        spark.createDataFrame(rows, TABLE_SCHEMAS["events"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(staged))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    # the catalog expects events.parquet to be a FILE (like the
+    # driver-generated testdata), not a directory
+    import shutil as _sh
+
+    part = next(staged.glob("part-*.parquet"))
+    _sh.copy(str(part), str(d / "events.parquet"))
+
+    events = streaming.read_events_stream(spark, str(d))
+    rollup = streaming.daily_rollup_stream(events)
+    streaming.run_stream_to_memory(rollup, "null_ts_rollup_t", "complete")
+    got = {
+        (str(r["day"]), r["event_type"]): (r["event_count"], r["total_value"])
+        for r in spark.table("null_ts_rollup_t").collect()
+    }
+
+    batch = {
+        (str(r["day"]), r["event_type"]): (r["event_count"], r["total_value"])
+        for r in w4_daily_event_rollup(spark, str(d))
+        .where(F.col("day").isNotNull())
+        .collect()
+    }
+    assert got == batch
+    # and the batch twin DID see the null-day group the stream dropped
+    null_day = (
+        w4_daily_event_rollup(spark, str(d))
+        .where(F.col("day").isNull())
+        .collect()
+    )
+    assert {(r["event_type"], r["event_count"]) for r in null_day} == {
+        ("click", 1),
+        ("view", 1),
+    }
