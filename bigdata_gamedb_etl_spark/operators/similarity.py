@@ -47,7 +47,6 @@ IVF_NPROBE = 4
 # compute variant was rejected at this corpus scale)
 IVF_MP_NPROBE = 8
 DUP_COSINE_THRESHOLD = 0.42
-GEMM_BLOCK_ROWS = 4096  # target rows per packed matrix block
 
 
 def _dot(a, b):
@@ -127,12 +126,17 @@ def sim_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dim = (
         emb.select("label", F.posexplode("emb").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.avg("v").alias("mean_v"))
+        # _q9-quantize the per-dim mean before squaring (the Lloyd-step
+        # recipe): AVG of doubles carries ~1e-16 partition-order noise,
+        # and ROUND on the derived norm was the one surviving
+        # round-on-double-average site in this module — a norm within
+        # noise of a 4dp halfway value would flip between the engines
+        .agg(_q9(F.avg("v")).alias("mean_v"))
     )
     return (
         per_dim.groupBy("label")
         .agg(
-            F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 4).alias(
+            _fr4(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v")))).alias(
                 "centroid_norm"
             ),
             F.count("*").alias("n_dims"),
@@ -143,7 +147,8 @@ def sim_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_CENTROID_ORACLE = """
 WITH per_dim AS (
-  SELECT label, dim - 1 AS dim, AVG(v) AS mean_v
+  SELECT label, dim - 1 AS dim,
+         floor(AVG(v) * 1e9 + 0.5) / 1e9 AS mean_v
   FROM (
     SELECT label,
            UNNEST(CAST(embedding AS DOUBLE[])) AS v,
@@ -153,7 +158,7 @@ WITH per_dim AS (
   GROUP BY label, dim
 )
 SELECT label,
-       ROUND(sqrt(SUM(mean_v * mean_v)), 4) AS centroid_norm,
+       floor(sqrt(SUM(mean_v * mean_v)) * 1e4 + 0.5) / 1e4 AS centroid_norm,
        COUNT(*) AS n_dims
 FROM per_dim
 GROUP BY label
@@ -381,6 +386,14 @@ def sim_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 B = np.array(row["mat_b"], dtype=np.float64).reshape(len(ib), -1)
                 S = A @ B.T
                 S[ia[:, None] == ib[None, :]] = -np.inf  # exclude self
+                # quantize to 4dp BEFORE ranking: the GEMM computes
+                # (x/|x|)·(y/|y|) in BLAS order while the oracle folds
+                # dot/(|x||y|) sequentially — last-ulp differences on
+                # near-ties would otherwise flip nn_id between the
+                # engines; at 4dp ties collapse and the id tie-break
+                # decides identically on both sides (floor(-inf) stays
+                # -inf, so self-masking survives quantization)
+                S = np.floor(S * 1e4 + 0.5) / 1e4
                 # per-A-row best in this B block, ties → smallest id:
                 # ib ascending ⇒ argmax first-occurrence
                 best = S.argmax(axis=1)
@@ -397,10 +410,13 @@ def sim_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.max(F.struct("cos", "neg_id")).alias("m"))
     )
-    return best.select(
+    # a -inf best survives only when a vector's every candidate was
+    # itself (single-usable-vector corpus): the oracle's a<>b join
+    # yields no row there, so drop it instead of emitting a self-NN
+    return best.where(F.col("m.cos") > F.lit(float("-inf"))).select(
         "vec_id",
         (-F.col("m.neg_id")).alias("nn_id"),
-        F.round(F.col("m.cos"), 4).alias("nn_cosine"),
+        F.col("m.cos").alias("nn_cosine"),
     ).orderBy("vec_id")
 
 
@@ -414,7 +430,8 @@ n AS (
 ),
 pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         floor(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+               * 1e4 + 0.5) / 1e4 AS cos
   FROM n a JOIN n b ON a.vec_id <> b.vec_id
 ),
 ranked AS (
@@ -422,7 +439,7 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
   FROM pairs
 )
-SELECT a_id AS vec_id, b_id AS nn_id, ROUND(cos, 4) AS nn_cosine
+SELECT a_id AS vec_id, b_id AS nn_id, cos AS nn_cosine
 FROM ranked WHERE rn = 1
 ORDER BY vec_id
 """
@@ -578,6 +595,10 @@ def sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 A = np.array(row["mat_a"], dtype=np.float64).reshape(len(ia), -1)
                 B = np.array(row["mat_b"], dtype=np.float64).reshape(len(ib), -1)
                 S = A @ B.T
+                # 4dp-quantize BEFORE thresholding (cf. sim_knn_top1):
+                # a raw cosine within a last-ulp of the threshold would
+                # be included by one engine and excluded by the other
+                S = np.floor(S * 1e4 + 0.5) / 1e4
                 mask = (ib[None, :] > ia[:, None]) & (S >= DUP_COSINE_THRESHOLD)
                 r, c = np.nonzero(mask)
                 yield pd.DataFrame(
@@ -586,7 +607,7 @@ def sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         pairs.mapInPandas(emit_pairs, out_schema)
-        .select("v1", "v2", F.round("cos", 4).alias("cosine"))
+        .select("v1", "v2", F.col("cos").alias("cosine"))
         .orderBy("v1", "v2")
     )
 
@@ -600,9 +621,11 @@ n AS (
   WHERE list_dot_product(emb, emb) > 0
 )
 SELECT a.vec_id AS v1, b.vec_id AS v2,
-       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cosine
+       floor(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+             * 1e4 + 0.5) / 1e4 AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {DUP_COSINE_THRESHOLD}
+WHERE floor(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+            * 1e4 + 0.5) / 1e4 >= {DUP_COSINE_THRESHOLD}
 ORDER BY v1, v2
 """
 
@@ -887,8 +910,16 @@ def _seed_assigned(
     """Shared assignment stage (Lloyd step + SemDeDup): quantized
     label-seeded per-dim centroid means, and every vector's nearest-
     centroid assignment (broadcast probe, min_by argmin with label
-    tiebreak).  Returns (per_dim, assigned)."""
-    emb = _emb_double(spark, sf_dir)
+    tiebreak).  Returns (per_dim, assigned).
+
+    Zero-LENGTH embeddings are excluded (zero-NORM ones are kept —
+    euclidean assignment is well-defined for them): Spark's zip_with
+    null-pads the length mismatch against a 64-dim centroid and the
+    distance folds to NULL, where DuckDB's range-based transform
+    yields dist2 = 0 and assigns the row to the first label — an
+    engine divergence on a row that carries no geometry.  The oracle
+    CTE carries the same len(emb) > 0 predicate."""
+    emb = _emb_double(spark, sf_dir).where(F.size("emb") > 0)
     per_dim = (
         emb.select("label", F.posexplode("emb").alias("dim", "v"))
         .groupBy("label", "dim")
@@ -968,6 +999,7 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SemDeDup oracles so the two can never drift apart.
 _ASSIGN_CTES = """e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE len(embedding) > 0
 ),
 per_dim AS (
   SELECT label, dim, floor(AVG(v) * 1e9 + 0.5) / 1e9 AS mean_v
@@ -1195,6 +1227,11 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = per_dim.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     return (
         per_dim.crossJoin(F.broadcast(nrm))
+        # zero-norm guard (cf. the OLS x-variance guard): if every
+        # x·e0 moment is 0 (dead first dimension corpus-wide), the
+        # new direction has no norm and w/nrm is 0/0 — ANSI throws
+        # where DuckDB yields NULL, so both engines emit zero rows
+        .where(F.col("nrm") > 0)
         .select(
             "dim",
             # floor recipe (dedup._fr4 extended to signed loadings:
@@ -1228,6 +1265,7 @@ SELECT dim,
        floor(w / nrm * 1e4 + 0.5) / 1e4 AS loading,
        floor(nrm * 1e4 + 0.5) / 1e4 AS eigenvalue_est
 FROM per_dim CROSS JOIN nrm
+WHERE nrm > 0
 ORDER BY dim
 """
 

@@ -112,6 +112,19 @@ RECHECK_CHANGED: list[str] = [
     # via try_parse_json + json_valid (sql_variant_props_stats is
     # already queued above from the rounding sweep)
     "p4_user_value_mad",
+    # r8 similarity review fixes (oracles changed in lockstep):
+    # centroid norms moved off ROUND-on-double-average to the
+    # _q9 + floor recipe; the GEMM ops rank/threshold on 4dp-quantized
+    # cosines on both sides; PCA gained the zero-norm guard; the
+    # shared assignment stage excludes zero-length embeddings.
+    # NOTE: with these four the 50-slot window is exactly NEW+RECHECK —
+    # the CONTROLS block sits out this round (every control is still
+    # locally re-verified each run by test_oracle_parity) and returns
+    # to the window in round 9.
+    "sim_label_centroid_norms",
+    "sim_pca_power_iteration",
+    "sim_kmeans_lloyd_step",
+    "sim_semdedup_prune",
     # r8 round-on-average sweep (non-control members; the swept
     # controls tpch_q1 / a4 / mart_supplier_summary /
     # sql_word_price_stats re-green from the CONTROLS block):
