@@ -156,10 +156,29 @@ def _posting_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shs").alias("n"),
         F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
     )
-    postings = (
+    # df-filter BEFORE collecting the posting list: a size filter
+    # AFTER collect_list would still gather a viral shingle's entire
+    # posting list into one aggregation-buffer row (multi-GB on a
+    # boilerplate shingle at 100 TB — executor OOM before the filter
+    # runs).  The explicit repartition(s) gives the df-count branch
+    # and the join probe branch one IDENTICAL exchange subtree to
+    # share at runtime: with a bare groupBy, partial aggregation sits
+    # below that branch's exchange, the subtrees differ, and the
+    # corpus explode executes twice (measured +30% at sf0.1; with the
+    # repartition the wall clock matches the old unsafe one-shuffle
+    # form within noise).  Net cost: the tiny df_ok side, and the
+    # collect buffer is bounded by SHINGLE_DF_CAP structs.
+    ex = ex.repartition(F.col("s"))
+    df_ok = (
         ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("s")
+    )
+    postings = (
+        ex.join(df_ok, "s")
+        .groupBy("s")
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("docs"))
-        .where((F.size("docs") >= 2) & (F.size("docs") <= SHINGLE_DF_CAP))
     )
     # C(df,2) index pairs per posting list, ordered per-pair with a
     # CASE instead of sorting the list: `docs` is an aggregate OUTPUT
@@ -381,13 +400,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return verified.select("d1", "d2", F.round("jaccard", 4).alias("jaccard")).orderBy(
-        "d1", "d2"
-    )
+    # _fr4, not ROUND: the exact tier publishes _fr4(jaccard) and the
+    # refinement-invariant tests compare the two tiers' values — ROUND
+    # would emit a different 4dp value on exact dyadic halves
+    return verified.select(
+        "d1", "d2", _fr4(F.col("jaccard")).alias("jaccard")
+    ).orderBy("d1", "d2")
 
 
 # --------------------------------------------------------------------------
-def dedup_token_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_shingle_docfreq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level dup pressure report: distribution of shingle
     doc-frequency (how skewed the inverted index is — the quantity that
     decides whether the exact join or LSH is affordable)."""
@@ -690,6 +712,18 @@ def _min_label_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # loud failure beats silently returning non-fixpoint labels as
+        # cluster assignments (far-end nodes of a >CLUSTER_MAX_ITERS-
+        # diameter chain would keep a wrong cluster_id and downstream
+        # keeper selection would keep several "keepers" per true
+        # cluster).  A graph this deep is the documented signal to use
+        # the star variant, whose round count is O(log² n).
+        raise RuntimeError(
+            f"min-label CC did not converge in {CLUSTER_MAX_ITERS} "
+            "rounds (component diameter exceeds the cap) — use "
+            "_star_components / dedup_cluster_assign_star"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(
@@ -762,16 +796,23 @@ def _star_components(
         mins = mins.select(
             "u", F.least("mn", F.col("u")).alias("m")
         )
-        edges = (
+        # materialize the large-star result: _sym(edges) below embeds
+        # this subtree twice (unionAll branches) and `smaller` feeds
+        # both mins2 and the join probe side — left lazy, the
+        # join+distinct would re-execute up to 4× per round (the same
+        # reason the min-label loop materializes its edge list)
+        ls_edges = _materialize_iter(
             sym.where(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
-            .distinct()
+            .distinct(),
+            reliable,
         )
+        ls_ckpt = _ckpt_file(ls_edges) if reliable else None
         # SMALL-STAR: for each u over its smaller neighbors Γ⁻(u):
         # (v, m) for every v ∈ Γ⁻(u) plus (u, m), m = min Γ⁻(u) < u.
         # Every canonical edge (a < b) is covered from b's perspective.
-        smaller = _sym(edges).where(F.col("v") < F.col("u"))
+        smaller = _sym(ls_edges).where(F.col("v") < F.col("u"))
         mins2 = smaller.groupBy("u").agg(F.min("v").alias("m"))
         edges = _materialize_iter(
             smaller.join(mins2, "u")
@@ -787,11 +828,20 @@ def _star_components(
         )
         if reliable:
             _drop_ckpt(prev_ckpt)
+            _drop_ckpt(ls_ckpt)
             prev_ckpt = _ckpt_file(edges)
         sig = edges.agg(F.count("*"), F.sum("lo"), F.sum("hi")).first()
         if tuple(sig) == tuple(prev_sig):
             break
         prev_sig = sig
+    else:
+        # same loud-failure contract as the min-label loop: the paper
+        # bound is O(log² n) rounds, so exhausting STAR_MAX_ITERS on
+        # real data means the fixpoint probe is broken, not that the
+        # graph is "too big" — never return non-fixpoint labels
+        raise RuntimeError(
+            f"star CC did not converge in {STAR_MAX_ITERS} rounds"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     return (
@@ -868,12 +918,19 @@ def dedup_lsh_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster assignment that scales to 100 TB; refines (never
     merges across) the exact-tier clusters wherever the df cap is not
     binding (see the block comment above for the capped-corpus
-    caveat)."""
+    caveat).
+
+    Components via the star operations, not min-label: this is the
+    operator framed as THE 100 TB path, and min-label's O(diameter)
+    rounds stall on a skewed chain component at that scale — the
+    exact situation _star_components (O(log² n) rounds) exists for.
+    Same output contract; component membership is
+    algorithm-independent."""
     reliable = (
         spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
     )
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
-    return _min_label_components(pairs, reliable)
+    return _star_components(pairs, reliable)
 
 
 # --------------------------------------------------------------------------
@@ -1980,7 +2037,7 @@ QUERIES = {
     "dedup_containment_pairs": dedup_containment_pairs,
     "dedup_lsh_cluster_assign": dedup_lsh_cluster_assign,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
-    "dedup_shingle_docfreq_hist": dedup_token_jaccard_stats,
+    "dedup_shingle_docfreq_hist": dedup_shingle_docfreq_hist,
     "dedup_simhash_signatures": dedup_simhash_signatures,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_cluster_assign_star": dedup_cluster_assign_star,

@@ -157,6 +157,15 @@ RECONFIRM_STALE: list[str] = []
 # window anyway (tpch_q5, w1, mart_supplier_summary, a1, tpch_q2) give
 # driver evidence of the new plans, and tests/test_oracle_parity.py
 # re-verified every other swept query locally this round.
+#
+# r8 dedup review (same non-requeue rule — plan-only changes):
+# _posting_pair_counts df-filters BEFORE collect_list (viral-shingle
+# buffer bound; identical results, local parity re-verified for every
+# consumer), dedup_lsh_cluster_assign runs the star CC (identical
+# component-minimum labels, rows-only query), and the CC loops now
+# RAISE on iteration-cap exhaustion instead of returning non-fixpoint
+# labels.  dedup_minhash_lsh_pairs (rows-only) moved its published
+# jaccard from ROUND to the exact tier's _fr4 recipe.
 
 CONTROLS = [
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",

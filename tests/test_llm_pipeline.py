@@ -45,7 +45,7 @@ def test_shingle_df_cap_is_inactive_at_test_sf(spark, duck, sf_dir):
     # the cap exists for the 100 TB hot-shingle case; at test SF every
     # doc-frequency must sit far below it, so the exact oracle match in
     # test_oracle_parity proves no qualifying pair is lost
-    hist = dedup.dedup_token_jaccard_stats(spark, sf_dir).collect()
+    hist = dedup.dedup_shingle_docfreq_hist(spark, sf_dir).collect()
     max_df = max(r["doc_freq"] for r in hist)
     assert max_df <= dedup.SHINGLE_DF_CAP, (
         f"max shingle df {max_df} exceeds cap — the capped exact tier "
