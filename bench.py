@@ -281,6 +281,20 @@ def _env_capture() -> dict:
         cap["cpus"] = os.cpu_count()
     except Exception:
         pass
+    try:
+        # Cumulative jiffies since boot; the before/after DELTA of
+        # steal vs total exposes hypervisor noisy-neighbor time that
+        # loadavg and PSI cannot see (both only count runnable tasks
+        # inside this guest).  r8 observed quiet-start runs (load1
+        # 0.04-0.06, psi60 0.0) whose per-query medians still drifted
+        # 1.12-1.19x vs an earlier same-HEAD-family run — steal is the
+        # remaining measurable suspect.
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        ticks = list(map(int, parts))
+        cap["stat_ticks"] = {"total": sum(ticks), "steal": ticks[7]}
+    except Exception:
+        pass
     return cap
 
 
@@ -516,6 +530,16 @@ def summary_payload(
     psi_a = ((env_after or {}).get("psi") or {}).get("avg60")
     if psi_b is not None or psi_a is not None:
         env["psi60"] = [psi_b, psi_a]
+    tk_b = (env_before or {}).get("stat_ticks")
+    tk_a = (env_after or {}).get("stat_ticks")
+    if tk_b and tk_a and tk_a["total"] > tk_b["total"]:
+        # share of guest cpu-time stolen by the hypervisor DURING the
+        # run — the one contention channel loadavg/PSI cannot see
+        env["steal_pct"] = round(
+            100.0 * (tk_a["steal"] - tk_b["steal"])
+            / (tk_a["total"] - tk_b["total"]),
+            2,
+        )
     return {
         "metric": (
             "headline-query wall clock (noop sink, best of 2 runs), "
