@@ -460,3 +460,59 @@ def test_money_columns_are_fixed_point():
                 f"FROM '/root/testdata/{sf}/{tbl}.parquet'"
             ).fetchone()
             assert err < 1e-6, f"{sf}/{tbl}.{col} not 2dp fixed-point: {err}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cc_variants_match_union_find(spark, pairs):
+    """Both connected-components implementations — min-label
+    propagation and the large-star/small-star operations — must assign
+    every node its component-minimum label on ARBITRARY pair graphs
+    (duplicate edges, both orientations, many components, dense blobs),
+    matching a plain-Python union-find.  The chain-fixture test pins
+    one adversarial shape; this pins the equivalence claim the
+    registry's star-swap precedent rests on ("identical
+    component-minimum labels").  Self-pairs are excluded to match the
+    pair generators' contract (every generator emits d1 < d2)."""
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    minl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup._min_label_components(df, False).collect()
+    }
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup._star_components(df, False).collect()
+    }
+    assert minl == expected
+    assert star == expected
