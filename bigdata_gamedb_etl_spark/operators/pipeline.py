@@ -1148,10 +1148,19 @@ def pipeline_split_contamination(
     """Per eval split (val/test): docs, distinct 3-gram shingles,
     shingles also present in any train doc, and the containment rate.
 
-    Scale shape: one corpus shingle explode shared by both sides, a
-    distinct per (split, shingle), and one shuffle join on the shingle
-    key against the train-side distinct — the same posting-list shape
-    as the Jaccard tier, never an all-pairs comparison."""
+    Scale shape: ONE corpus shingle explode feeding ONE hash-agg on
+    the shingle key that folds each split's presence into a boolean
+    flag (map-side combinable — the explode's raw output collapses to
+    distinct shingles before it ever shuffles), then a single global
+    sum unpivoted with `stack` — no distinct, no self-join, no window
+    sort, one corpus scan.  Two rejected cuts, both measured: (a)
+    filters before per-branch distincts — Catalyst pushes a
+    grouping-key predicate below the aggregate, so the train and eval
+    branches shared nothing (2 full explode executions, 0
+    ReusedExchange); (b) distinct-then-window-max over the shingle
+    key — one explode but the whole-partition window adds a sort by
+    shingle string that costs more than the join it removed.  Never
+    an all-pairs comparison."""
     from .dedup import _SHINGLES
 
     clusters = dedup_cluster_assign(spark, sf_dir)
@@ -1183,16 +1192,22 @@ def pipeline_split_contamination(
         .otherwise("test")
     )
     assigned = grouped.select("doc_id", "text", split.alias("split"))
-    sh = assigned.select(
-        "split", "doc_id", F.explode(F.expr(_SHINGLES)).alias("sh")
-    )
-    train_sh = (
-        sh.where(F.col("split") == "train").select("sh").distinct()
-    )
-    eval_sh = (
-        sh.where(F.col("split") != "train")
-        .select("split", "sh")
-        .distinct()
+    flags = (
+        assigned.select(
+            "split", F.explode(F.expr(_SHINGLES)).alias("sh")
+        )
+        .groupBy("sh")
+        .agg(
+            F.max((F.col("split") == "train").cast("long")).alias(
+                "in_train"
+            ),
+            F.max((F.col("split") == "val").cast("long")).alias(
+                "in_val"
+            ),
+            F.max((F.col("split") == "test").cast("long")).alias(
+                "in_test"
+            ),
+        )
     )
     docs = (
         assigned.where(F.col("split") != "train")
@@ -1200,16 +1215,28 @@ def pipeline_split_contamination(
         .agg(F.count("*").alias("n_docs"))
     )
     overlap = (
-        eval_sh.join(
-            train_sh.withColumn("hit", F.lit(1)), "sh", "left"
-        )
-        .groupBy("split")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(F.col("hit").isNotNull().cast("long")).alias(
-                "train_hit_shingles"
+        flags.agg(
+            F.sum("in_val").alias("val_sh"),
+            F.sum(F.col("in_val") * F.col("in_train")).alias("val_hit"),
+            F.sum("in_test").alias("test_sh"),
+            F.sum(F.col("in_test") * F.col("in_train")).alias(
+                "test_hit"
             ),
         )
+        .select(
+            F.expr(
+                "stack(2, 'val', val_sh, val_hit, "
+                "'test', test_sh, test_hit) "
+                "AS (split, n_shingles, train_hit_shingles)"
+            )
+        )
+        # a split row exists iff it has >= 1 distinct eval shingle —
+        # matches the per-(split, shingle)-grain groupBy this replaces
+        # (an all-train or shingle-less corpus yields NULL/0 sums
+        # here, where the old shape yielded no row; without the guard
+        # the NULL row survives the inner join and the 0 row divides
+        # by zero, which ANSI mode throws on)
+        .where(F.col("n_shingles") > 0)
     )
     return (
         docs.join(overlap, "split")
