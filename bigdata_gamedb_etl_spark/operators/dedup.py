@@ -1892,34 +1892,54 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-members."""
     sh = _shingled(spark, sf_dir)
     is_bench = F.col("doc_id") % DECON_MOD == 0
-    corpus = sh.select(F.explode("shs").alias("s")).distinct()
-    bench = sh.where(is_bench).select(F.explode("shs").alias("s")).distinct()
+    # ONE corpus explode: fold benchmark membership into a per-shingle
+    # flag (member = the shingle occurs in >= 1 bench doc) instead of
+    # materializing separate corpus/bench relations.  The first cut
+    # built `bench` as a FILTERED second explode and consumed it twice
+    # (bit construction + the member join), so the corpus shingle
+    # subtree executed three times — the doc-filter sat below the
+    # distinct, so no exchange was reusable (the split-contamination
+    # lesson).  Here both downstream consumers (bits, probes) sit
+    # above the SAME explode->groupBy aggregate, and the bits branch
+    # filters on the AGGREGATED member flag — not a grouping key, so
+    # Catalyst cannot push it below the aggregate and the shuffle is
+    # shared.  The member join disappears entirely: membership is
+    # already a column.
+    marks = (
+        sh.select(
+            F.explode("shs").alias("s"), is_bench.cast("long").alias("m")
+        )
+        .groupBy("s")
+        .agg(F.max("m").alias("member"))
+    )
     kpos = F.array(*[_bloom_pos(i) for i in range(BLOOM_K)])
     bits = (
-        bench.select(F.explode(kpos).alias("pos"))
+        marks.where(F.col("member") == 1)
+        .select(F.explode(kpos).alias("pos"))
         .distinct()
         .withColumn("b", F.lit(1))
     )
-    probe_pos = corpus.select("s", F.explode(kpos).alias("pos")).distinct()
-    per_key = (
+    probe_pos = marks.select(
+        "s", "member", F.explode(kpos).alias("pos")
+    ).distinct()
+    flagged = (
         probe_pos.join(F.broadcast(bits), "pos", "left")
-        .groupBy("s")
+        .groupBy("s", "member")
         .agg(F.count("*").alias("np"), F.count("b").alias("matched"))
-        .select("s", (F.col("np") == F.col("matched")).alias("bloom_hit"))
-    )
-    flagged = per_key.join(
-        bench.withColumn("member", F.lit(1)), "s", "left"
+        .select(
+            "member", (F.col("np") == F.col("matched")).alias("bloom_hit")
+        )
     )
     # bits_set rides along as a broadcast 1-row frame — no driver
     # action at plan-build time (the query stays fully lazy)
     nbits = bits.agg(F.count("*").alias("bits_set"))
     fp = F.sum(
-        (F.col("bloom_hit") & F.col("member").isNull()).cast("long")
+        (F.col("bloom_hit") & (F.col("member") == 0)).cast("long")
     )
-    nonmembers = F.count("*") - F.count("member")
+    nonmembers = F.count("*") - F.sum("member")
     return flagged.crossJoin(F.broadcast(nbits)).agg(
         F.count("*").alias("n_probes"),
-        F.count("member").alias("n_members"),
+        F.sum("member").alias("n_members"),
         F.min("bits_set").cast("long").alias("bits_set"),
         F.sum(F.col("bloom_hit").cast("long")).alias("bloom_hits"),
         fp.alias("false_positives"),

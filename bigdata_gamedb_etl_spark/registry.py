@@ -158,6 +158,15 @@ RECONFIRM_STALE: list[str] = []
 # driver evidence of the new plans, and tests/test_oracle_parity.py
 # re-verified every other swept query locally this round.
 #
+# r8 single-corpus-scan sweep (same non-requeue rule — identical
+# results, local parity + no-false-negative + degenerate tests
+# re-verified): dedup_bloom_prefilter folds bench membership into a
+# per-shingle flag so the corpus shingle explode runs ONCE (was 3
+# executions: corpus + bench-bits + bench-member-join; the doc filter
+# sat below the distinct so nothing was reusable) and the member join
+# disappears.  pipeline_split_contamination got the same treatment but
+# IS in the window (ROUND8_NEW) and re-greens with the new plan.
+#
 # r8 dedup review (same non-requeue rule — plan-only changes):
 # _posting_pair_counts df-filters BEFORE collect_list (viral-shingle
 # buffer bound; identical results, local parity re-verified for every
