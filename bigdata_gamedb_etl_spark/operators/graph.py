@@ -339,9 +339,18 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     have each degree — the one-line skew check on the duplicate
     structure (a heavy-tailed histogram means hub documents and
     motivates the df cap).  Two bounded hash-aggs over the edge
-    list."""
+    list.
+
+    Endpoint multiset via explode(array(d1, d2)) rather than
+    _sym_edges' union: the union's two branches each re-execute the
+    whole shingle/posting-list pair generation (the same duplicate-
+    subtree cost graph_2hop_reach documents), which a one-shot
+    histogram doesn't need — one explode doubles each pair row into
+    its two endpoints in a single pass, and the multiset (hence every
+    degree) is identical."""
     deg = (
-        _sym_edges(spark, sf_dir)
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select(F.explode(F.array("d1", "d2")).alias("src"))
         .groupBy("src")
         .agg(F.count("*").alias("degree"))
     )

@@ -166,6 +166,9 @@ RECONFIRM_STALE: list[str] = []
 # sat below the distinct so nothing was reusable) and the member join
 # disappears.  pipeline_split_contamination got the same treatment but
 # IS in the window (ROUND8_NEW) and re-greens with the new plan.
+# graph_degree_distribution swaps _sym_edges' pair-subtree-duplicating
+# union for explode(array(d1, d2)) — identical endpoint multiset, one
+# pair-generation execution.
 #
 # r8 dedup review (same non-requeue rule — plan-only changes):
 # _posting_pair_counts df-filters BEFORE collect_list (viral-shingle
