@@ -99,3 +99,26 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     # under AQE the pre-execution simple plan hides codegen spans; the
     # codegen explain mode reports generated subtrees directly.
     return "WholeStageCodegen subtree" in explain_str(df, "codegen")
+
+
+def num_explodes(df: DataFrame) -> int:
+    """Generate-explode count in the OPTIMIZED logical plan — the
+    duplicate-subtree detector: branching an exploded relation into
+    differently-filtered consumers re-executes the explode per branch
+    (Catalyst pushes grouping-key predicates below aggregates, so
+    exchange reuse can't recover it).  Count here, not in the physical
+    string, so materialized-RDD barriers (CC loops) don't hide or
+    inflate the number."""
+    return (
+        df._jdf.queryExecution().optimizedPlan().toString()
+        .count("Generate explode")
+    )
+
+
+def finalized(df: DataFrame) -> str:
+    """The post-execution adaptive physical plan.  AQE only inserts
+    ReusedExchange (and its final join strategies) after the run, so
+    reuse contracts must execute the query first — `df.first()` plans
+    a SEPARATE limited query, hence the collect."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()

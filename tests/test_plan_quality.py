@@ -646,3 +646,41 @@ def test_weighted_sample_is_topk_no_shuffle(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
+
+
+def test_split_contamination_single_corpus_explode(spark, sf_dir):
+    """r8 single-corpus-scan sweep: the contamination audit folds split
+    membership into per-shingle flags, so the corpus shingle explode
+    appears EXACTLY once in the optimized plan.  The first cut filtered
+    train/eval before per-branch distincts and ran the explode twice
+    (grouping-key predicate pushdown below the aggregates defeated
+    exchange reuse) — this contract pins the regression class."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    df = pipeline.pipeline_split_contamination(spark, sf_dir)
+    assert plans.num_explodes(df) == 1, plans.optimized(df)
+
+
+def test_bloom_audit_reuses_the_shingle_aggregate(spark, sf_dir):
+    """r8 single-corpus-scan sweep: the bloom audit's bits and probe
+    branches both sit above ONE explode->groupBy member-flag aggregate
+    (the bits filter is on the AGGREGATED flag, which cannot push below
+    the aggregate), so at runtime AQE must reuse that exchange instead
+    of re-running the corpus explode per branch.  The logical plan
+    still PRINTS the subtree per consumer — reuse is a physical-plan
+    fact, hence the finalized-plan assertion."""
+    df = dedup.dedup_bloom_prefilter(spark, sf_dir)
+    fin = plans.finalized(df)
+    assert "ReusedExchange" in fin, fin
+
+
+def test_degree_histogram_single_pair_generation(spark, sf_dir):
+    """r8 single-corpus-scan sweep: the degree histogram builds its
+    endpoint multiset via explode(array(d1, d2)) — one pair-generation
+    execution (3 explodes) plus the endpoint explode.  The old
+    _sym_edges union re-executed the whole shingle/posting-list pair
+    generation per branch (6+ explodes)."""
+    from bigdata_gamedb_etl_spark.operators import graph
+
+    df = graph.graph_degree_distribution(spark, sf_dir)
+    assert plans.num_explodes(df) <= 4, plans.optimized(df)
