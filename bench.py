@@ -466,10 +466,12 @@ def main() -> None:
             "r6->r7 +24% = external machine load (see env capture; "
             "quiet r8 re-runs recover it) + DECIMAL-sum averages from "
             "the rounding sweep on tpch_q1/sql_word_price_stats "
-            "(replaced by quantized-BIGINT _avg_q in r8). Residual "
-            "vs r6 = run variance + q1's retained DECIMAL money sums; "
-            "session-size aging ruled out (SHARED12-only fresh JVM "
-            "reproduces the full-session SHARED12 within 0.16 s)"
+            "(replaced by quantized-BIGINT _avg_q in r8). RETIRED at "
+            "round-8 end: best-of-3 SHARED12 on a quiet machine "
+            "(steal 0.05%) measured 12.12 s — below the r6 envelope "
+            "(13.41); session-size aging ruled out (SHARED12-only "
+            "fresh JVM reproduces the full-session SHARED12 within "
+            "0.16 s)"
         ),
         # Measured across four quiet-start (load1 <= 0.16, psi60 0.0)
         # same-code-family runs at the end of round 8: SHARED12 came
