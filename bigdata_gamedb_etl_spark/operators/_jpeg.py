@@ -201,7 +201,10 @@ class _BitReader:
                 # unexpected RST): back up and fail the read
                 self.pos -= 1
                 raise ValueError("marker inside entropy-coded segment")
-        self.buf = (self.buf << 8) | b
+        # keep only the live (unconsumed) bits: without the mask, buf
+        # grows by 8 bits per entropy byte for the whole scan and every
+        # shift in read_bit costs O(stream size) — O(n²) overall.
+        self.buf = ((self.buf << 8) | b) & ((1 << (self.nbits + 8)) - 1)
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -324,8 +327,12 @@ def _decode_impl(data: bytes):
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG unsupported")
             h, w = struct.unpack_from(">HH", seg, 1)
-            if h < 1 or w < 1:
-                raise ValueError("degenerate JPEG dimensions")
+            # plausibility cap mirrors the PPM/PNG decoders: a header
+            # alone must not be able to drive the per-component plane
+            # allocation (ValueError routes to the fallback tier;
+            # MemoryError would kill the whole mapInPandas task).
+            if not (0 < h <= 1 << 14 and 0 < w <= 1 << 14):
+                raise ValueError("implausible JPEG dimensions")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG unsupported")

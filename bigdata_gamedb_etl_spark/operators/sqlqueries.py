@@ -30,11 +30,12 @@ def sql_word_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT word,
                COUNT(*) AS part_count,
-               floor(SUM(CAST(round(p_retailprice * 100.0) AS BIGINT))
+               CAST(floor(SUM(CAST(round(p_retailprice * 100.0) AS BIGINT))
                      / 100.0
-                     / COUNT(p_retailprice) * 100.0 + 0.5) / 100.0
+                     / COUNT(p_retailprice) * 100.0 + 0.5) AS DOUBLE) / 100.0
                  AS avg_price,
-               floor(percentile(p_retailprice, 0.5) * 100.0 + 0.5) / 100.0
+               CAST(floor(percentile(p_retailprice, 0.5) * 100.0 + 0.5)
+                    AS DOUBLE) / 100.0
                  AS median_price,
                ROUND(MIN(p_retailprice), 2) AS min_price,
                ROUND(MAX(p_retailprice), 2) AS max_price
@@ -81,8 +82,8 @@ def sql_supplier_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s_name,
                COUNT(*) AS item_count,
                CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
-               floor(CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(revenue) * 100.0 + 0.5) / 100.0 AS avg_revenue
+               CAST(floor(CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(revenue) * 100.0 + 0.5) AS DOUBLE) / 100.0 AS avg_revenue
         FROM (
           SELECT trim(s.s_name) AS s_name,
                  l.l_extendedprice * (1 - l.l_discount) AS revenue
@@ -252,9 +253,9 @@ def sql_window_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT n_name, s_name, revenue,
                  DENSE_RANK() OVER (PARTITION BY n_name
                                     ORDER BY revenue DESC) AS rnk,
-                 floor(revenue * 100.0 / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+                 CAST(floor(revenue * 100.0 / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
                        OVER (PARTITION BY n_name) AS DOUBLE)
-                       * 10000.0 + 0.5) / 10000.0 AS nation_share_pct
+                       * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS nation_share_pct
           FROM rev
         )
         SELECT n_name, s_name, revenue, rnk, nation_share_pct

@@ -689,6 +689,41 @@ def test_jpeg_decoder_exception_contract_under_fuzz():
                 pass
 
 
+def test_jpeg_sof0_dimension_cap_is_valueerror():
+    """A header-only payload declaring 65535x65535 must raise
+    ValueError (routed to the fallback tier) BEFORE any per-component
+    plane allocation — a MemoryError escaping here would kill the
+    whole mapInPandas task (r8 advice item)."""
+    import struct as _s
+
+    from bigdata_gamedb_etl_spark.operators import _jpeg
+
+    sof = _s.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+    try:
+        _jpeg.decode_pixels(payload)
+        raise AssertionError("implausible dims accepted")
+    except ValueError:
+        pass
+
+
+def test_jpeg_bitreader_buf_stays_bounded():
+    """_BitReader must mask consumed high bits on refill: without the
+    mask buf grows by 8 bits per entropy byte and every read_bit shift
+    is O(stream size) — an effective hang on real-sized scans
+    (r8 advice item)."""
+    from bigdata_gamedb_etl_spark.operators import _jpeg
+
+    r = _jpeg._BitReader(bytes([0xA5] * 4096), 0)
+    for _ in range(4096 * 8):
+        r.read_bit()
+    assert r.buf.bit_length() <= 16, r.buf.bit_length()
+
+
 def _wav_bytes(rate, samples, n_ch=1, extra_chunk=False):
     """Encode a PCM16 RIFF/WAVE fixture (optionally with an extra
     LIST chunk before data, exercising the chunk walk)."""

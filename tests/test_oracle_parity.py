@@ -19,6 +19,42 @@ ORACLE = all_oracle()
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
 
 
+def _spark_family(dt: str) -> str:
+    """Collapse a Spark dtype string to a cross-engine type family."""
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("double", "float"):
+        return "float"
+    if dt in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if dt in ("string", "varchar"):
+        return "str"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("array"):
+        return "list"
+    return dt
+
+
+def _duck_family(dt: str) -> str:
+    """Collapse a DuckDB column_type string to the same families."""
+    dt = dt.upper()
+    if dt.endswith("[]"):
+        return "list"
+    if dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if "INT" in dt:  # TINYINT..BIGINT, HUGEINT, unsigned variants
+        return "int"
+    if dt in ("VARCHAR", "TEXT", "STRING", "BPCHAR"):
+        return "str"
+    if dt.startswith("TIMESTAMP"):
+        return "timestamp"
+    return dt.lower()
+
+
 def _norm_value(v):
     if isinstance(v, Decimal):
         v = float(v)
@@ -56,6 +92,21 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     d_cols, d_vals = _normalize(duck_cols, duck_rows)
 
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+
+    # Result-TYPE families must match before any value normalization:
+    # the driver's value hash is exact, so a Spark DECIMAL column vs a
+    # DuckDB DOUBLE hash-fails even when every value is numerically
+    # equal (r8: sql_supplier_distribution).  Coercing Decimal->float
+    # below would mask exactly that class of drift.
+    spark_fam = {c: _spark_family(t) for c, t in sdf.dtypes}
+    dd = duck.execute(f"DESCRIBE {ORACLE[name]}").fetchall()
+    duck_fam = {r[0]: _duck_family(r[1]) for r in dd}
+    drift = {
+        c: (spark_fam[c], duck_fam[c])
+        for c in s_cols
+        if spark_fam[c] != duck_fam[c]
+    }
+    assert not drift, f"{name}: result-type family drift {drift}"
     assert len(s_vals) == len(d_vals), (
         f"{name}: row count {len(s_vals)} vs {len(d_vals)}"
     )
