@@ -118,6 +118,9 @@ EXTRAS = [
     # triangle join
     "text_repeated_spans",
     "graph_clustering_coeff",
+    # round-9: the cluster-emit simhash variant (signature-graph CC —
+    # the linear-output answer to pair-emit's replica pair-mass)
+    "dedup_simhash_clusters",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -165,6 +168,12 @@ SCALE_PROBE_QUERIES = [
     # dedup_cluster_assign, rounds bounded by O(log² n) instead of
     # diameter, so its probe ratio should track min-label's
     "dedup_cluster_assign_star",
+    # round-9: cluster-emit simhash — output linear in corpus size, so
+    # its ratio should stay near the factor where pair-emit's is
+    # output-inflated (warmed best-of-2 at r9 build time: pairs 2.24,
+    # clusters 2.59 at factor 10, down from 9.59 before the
+    # signature-collapse rewrite)
+    "dedup_simhash_clusters",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
@@ -513,7 +522,11 @@ def _simhash_stage_breakdown(spark, sf_dir: str) -> dict:
     if scaled/base pair counts grow like the time ratio, the probe
     growth is output-driven (the replica construction genuinely
     multiplies true near-dup pairs); if candidate_verify_sec grows
-    much faster than n_pairs, the band join itself is the problem."""
+    much faster than n_pairs, the band join itself is the problem.
+    Since the r9 signature-collapse rewrite the band join + verify run
+    at signature-pair granularity, so candidate_verify_sec is mostly
+    the member-expansion OUTPUT materialization; n_pairs contextualizes
+    it (8.7M genuine pairs at the 10x slice)."""
     from bigdata_gamedb_etl_spark.operators import dedup
 
     t0 = time.perf_counter()

@@ -682,7 +682,11 @@ def _min_label_components(
     # decrease, so the total is strictly smaller after any change and a
     # repeated sum means fixpoint — one cheap scalar aggregate per
     # round instead of an old-vs-new compare join.
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # DECIMAL(38,0) sum: labels can be 64-bit simhash values (the
+    # signature-graph CC in dedup_simhash_clusters), whose BIGINT sum
+    # overflows under ANSI mode; decimal keeps the invariant exact.
+    _label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
     # In the reliable path, each iteration writes a fresh labels
     # checkpoint; the previous iteration's files are dead the moment the
     # new one is (eagerly) materialized.  Each checkpointed DataFrame
@@ -708,7 +712,7 @@ def _min_label_components(
         if reliable:
             _drop_ckpt(prev_label_ckpt)
             prev_label_ckpt = _ckpt_file(labels)
-        new_sum = labels.agg(F.sum("comp")).first()[0]
+        new_sum = labels.agg(_label_sum).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -775,9 +779,14 @@ def _star_components(
         reliable,
     )
     prev_ckpt: str | None = _ckpt_file(edges) if reliable else None
-    prev_sig = edges.agg(
-        F.count("*"), F.sum("lo"), F.sum("hi")
-    ).first()
+    # decimal sums for the same ANSI-overflow reason as the min-label
+    # probe: node ids may be 64-bit signature values.
+    _star_sig = (
+        F.count("*"),
+        F.sum(F.col("lo").cast("decimal(38,0)")),
+        F.sum(F.col("hi").cast("decimal(38,0)")),
+    )
+    prev_sig = edges.agg(*_star_sig).first()
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.select(
@@ -830,7 +839,7 @@ def _star_components(
             _drop_ckpt(prev_ckpt)
             _drop_ckpt(ls_ckpt)
             prev_ckpt = _ckpt_file(edges)
-        sig = edges.agg(F.count("*"), F.sum("lo"), F.sum("hi")).first()
+        sig = edges.agg(*_star_sig).first()
         if tuple(sig) == tuple(prev_sig):
             break
         prev_sig = sig
@@ -1741,12 +1750,17 @@ DEDUP_FUNNEL_ORACLE = _funnel_oracle()
 # Round 7's 10× scale probe caught exactly this: the 16-bit form ran
 # at ratio 8.6 (collision-quadratic); the block-combination form is
 # the shape that survives 100 TB.  The r8 probe decomposition
-# (BENCH_DETAIL.json::scale_probe.simhash_stages) proves the
-# remaining ~8× time ratio at factor 10 is OUTPUT-driven, not
+# (BENCH_DETAIL.json::scale_probe.simhash_stages) proved the
+# remaining ~8× time ratio at factor 10 was OUTPUT-driven, not
 # shape-driven: verified pairs grow 17.2× (506k → 8.7M — the replica
 # construction multiplies true near-dup pairs super-linearly) while
-# candidate+verify time grows only 7.7× and the signature stage 1.9×,
-# i.e. per-pair cost FALLS with scale.
+# per-pair cost FALLS with scale.  Round 9 acts on that finding twice:
+# pair-emit collapses identical signatures before the band join (the
+# quadratic replica mass moves from the verify stage to pure output
+# materialization; warmed 10× ratio 9.59 → 2.24), and
+# dedup_simhash_clusters emits (doc, component) rows instead of pairs
+# — output linear in corpus size — for the dense-replica regime where
+# the pair mass itself is the cost.
 #
 # Zero signatures (token-less docs) are excluded: every empty doc
 # shares the all-zero signature and its bucket would go quadratic —
@@ -1774,15 +1788,30 @@ def _simhash_combo_key_sql(combo: tuple[int, int, int], col: str = "simhash") ->
     return f"((({a} * 2048) + {b}) * 2048 + {c})"
 
 
-def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs from the 20 block-combination tables,
-    verified to Hamming distance ≤ SIMHASH_HAM_MAX (d1 < d2, each pair
-    once; every pair at distance ≤ 3 is guaranteed caught)."""
+def _simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-zero signatures collapsed to identical-signature groups:
+    (simhash, sorted doc list).  Replicas of one document share a
+    signature, so every doc-granular stage downstream of this collapse
+    runs at DISTINCT-SIGNATURE cost instead of doc cost — the r8 scale
+    probe showed candidate-verify over doc pairs growing 17× at 10×
+    data purely from replica groups.  The member arrays are bounded by
+    the per-document replica count (exact dedup runs before simhash in
+    the survivorship funnel, so pathological 10^6-replica groups are
+    collapsed upstream at real scale)."""
     sig = dedup_simhash_signatures(spark, sf_dir).where(
         F.col("simhash") != 0
     )
-    bands = sig.select(
-        "doc_id",
+    return sig.groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+
+
+def _simhash_sig_pairs(groups: DataFrame) -> DataFrame:
+    """Verified signature pairs (s1 < s2, hamming ≤ SIMHASH_HAM_MAX)
+    from the 20 block-combination tables over DISTINCT signatures —
+    the band join, the distinct, and the bit_count verify all run at
+    signature-pair granularity."""
+    bands = groups.select(
         "simhash",
         F.explode(
             F.array(
@@ -1796,34 +1825,71 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bv"),
     ).select(
-        "doc_id",
         "simhash",
         F.col("bv.tbl").alias("tbl"),
         F.col("bv.val").alias("val"),
     )
-    cand = (
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
             F.col("a.simhash").alias("s1"),
             F.col("b.simhash").alias("s2"),
         )
         .distinct()
-    )
-    return (
-        cand.select(
-            "d1", "d2", F.expr("bit_count(s1 ^ s2)").alias("hamming")
-        )
+        .withColumn("hamming", F.expr("bit_count(s1 ^ s2)"))
         .where(F.col("hamming") <= SIMHASH_HAM_MAX)
-        .orderBy("d1", "d2")
     )
+
+
+def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from the 20 block-combination tables,
+    verified to Hamming distance ≤ SIMHASH_HAM_MAX (d1 < d2, each pair
+    once; every pair at distance ≤ 3 is guaranteed caught).
+
+    r9 shape (verdict item 4): identical signatures collapse to one
+    group BEFORE the band join, so the join, the candidate distinct,
+    and the Hamming verify run over signature pairs; doc pairs are
+    materialized only at the output edge — same-signature groups
+    expand to hamming-0 cliques directly, cross-signature verified
+    pairs expand by member-list cross product.  Output is UNCHANGED
+    (each doc has exactly one signature, so an unordered doc pair maps
+    to exactly one unordered signature pair); what the probe charges
+    as candidate-verify cost becomes pure output materialization —
+    the genuinely quadratic replica pair-mass.  The cluster-emit
+    variant (dedup_simhash_clusters) is the scale path when pair mass
+    itself is the problem."""
+    groups = _materialize_iter(_simhash_groups(spark, sf_dir), False)
+    # materialize once: groups feeds the same-signature expansion and
+    # BOTH sides of the cross-signature member join — without it each
+    # consumer re-executes the pandas-UDF signature scan.
+    same = (
+        groups.where(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("d1"), "docs")
+        .select("d1", F.explode("docs").alias("d2"))
+        .where(F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.lit(0))  # identical sigs: distance 0
+    )
+    g1 = groups.select(F.col("simhash").alias("s1"), F.col("docs").alias("docs1"))
+    g2 = groups.select(F.col("simhash").alias("s2"), F.col("docs").alias("docs2"))
+    cross = (
+        _simhash_sig_pairs(groups)
+        .join(g1, "s1")
+        .join(g2, "s2")
+        .select(F.explode("docs1").alias("da"), "docs2", "hamming")
+        .select("da", F.explode("docs2").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross).orderBy("d1", "d2")
 
 
 def _simhash_pairs_oracle() -> str:
@@ -1854,6 +1920,106 @@ ORDER BY d1, d2
 
 
 DEDUP_SIMHASH_PAIRS_ORACLE = _simhash_pairs_oracle()
+
+
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-emit variant of the simhash near-dup surface — the
+    dense-replica scale path (r8 verdict item 4).  The r8 probe proved
+    pair-emit's superlinear growth is OUTPUT mass: k replicas of one
+    document emit C(k,2) hamming-0 pairs, 17× more verified pairs at
+    10× data.  This variant emits ONE row per near-dup document
+    (doc_id, cluster_id = min doc_id reachable through hamming ≤
+    SIMHASH_HAM_MAX pairs) — output LINEAR in corpus size.
+
+    Same partition as pair-emit + CC, computed at signature cost:
+    docs sharing a signature form a hamming-0 clique, so connected
+    components over the SIGNATURE graph (nodes = distinct signatures,
+    edges = verified signature pairs) expanded by group membership
+    yield identical components.  A doc qualifies iff it is in ≥1 pair:
+    its signature group has ≥2 members or its signature has a verified
+    cross-signature edge.  Oracle: recursive-CTE reachability over the
+    signature graph."""
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
+    groups = _materialize_iter(_simhash_groups(spark, sf_dir), reliable)
+    sig_edges = _simhash_sig_pairs(groups).select(
+        F.col("s1").alias("d1"), F.col("s2").alias("d2")
+    )
+    lab = _min_label_components(sig_edges, reliable)  # (doc_id=sig, cluster_id=comp sig)
+    sig_lab = (
+        groups.join(lab, groups["simhash"] == lab["doc_id"], "left")
+        .where((F.size("docs") >= 2) | lab["cluster_id"].isNotNull())
+        .select(
+            "docs",
+            F.coalesce(lab["cluster_id"], groups["simhash"]).alias("comp"),
+            F.array_min("docs").alias("min_doc"),
+        )
+    )
+    cluster_ids = sig_lab.groupBy("comp").agg(
+        F.min("min_doc").alias("cluster_id")
+    )
+    return (
+        sig_lab.join(cluster_ids, "comp")
+        .select(F.explode("docs").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_clusters_oracle() -> str:
+    combo_rows = ",\n    ".join(
+        f"({t}, {_simhash_combo_key_sql(combo)})"
+        for t, combo in enumerate(_SIMHASH_COMBOS)
+    )
+    return f"""
+WITH RECURSIVE
+sigs AS ({DEDUP_SIMHASH_ORACLE.replace("ORDER BY d.doc_id", "")}),
+nz AS (SELECT doc_id, simhash FROM sigs WHERE simhash <> 0),
+grp AS (
+  SELECT simhash, MIN(doc_id) AS min_doc, COUNT(*) AS n
+  FROM nz GROUP BY simhash
+),
+bands AS (
+  SELECT simhash, t.* FROM grp,
+    LATERAL (VALUES
+    {combo_rows}
+    ) AS t(tbl, val)
+),
+sp AS (
+  SELECT DISTINCT a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.tbl = b.tbl AND a.val = b.val AND a.simhash < b.simhash
+),
+sp_ok AS (SELECT s1, s2 FROM sp WHERE bit_count(xor(s1, s2)) <= {SIMHASH_HAM_MAX}),
+edges AS (
+  SELECT s1 AS a, s2 AS b FROM sp_ok
+  UNION
+  SELECT s2, s1 FROM sp_ok
+),
+walk (node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON w.r = e.a
+),
+complab AS (
+  SELECT node AS simhash, LEAST(node, MIN(r)) AS comp
+  FROM walk GROUP BY node
+),
+qual AS (
+  SELECT g.simhash, g.min_doc, COALESCE(c.comp, g.simhash) AS comp
+  FROM grp g LEFT JOIN complab c ON g.simhash = c.simhash
+  WHERE g.n >= 2 OR c.comp IS NOT NULL
+),
+cmin AS (SELECT comp, MIN(min_doc) AS cluster_id FROM qual GROUP BY comp)
+SELECT nz.doc_id, cmin.cluster_id
+FROM nz
+JOIN qual ON nz.simhash = qual.simhash
+JOIN cmin ON qual.comp = cmin.comp
+ORDER BY nz.doc_id
+"""
+
+
+DEDUP_SIMHASH_CLUSTERS_ORACLE = _simhash_clusters_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -2050,6 +2216,7 @@ ORDER BY source
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_simhash_band_pairs": dedup_simhash_band_pairs,
+    "dedup_simhash_clusters": dedup_simhash_clusters,
     "dq_duplicate_rate_by_source": dq_duplicate_rate_by_source,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_exact_md5": dedup_exact_md5,
@@ -2075,6 +2242,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact_keeper": DEDUP_EXACT_ORACLE,
     "dedup_simhash_band_pairs": DEDUP_SIMHASH_PAIRS_ORACLE,
+    "dedup_simhash_clusters": DEDUP_SIMHASH_CLUSTERS_ORACLE,
     "dq_duplicate_rate_by_source": DQ_DUP_RATE_ORACLE,
     "dedup_bloom_prefilter": DEDUP_BLOOM_ORACLE,
     "dedup_exact_md5": DEDUP_MD5_ORACLE,

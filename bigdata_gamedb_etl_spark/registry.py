@@ -58,7 +58,11 @@ MODULES = [
 # ≤ 38 so all 12 CONTROLS hold window slots.  New queries are appended
 # to ROUND9_NEW in the same commit that registers them (enforced by
 # test_every_query_has_driver_evidence_or_is_queued).
-ROUND9_NEW: list[str] = []
+ROUND9_NEW: list[str] = [
+    # cluster-emit simhash dedup (r8 verdict item 4): output linear in
+    # corpus size where pair-emit's replica pair-mass is quadratic
+    "dedup_simhash_clusters",
+]
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the
@@ -75,6 +79,12 @@ RECHECK_CHANGED: list[str] = [
     # drift fails locally instead of at the driver.
     "sql_supplier_distribution",
     "sql_window_top_suppliers",
+    # r8 verdict item 4 — simhash pair-emit rewritten to collapse
+    # identical signatures before the band join (band join, candidate
+    # distinct, and Hamming verify now run at signature-pair cost;
+    # output provably unchanged — one signature per doc).  Re-queued
+    # because the logical plan was rewritten, not merely hinted.
+    "dedup_simhash_band_pairs",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
