@@ -874,7 +874,16 @@ def dedup_cluster_assign_star(
     O(component diameter): the variant to prefer at 100 TB where one
     chain-shaped component would stall min-label propagation.
     tests/test_llm_pipeline.py asserts the round count is strictly
-    smaller on a chain-graph fixture."""
+    smaller on a chain-graph fixture.
+
+    Measured (r8 BENCH_DETAIL scale_probe, factor 10): star 4.50 →
+    12.41 s (ratio 2.76) vs min-label 3.84 → 7.98 s (ratio 2.08) —
+    both near-linear, min-label cheaper at local scale because the
+    shallow near-dup components here converge it in a handful of
+    rounds while star pays fixed per-round rewiring joins.  The
+    crossover argument for 100 TB is DEPTH, which corpus replication
+    cannot grow: star's round count is diameter-independent, so it is
+    the declared scale path while min-label stays the local default."""
     reliable = (
         spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
     )
