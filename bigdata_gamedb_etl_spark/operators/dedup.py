@@ -1183,6 +1183,100 @@ SELECT new_id, match_id, jaccard FROM scored WHERE rn = 1 ORDER BY new_id
 
 
 # --------------------------------------------------------------------------
+# Incremental-corpus connected components — the state-merge half of the
+# production ingest loop that dedup_incremental_pairs starts: the drop
+# list handles new-vs-corpus KEEPER decisions, but cluster membership
+# must also absorb the batch (a new doc can BRIDGE two existing
+# clusters).  Re-running CC over the full edge set per ingest is the
+# quadratic-over-time shape this avoids.
+def dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a new batch's near-dup edges into the prior corpus's
+    components without re-running CC over the full graph.
+
+    Prior state: components over the existing corpus (doc_id %
+    INCR_MOD != 0), i.e. CC over the old-old edge subset — in
+    production a persisted (doc_id, cluster_id) table maintained by
+    earlier ingests.  The batch contributes batch-internal and
+    batch-vs-corpus edges at the same Jaccard threshold.
+
+    Merge by CONTRACTION: every old endpoint of a new edge rewrites to
+    its prior component label, then CC runs over the contracted graph
+    — labels, batch docs, and previously-isolated old docs — whose
+    size tracks the BATCH (plus touched components), not the corpus.
+    Prior labels are component-minimum doc_ids, so the contracted
+    component minimum equals the full-graph component minimum, and the
+    result is PROVABLY identical to a full recompute — the oracle is
+    full-graph reachability (same SQL as dedup_cluster_assign).
+
+    Output: (doc_id, cluster_id) for every doc in ≥1 full-graph pair."""
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
+    pairs = _materialize_iter(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2"),
+        reliable,
+    )
+    return _incremental_cc_from_pairs(pairs, reliable)
+
+
+def _incremental_cc_from_pairs(pairs: DataFrame, reliable: bool) -> DataFrame:
+    """The contraction merge over an explicit (d1, d2) pair DataFrame —
+    split out so the bridge fixtures can drive it directly
+    (tests/test_llm_pipeline.py::test_incremental_cc_matches_full_recompute)."""
+    new1 = F.col("d1") % INCR_MOD == 0
+    new2 = F.col("d2") % INCR_MOD == 0
+    old_old = pairs.where(~new1 & ~new2)
+    new_edges = pairs.where(new1 | new2)
+
+    prior = _materialize_iter(
+        _min_label_components(old_old, reliable), reliable
+    )  # (doc_id, cluster_id) over docs with ≥1 old-old edge
+
+    lab1 = prior.select(
+        F.col("doc_id").alias("d1"), F.col("cluster_id").alias("c1")
+    )
+    lab2 = prior.select(
+        F.col("doc_id").alias("d2"), F.col("cluster_id").alias("c2")
+    )
+    contracted = (
+        new_edges.join(lab1, "d1", "left")
+        .join(lab2, "d2", "left")
+        .select(
+            F.coalesce("c1", F.col("d1")).alias("d1"),
+            F.coalesce("c2", F.col("d2")).alias("d2"),
+        )
+        .where(F.col("d1") != F.col("d2"))
+        .distinct()
+    )
+    inc = _min_label_components(contracted, reliable).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("comp")
+    )
+
+    # old docs: prior label either re-labels through the contracted CC
+    # (its component was touched by the batch) or stands unchanged
+    old_final = (
+        prior.join(inc, prior["cluster_id"] == inc["node"], "left")
+        .select(
+            prior["doc_id"],
+            F.coalesce(inc["comp"], prior["cluster_id"]).alias("cluster_id"),
+        )
+    )
+    # contracted nodes that are NOT prior labels: batch docs and
+    # previously-isolated old docs — their label is direct
+    direct = inc.join(
+        prior.select(F.col("cluster_id").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    return old_final.unionByName(direct).orderBy("doc_id")
+
+
+# identical to DEDUP_CLUSTER_ORACLE by construction: the incremental
+# merge must reproduce the full-recompute answer exactly
+DEDUP_INCR_CC_ORACLE = DEDUP_CLUSTER_ORACLE
+
+
+# --------------------------------------------------------------------------
 # Line-level boilerplate removal (the C4/RefinedWeb step BETWEEN exact
 # and near-dup dedup): a "line" occurring verbatim in many documents is
 # navigation/footer boilerplate and is stripped per-document, keeping
@@ -2239,6 +2333,7 @@ QUERIES = {
     "dedup_cluster_assign_star": dedup_cluster_assign_star,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_incremental_pairs": dedup_incremental_pairs,
+    "dedup_incremental_cc": dedup_incremental_cc,
     "dedup_boilerplate_lines": dedup_boilerplate_lines,
     "dedup_editdist_names": dedup_editdist_names,
     "dedup_repeated_ngram_share": dedup_repeated_ngram_share,
@@ -2263,6 +2358,7 @@ ORACLE = {
     "dedup_cluster_assign_star": DEDUP_CLUSTER_ORACLE,
     "dedup_decontaminate": DEDUP_DECON_ORACLE,
     "dedup_incremental_pairs": DEDUP_INCR_ORACLE,
+    "dedup_incremental_cc": DEDUP_INCR_CC_ORACLE,
     "dedup_boilerplate_lines": DEDUP_BOILER_ORACLE,
     "dedup_editdist_names": DEDUP_EDITDIST_ORACLE,
     "dedup_repeated_ngram_share": DEDUP_REPEATED_ORACLE,

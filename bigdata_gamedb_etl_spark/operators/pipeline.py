@@ -288,6 +288,96 @@ ORDER BY shard, doc_id
 
 
 # --------------------------------------------------------------------------
+# Packing-efficiency audit (r9) — the decision table behind the packing
+# strategy choice: concat-then-chunk wastes no tokens but SPLITS
+# documents across sequence boundaries (attention fragmentation), while
+# a pad-to-boundary packer keeps documents whole but burns capacity on
+# padding.  Both costs are pure arithmetic over the packing manifest,
+# reported per document-length bin so the histogram shows WHERE each
+# strategy loses (short docs: padding waste; long docs: straddling).
+PACK_LEN_BIN = 16
+
+
+def pipeline_packing_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per doc-length bin: the padding waste a no-split packer WOULD
+    incur (each doc alone in ceil(len/L) padded sequences) vs the
+    boundary-crossing cost concat-then-chunk DOES incur (docs
+    straddling a chunk boundary).  Closes the loop on
+    pipeline_pack_sequences.
+
+    Scale: one hash-agg over the manifest on a ~len/BIN key space —
+    no joins, no extra shuffle beyond the manifest's per-shard window.
+    Integer cuts use DIV on both engines (double-division casts
+    truncate vs round differently across engines)."""
+    L = PACK_SEQ_LEN
+    base = pipeline_pack_sequences(spark, sf_dir)
+    return (
+        base.select(
+            F.expr(f"(token_count DIV {PACK_LEN_BIN}) * {PACK_LEN_BIN}")
+            .alias("len_bin"),
+            "token_count",
+            F.expr(f"(token_count + {L - 1}) DIV {L}").alias("solo_chunks"),
+            "n_chunks",
+        )
+        .groupBy("len_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+            (F.sum(F.col("solo_chunks") * L) - F.sum("token_count")).alias(
+                "solo_pad_waste"
+            ),
+            F.sum((F.col("n_chunks") >= 2).cast("long")).alias(
+                "straddle_docs"
+            ),
+            F.sum(F.col("n_chunks") - 1).alias("boundary_crossings"),
+        )
+        # share of a no-split packer's capacity burnt on padding;
+        # denominator = total padded capacity = tokens + waste > 0
+        .withColumn(
+            "solo_waste_pct",
+            _fr4(
+                F.col("solo_pad_waste")
+                * 100.0
+                / (F.col("total_tokens") + F.col("solo_pad_waste"))
+            ),
+        )
+        .orderBy("len_bin")
+    )
+
+
+PACKING_EFFICIENCY_ORACLE = f"""
+WITH manifest AS ({PACK_SEQUENCES_ORACLE}),
+binned AS (
+  SELECT (token_count // {PACK_LEN_BIN}) * {PACK_LEN_BIN} AS len_bin,
+         token_count,
+         (token_count + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN} AS solo_chunks,
+         n_chunks
+  FROM manifest
+),
+agg AS (
+  SELECT len_bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+         CAST(SUM(solo_chunks * {PACK_SEQ_LEN}) - SUM(token_count) AS BIGINT)
+           AS solo_pad_waste,
+         CAST(SUM(CASE WHEN n_chunks >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS straddle_docs,
+         CAST(SUM(n_chunks - 1) AS BIGINT) AS boundary_crossings
+  FROM binned
+  GROUP BY len_bin
+)
+SELECT len_bin, n_docs, total_tokens, solo_pad_waste, straddle_docs,
+       boundary_crossings,
+       floor(solo_pad_waste * 100.0 / (total_tokens + solo_pad_waste)
+             * 10000.0 + 0.5) / 10000.0 AS solo_waste_pct
+FROM agg
+ORDER BY len_bin
+"""
+
+
+# --------------------------------------------------------------------------
 # Document-boundary-aware packing masks (r7 verdict item 8b): concat-
 # then-chunk packing puts multiple documents into one training
 # sequence, and a boundary-aware trainer masks cross-document
@@ -1509,6 +1599,7 @@ QUERIES = {
     "pipeline_stratified_sample": pipeline_stratified_sample,
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_pack_attention_spans": pipeline_pack_attention_spans,
+    "pipeline_packing_efficiency": pipeline_packing_efficiency,
     "pipeline_split_contamination": pipeline_split_contamination,
     "pipeline_source_cards": pipeline_source_cards,
     "pipeline_epoch_shuffle": pipeline_epoch_shuffle,
@@ -1530,6 +1621,7 @@ ORACLE = {
     "pipeline_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,
     "pipeline_pack_attention_spans": PACK_ATTENTION_SPANS_ORACLE,
+    "pipeline_packing_efficiency": PACKING_EFFICIENCY_ORACLE,
     "pipeline_split_contamination": SPLIT_CONTAMINATION_ORACLE,
     "pipeline_source_cards": SOURCE_CARDS_ORACLE,
     "pipeline_epoch_shuffle": EPOCH_SHUFFLE_ORACLE,

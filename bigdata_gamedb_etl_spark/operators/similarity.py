@@ -1175,6 +1175,113 @@ def sim_dim_variance_profile(
     )
 
 
+def sim_split_embedding_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension centroid shift between the hash-assigned train and
+    val splits — the embedding-space audit that a split is i.i.d.: a
+    material per-dimension shift flags selection bias in the split hash
+    or upstream filtering.  Composes the pipeline split recipe (same
+    SPLIT_SEED md5 buckets, keyed on vec_id) with the per-dimension
+    moment scan of sim_dim_variance_profile.
+
+    Scale shape: the r8 plan-reuse rule — train and val means come from
+    ONE posexplode scan with conditional aggregates (filter folded into
+    the agg), not two filtered branches; hash-agg on a 64-dim key
+    space, no joins.  Zero vectors deliberately kept (means are
+    well-defined; cf. _emb_cosine note)."""
+    from .pipeline import SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    emb = _emb_double(spark, sf_dir).where(F.size("emb") > 0)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(SPLIT_SEED), "vec_id")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    is_tr = F.col("split") == "train"
+    is_va = F.col("split") == "val"
+    per = (
+        emb.select(split.alias("split"), F.posexplode("emb").alias("dim", "v"))
+        .where(F.col("split") != "test")
+        .groupBy("dim")
+        .agg(
+            F.sum(is_tr.cast("long")).alias("n_train"),
+            F.sum(is_va.cast("long")).alias("n_val"),
+            _q9(F.avg(F.when(is_tr, F.col("v")))).alias("mean_train"),
+            _q9(F.avg(F.when(is_va, F.col("v")))).alias("mean_val"),
+        )
+    )
+    # difference of identically-quantized doubles: same IEEE arithmetic
+    # in both engines, no re-quantization needed (cf. var_v above)
+    return per.select(
+        "dim",
+        "n_train",
+        "n_val",
+        "mean_train",
+        "mean_val",
+        F.abs(F.col("mean_train") - F.col("mean_val")).alias("drift"),
+    ).orderBy("dim")
+
+
+def _split_drift_oracle() -> str:
+    from .pipeline import SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    b = (
+        f"CAST(concat('0x', substring(md5({SPLIT_SEED} || '_' || vec_id), "
+        "1, 4)) AS INTEGER) % 100"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE len(embedding) > 0
+),
+lab AS (
+  SELECT CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {b} < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         emb
+  FROM e
+),
+x AS (
+  SELECT split, dim - 1 AS dim, v FROM (
+    SELECT split, UNNEST(emb) AS v, UNNEST(range(1, len(emb) + 1)) AS dim
+    FROM lab
+  )
+  WHERE split <> 'test'
+),
+agg AS (
+  SELECT CAST(dim AS INTEGER) AS dim,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_val,
+         floor(AVG(CASE WHEN split = 'train' THEN v END) * 1e9 + 0.5) / 1e9
+           AS mean_train,
+         floor(AVG(CASE WHEN split = 'val' THEN v END) * 1e9 + 0.5) / 1e9
+           AS mean_val
+  FROM x
+  GROUP BY dim
+)
+SELECT dim, n_train, n_val, mean_train, mean_val,
+       abs(mean_train - mean_val) AS drift
+FROM agg
+ORDER BY dim
+"""
+
+
+SIM_SPLIT_DRIFT_ORACLE = _split_drift_oracle()
+
+
 SIM_DIM_PROFILE_ORACLE = f"""
 WITH e AS (
   SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
@@ -1569,6 +1676,7 @@ QUERIES = {
     "sim_kmeans_lloyd_step": sim_kmeans_lloyd_step,
     "sim_centroid_outliers": sim_centroid_outliers,
     "sim_dim_variance_profile": sim_dim_variance_profile,
+    "sim_split_embedding_drift": sim_split_embedding_drift,
     "sim_pca_power_iteration": sim_pca_power_iteration,
 }
 
@@ -1585,6 +1693,7 @@ ORACLE = {
     "sim_kmeans_lloyd_step": SIM_LLOYD_ORACLE,
     "sim_centroid_outliers": SIM_OUTLIERS_ORACLE,
     "sim_dim_variance_profile": SIM_DIM_PROFILE_ORACLE,
+    "sim_split_embedding_drift": SIM_SPLIT_DRIFT_ORACLE,
     "sim_pca_power_iteration": SIM_PCA_ORACLE,
     # sim_ann_lsh_topk, sim_ivf_topk, sim_pq_topk: rows-only
     # (approximate recall by design)

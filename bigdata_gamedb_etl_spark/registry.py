@@ -62,6 +62,15 @@ ROUND9_NEW: list[str] = [
     # cluster-emit simhash dedup (r8 verdict item 4): output linear in
     # corpus size where pair-emit's replica pair-mass is quadratic
     "dedup_simhash_clusters",
+    # incremental-corpus CC: merge batch edges into prior components
+    # by contraction; oracle = full-graph recompute (must be identical)
+    "dedup_incremental_cc",
+    # packing-strategy decision table: no-split padding waste vs
+    # concat-then-chunk boundary crossings, per doc-length bin
+    "pipeline_packing_efficiency",
+    # per-dimension train-vs-val centroid shift over the split hash —
+    # one conditional-agg scan, no joins
+    "sim_split_embedding_drift",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —

@@ -957,6 +957,44 @@ def test_lsh_cluster_assign_is_deterministic(spark):
     assert a == b
 
 
+def test_incremental_cc_matches_full_recompute(spark):
+    """dedup_incremental_cc's contraction merge must equal a full CC
+    recompute over the same corpus — including the hard case where one
+    batch doc BRIDGES two prior components (they must collapse to one
+    cluster under the global minimum), and batch docs can carry ids
+    smaller than a prior component's label."""
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    sf = SF_DIRS[0]
+    inc = {
+        tuple(r) for r in dedup.dedup_incremental_cc(spark, sf).collect()
+    }
+    full = {
+        tuple(r) for r in dedup.dedup_cluster_assign(spark, sf).collect()
+    }
+    assert inc == full
+
+    # synthetic bridge: old components {1,2} and {7,8} (ids %5 != 0),
+    # batch doc 5 (%5 == 0) bridges them; batch doc 0 attaches to {1,2}
+    # with an id SMALLER than the prior label — cluster_id must become
+    # 0 for every member of the merged component.  Old doc 11 keeps an
+    # untouched component.
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 8), (11, 12), (5, 1), (5, 7), (0, 2)],
+        "d1 long, d2 long",
+    )
+    merged = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup._incremental_cc_from_pairs(pairs, False).collect()
+    }
+    assert merged == {0: 0, 1: 0, 2: 0, 5: 0, 7: 0, 8: 0, 11: 11, 12: 11}
+    full_cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup._min_label_components(pairs, False).collect()
+    }
+    assert merged == full_cc
+
+
 def test_star_cc_matches_min_label_and_converges_faster_on_chain(spark):
     """r7 verdict item 6: the large-star/small-star CC must (a) produce
     the identical component assignment as min-label propagation, and

@@ -674,6 +674,32 @@ def test_bloom_audit_reuses_the_shingle_aggregate(spark, sf_dir):
     assert "ReusedExchange" in fin, fin
 
 
+def test_split_drift_single_scan_no_join(spark, sf_dir):
+    """r9: the train-vs-val centroid drift folds the split into
+    conditional aggregates over ONE posexplode scan (the r8 plan-reuse
+    rule) — a two-filtered-branch formulation would run the embedding
+    scan twice and join on dim.  No join anywhere in the plan, exactly
+    one explode."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    df = similarity.sim_split_embedding_drift(spark, sf_dir)
+    opt = plans.optimized(df)
+    # num_explodes counts "Generate explode"; this scan is a posexplode
+    assert opt.count("Generate") == 1, opt
+    assert "Join" not in opt, opt
+
+
+def test_packing_efficiency_single_manifest_agg(spark, sf_dir):
+    """r9: the packing audit is one hash-agg over the packing manifest
+    — no joins, and the manifest's per-shard window appears once."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    df = pipeline.pipeline_packing_efficiency(spark, sf_dir)
+    opt = plans.optimized(df)
+    assert "Join" not in opt, opt
+    assert opt.count("Window") <= 1, opt
+
+
 def test_degree_histogram_single_pair_generation(spark, sf_dir):
     """r8 single-corpus-scan sweep: the degree histogram builds its
     endpoint multiset via explode(array(d1, d2)) — one pair-generation
