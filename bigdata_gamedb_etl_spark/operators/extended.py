@@ -1667,6 +1667,79 @@ ORDER BY k_bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-store coverage (r9): the referential-integrity check
+# BETWEEN modalities — a training pipeline that joins text to a vector
+# store must know, per source, which documents lack an embedding, which
+# carry a degenerate zero vector, and whether the store's dimensionality
+# is uniform.  The doc↔vector contract here is doc_id = vec_id.
+def dq_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: document count, embedded count + coverage share,
+    zero-norm vector count, and the min/max embedding dimensionality
+    seen (drift from the model's fixed width is an ingest bug).
+
+    Shape: one LEFT equi-join docs→embeddings on the id contract, one
+    hash-agg on source — both sides pruned to the id + audit columns;
+    the norm check is a JVM-side aggregate over the float array (no
+    UDF).  At 100 TB AQE picks the join strategy; no collect."""
+    d = table(spark, sf_dir, "documents").select("source", "doc_id")
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.size("embedding").alias("dim"),
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ).alias("sq"),
+    )
+    return (
+        d.join(e, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("sq").isNotNull().cast("long")).alias("n_embedded"),
+            F.sum(
+                (F.col("sq").isNotNull() & (F.col("sq") == 0.0)).cast("long")
+            ).alias("n_zero_norm"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+        )
+        .withColumn(
+            "coverage_pct",
+            _fr4(F.col("n_embedded") * 100.0 / F.col("n_docs")),
+        )
+        .orderBy("source")
+    )
+
+
+DQ_EMBEDDING_COVERAGE_ORACLE = """
+WITH e AS (
+  SELECT vec_id AS doc_id,
+         len(embedding) AS dim,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS sq
+  FROM embeddings
+),
+j AS (
+  SELECT d.source, e.dim, e.sq
+  FROM documents d LEFT JOIN e USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN sq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_embedded,
+       CAST(SUM(CASE WHEN sq = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(MIN(dim) AS INTEGER) AS min_dim,
+       CAST(MAX(dim) AS INTEGER) AS max_dim,
+       floor(SUM(CASE WHEN sq IS NOT NULL THEN 1 ELSE 0 END) * 100.0
+             / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS coverage_pct
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "ga1_rollup_region_nation": ga1_rollup_region_nation,
     "ga2_cube_segment_priority": ga2_cube_segment_priority,
@@ -1696,6 +1769,7 @@ QUERIES = {
     "dq_quarantine_mart": dq_quarantine_mart,
     "ga3_grouping_sets_margins": ga3_grouping_sets_margins,
     "dq_k_anonymity": dq_k_anonymity,
+    "dq_embedding_coverage": dq_embedding_coverage,
 }
 
 ORACLE = {
@@ -1727,4 +1801,5 @@ ORACLE = {
     "dq_quarantine_mart": DQ_QUARANTINE_ORACLE,
     "ga3_grouping_sets_margins": GA3_ORACLE,
     "dq_k_anonymity": DQ_K_ANONYMITY_ORACLE,
+    "dq_embedding_coverage": DQ_EMBEDDING_COVERAGE_ORACLE,
 }

@@ -537,9 +537,12 @@ ORDER BY lang
 # membership is a pure function of (seed, doc_id), so any engine, any
 # rerun, and any later incremental batch lands each document in the
 # same split.
-SPLIT_SEED = 1913
-SPLIT_TRAIN_PCT = 90  # buckets [0,90) train, [90,95) val, [95,100) test
-SPLIT_VAL_PCT = 95
+# re-exported from the shared leaf module (see _splits.py docstring)
+from ._splits import (  # noqa: E402
+    SPLIT_SEED,
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
+)
 
 
 def pipeline_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,6 +1069,150 @@ kept AS (
 SELECT r.source, r.n_docs, r.src_tokens, r.rate_pct,
        k.kept_docs, k.kept_tokens
 FROM rates r JOIN kept k USING (source)
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality-floored waterfill mixture solver (r9) — the second half of
+# the mixture story: pipeline_mixture_reweight levels every source to
+# an EQUAL share, but real mixtures hit per-source capacity walls
+# (a source may not HAVE its fair share of above-floor tokens), and
+# naive equal-share leaves budget on the table.  The waterfill
+# allocates fair shares first, then redistributes the unused remainder
+# proportionally to each source's remaining above-floor capacity —
+# the standard two-round solve, fully SQL-expressible.
+WATERFILL_BUDGET_DENOM = 2  # budget = above-floor tokens / 2
+WATERFILL_UNIQ_FLOOR = 0.5  # quality floor: distinct-token ratio
+
+
+def pipeline_mixture_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source token allocation under a quality floor: available =
+    tokens of docs with ≥ MIN_TOKENS tokens AND distinct-token ratio ≥
+    WATERFILL_UNIQ_FLOOR; round 1 gives each source min(available,
+    budget/n_sources) — exact integers; round 2 redistributes the
+    leftover budget proportionally to remaining capacity.  Columns:
+    available/fair/round-1 are exact BIGINTs, the proportional round-2
+    grant and final fill share are 4dp-quantized doubles (operands are
+    exact integers < 2^53, so the IEEE division is engine-identical).
+
+    Scale: two tiny aggregates (per-source, then totals) broadcast
+    back over the per-source rows — no per-doc shuffle beyond the one
+    groupBy(source); the corpus scan computes tk and the uniq ratio in
+    one pass."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.expr(f"size({_TOKS})").cast("long")
+    uniq_ok = (
+        F.expr(f"size(array_distinct({_TOKS}))")
+        >= F.lit(WATERFILL_UNIQ_FLOOR) * F.expr(f"size({_TOKS})")
+    )
+    avail = (
+        d.select("source", tk.alias("tk"), uniq_ok.alias("q"))
+        .where((F.col("tk") >= MIN_TOKENS) & F.col("q"))
+        .groupBy("source")
+        .agg(F.sum("tk").alias("avail_tokens"))
+    )
+    totals = avail.agg(
+        F.sum("avail_tokens").alias("pool"),
+        F.count("*").alias("n_sources"),
+    )
+    r1 = (
+        avail.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "avail_tokens",
+            F.expr(
+                f"pool DIV ({WATERFILL_BUDGET_DENOM} * n_sources)"
+            ).alias("fair_share"),
+            F.expr(f"pool DIV {WATERFILL_BUDGET_DENOM}").alias("budget"),
+        )
+        .withColumn(
+            "alloc_round1", F.least("avail_tokens", F.col("fair_share"))
+        )
+        .withColumn("capacity", F.col("avail_tokens") - F.col("alloc_round1"))
+    )
+    r1_tot = r1.agg(
+        F.sum("alloc_round1").alias("used"),
+        F.sum("capacity").alias("sum_cap"),
+        F.first("budget").alias("budget_t"),
+    )
+    # go double BEFORE the capacity multiply (long*long overflows ANSI
+    # at real token scales); operands are exact ints < 2^53, so the
+    # IEEE multiply/divide matches the oracle's `* 1.0` form exactly
+    leftover = (F.col("budget_t") - F.col("used")).cast("double")
+    grant = F.when(
+        F.col("sum_cap") > 0,
+        _fr4(leftover * F.col("capacity") / F.col("sum_cap")),
+    ).otherwise(F.lit(0.0))
+    return (
+        r1.crossJoin(F.broadcast(r1_tot))
+        .select(
+            "source",
+            "avail_tokens",
+            "fair_share",
+            "alloc_round1",
+            grant.alias("alloc_round2"),
+        )
+        .withColumn(
+            "fill_pct",
+            _fr4(
+                (F.col("alloc_round1") + F.col("alloc_round2"))
+                * 100.0
+                / F.col("avail_tokens")
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_WATERFILL_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len({_TOKS_DUCK}) AS BIGINT) AS tk,
+         len(list_distinct({_TOKS_DUCK})) >= {WATERFILL_UNIQ_FLOOR}
+           * len({_TOKS_DUCK}) AS q
+  FROM documents
+),
+avail AS (
+  SELECT source, CAST(SUM(tk) AS BIGINT) AS avail_tokens
+  FROM d WHERE tk >= {MIN_TOKENS} AND q
+  GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS pool,
+         COUNT(*) AS n_sources
+  FROM avail
+),
+r1 AS (
+  SELECT source, avail_tokens,
+         pool // ({WATERFILL_BUDGET_DENOM} * n_sources) AS fair_share,
+         pool // {WATERFILL_BUDGET_DENOM} AS budget,
+         LEAST(avail_tokens,
+               pool // ({WATERFILL_BUDGET_DENOM} * n_sources))
+           AS alloc_round1
+  FROM avail, totals
+),
+r1_tot AS (
+  SELECT CAST(SUM(alloc_round1) AS BIGINT) AS used,
+         CAST(SUM(avail_tokens - alloc_round1) AS BIGINT) AS sum_cap,
+         ANY_VALUE(budget) AS budget_t
+  FROM r1
+),
+final AS (
+  SELECT r1.source, r1.avail_tokens, r1.fair_share, r1.alloc_round1,
+         CASE WHEN t.sum_cap > 0
+              THEN floor((t.budget_t - t.used) * 1.0
+                         * (r1.avail_tokens - r1.alloc_round1) / t.sum_cap
+                         * 10000.0 + 0.5) / 10000.0
+              ELSE 0.0 END AS alloc_round2
+  FROM r1, r1_tot t
+)
+SELECT source, avail_tokens, fair_share, alloc_round1, alloc_round2,
+       floor((alloc_round1 + alloc_round2) * 100.0 / avail_tokens
+             * 10000.0 + 0.5) / 10000.0 AS fill_pct
+FROM final
 ORDER BY source
 """
 
@@ -1600,6 +1747,7 @@ QUERIES = {
     "pipeline_pack_sequences": pipeline_pack_sequences,
     "pipeline_pack_attention_spans": pipeline_pack_attention_spans,
     "pipeline_packing_efficiency": pipeline_packing_efficiency,
+    "pipeline_mixture_waterfill": pipeline_mixture_waterfill,
     "pipeline_split_contamination": pipeline_split_contamination,
     "pipeline_source_cards": pipeline_source_cards,
     "pipeline_epoch_shuffle": pipeline_epoch_shuffle,
@@ -1622,6 +1770,7 @@ ORACLE = {
     "pipeline_pack_sequences": PACK_SEQUENCES_ORACLE,
     "pipeline_pack_attention_spans": PACK_ATTENTION_SPANS_ORACLE,
     "pipeline_packing_efficiency": PACKING_EFFICIENCY_ORACLE,
+    "pipeline_mixture_waterfill": MIXTURE_WATERFILL_ORACLE,
     "pipeline_split_contamination": SPLIT_CONTAMINATION_ORACLE,
     "pipeline_source_cards": SOURCE_CARDS_ORACLE,
     "pipeline_epoch_shuffle": EPOCH_SHUFFLE_ORACLE,

@@ -1190,7 +1190,7 @@ def sim_split_embedding_drift(
     the agg), not two filtered branches; hash-agg on a 64-dim key
     space, no joins.  Zero vectors deliberately kept (means are
     well-defined; cf. _emb_cosine note)."""
-    from .pipeline import SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+    from ._splits import SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
 
     emb = _emb_double(spark, sf_dir).where(F.size("emb") > 0)
     bucket = (
@@ -1234,7 +1234,7 @@ def sim_split_embedding_drift(
 
 
 def _split_drift_oracle() -> str:
-    from .pipeline import SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+    from ._splits import SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
 
     b = (
         f"CAST(concat('0x', substring(md5({SPLIT_SEED} || '_' || vec_id), "

@@ -826,6 +826,146 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Cross-split LM drift (r9): fit the order-1 LM on the TRAIN split and
+# measure the VAL split's cross-entropy under it — the canonical
+# distribution-shift / contamination gauge (a val split whose tokens
+# are much cheaper than train's own entropy is leaking; much dearer
+# means the split hash is biased).  Composes the pipeline split hash
+# with the unigram-LM join above; add-1 smoothing reserves mass for
+# OOV tokens so the log never sees a zero.
+def text_split_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cross-entropy (nats/token) of val-split tokens
+    under the train-split add-1-smoothed unigram LM, with the OOV
+    share.  p(w) = (cnt_train(w) + 1) / (T + V + 1).
+
+    Scale shape: ONE corpus token explode aggregated to (token, lang,
+    split-conditional counts); the train frequency table and the val
+    evaluation both derive from that aggregate, so no second corpus
+    scan (the r8 plan-reuse rule).  Per-token log-probs weight-summed
+    as DECIMAL(18,9)·count — exact, partition-order-free."""
+    from ._splits import SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(SPLIT_SEED), "doc_id")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    tok = d.select(
+        split.alias("split"), "lang", F.explode(F.expr(_TOKS)).alias("token")
+    ).where(F.col("split") != "test")
+    g = tok.groupBy("token", "lang").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("c_tr"),
+        F.sum((F.col("split") == "val").cast("long")).alias("c_va"),
+    )
+    freq = g.groupBy("token").agg(F.sum("c_tr").alias("cnt"))
+    tot = freq.agg(
+        F.sum("cnt").alias("t_tokens"),
+        F.sum((F.col("cnt") > 0).cast("long")).alias("v_vocab"),
+    )
+    p = (F.col("cnt") + F.lit(1.0)) / (
+        F.col("t_tokens") + F.col("v_vocab") + F.lit(1.0)
+    )
+    scored = (
+        g.where(F.col("c_va") > 0)
+        .join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "c_va",
+            (F.col("c_va") * (-F.log(p)).cast("decimal(18,9)")).alias("wl"),
+            ((F.col("cnt") == 0).cast("long") * F.col("c_va")).alias("oov"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.sum("c_va").alias("n_val_tokens"),
+            F.sum("oov").alias("oov_tokens"),
+            F.sum("wl").alias("s"),
+        )
+        .select(
+            "lang",
+            "n_val_tokens",
+            "oov_tokens",
+            _fr4(
+                F.col("oov_tokens") * 100.0 / F.col("n_val_tokens")
+            ).alias("oov_pct"),
+            _fr4(F.col("s").cast("double") / F.col("n_val_tokens")).alias(
+                "xent_nats"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _split_xent_oracle() -> str:
+    from ._splits import SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    b = (
+        f"CAST(concat('0x', substring(md5({SPLIT_SEED} || '_' || doc_id), "
+        "1, 4)) AS INTEGER) % 100"
+    )
+    return f"""
+WITH tok AS (
+  SELECT CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {b} < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         lang, UNNEST({_TOKS_DUCK}) AS token
+  FROM documents
+),
+g AS (
+  SELECT token, lang,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_tr,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_va
+  FROM tok WHERE split <> 'test'
+  GROUP BY token, lang
+),
+freq AS (
+  SELECT token, CAST(SUM(c_tr) AS BIGINT) AS cnt FROM g GROUP BY token
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS t_tokens,
+         CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_vocab
+  FROM freq
+),
+scored AS (
+  SELECT g.lang, g.c_va,
+         g.c_va * CAST(-ln((freq.cnt + 1.0) / (t.t_tokens + t.v_vocab + 1.0))
+                       AS DECIMAL(18,9)) AS wl,
+         CASE WHEN freq.cnt = 0 THEN g.c_va ELSE 0 END AS oov
+  FROM g JOIN freq USING (token), tot t
+  WHERE g.c_va > 0
+)
+SELECT lang,
+       CAST(SUM(c_va) AS BIGINT) AS n_val_tokens,
+       CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+       floor(SUM(oov) * 100.0 / SUM(c_va) * 10000.0 + 0.5) / 10000.0
+         AS oov_pct,
+       floor(CAST(SUM(wl) AS DOUBLE) / SUM(c_va) * 10000.0 + 0.5) / 10000.0
+         AS xent_nats
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+TEXT_SPLIT_XENT_ORACLE = _split_xent_oracle()
+
+
+# --------------------------------------------------------------------------
 # Context-window chunking via a Python UDTF (Spark 4 table function):
 # each document becomes ⌈n/stride⌉ overlapping token-window chunks —
 # the RAG-indexing / pretraining-window layout.  A UDTF is the right
@@ -1824,6 +1964,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_vocab_coverage": text_vocab_coverage,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_split_xentropy": text_split_xentropy,
     "text_chunk_udtf": text_chunk_udtf,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_pmi_collocations": text_pmi_collocations,
@@ -1853,6 +1994,7 @@ ORACLE = {
     "text_pii_scrub": TEXT_PII_ORACLE,
     "text_vocab_coverage": TEXT_VOCAB_ORACLE,
     "text_unigram_logprob": TEXT_UNIGRAM_ORACLE,
+    "text_split_xentropy": TEXT_SPLIT_XENT_ORACLE,
     "text_chunk_udtf": TEXT_CHUNK_ORACLE,
     "text_tfidf_top_terms": TEXT_TFIDF_ORACLE,
     "text_pmi_collocations": TEXT_PMI_ORACLE,

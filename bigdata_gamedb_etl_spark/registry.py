@@ -71,6 +71,15 @@ ROUND9_NEW: list[str] = [
     # per-dimension train-vs-val centroid shift over the split hash —
     # one conditional-agg scan, no joins
     "sim_split_embedding_drift",
+    # quality-floored two-round waterfill mixture solve: fair shares
+    # then proportional redistribution of the unused budget
+    "pipeline_mixture_waterfill",
+    # val-split cross-entropy under the train-split unigram LM (add-1
+    # smoothed) — the distribution-shift/contamination gauge
+    "text_split_xentropy",
+    # cross-modality referential DQ: per-source embedding coverage,
+    # zero-norm vectors, dimensionality drift
+    "dq_embedding_coverage",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
