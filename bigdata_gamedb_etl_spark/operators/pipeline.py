@@ -1218,6 +1218,166 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# Filter attribution (r9) — the FineWeb/Gopher-style question "which
+# rule is doing the filtering?": per quality rule, how many documents
+# fail it, how many fail ONLY it (the rule's marginal contribution —
+# the one to re-tune before it silently deletes a subcorpus), and the
+# token mass at stake.  One corpus scan computes all flags; the
+# per-rule rows come from stack()/UNION over the single aggregated row.
+FILTER_DIV_FLOOR = 0.5   # distinct-token ratio
+FILTER_WL_LO = 3.0       # mean word length bounds (Gopher-style)
+FILTER_WL_HI = 10.0
+FILTER_DIGIT_MAX = 0.2   # digit share of non-space chars
+
+
+def pipeline_filter_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per filter rule: failing docs, docs failing ONLY this rule,
+    failing token mass, and the failing-doc share of the corpus.
+    Rules: too_short (< MIN_TOKENS), low_diversity (distinct-token
+    ratio < 0.5), word_len_range (mean word length outside [3, 10]),
+    digit_heavy (> 20% digit chars).
+
+    Scale: one narrow scan computes every flag, one single-row
+    aggregate, and a constant 4-row unpivot — no joins, no window."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.expr(f"size({_TOKS})").cast("long")
+    distinct = F.expr(f"size(array_distinct({_TOKS}))")
+    chars_ns = F.length(F.regexp_replace("text", " ", ""))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    f_short = tk < MIN_TOKENS
+    # ANSI `&` does not short-circuit: the ratio must live inside a
+    # when(tk > 0, ...) or an all-empty-docs corpus throws
+    # DIVIDE_BY_ZERO.  DuckDB's x/0 on the same rows never passes the
+    # comparison (inf/NULL), so false-on-empty matches the oracle.
+    f_div = F.coalesce(
+        F.when(tk > 0, distinct * F.lit(1.0) / tk < FILTER_DIV_FLOOR),
+        F.lit(False),
+    )
+    mwl = chars_ns * F.lit(1.0) / tk
+    f_wl = F.coalesce(
+        F.when(tk > 0, (mwl < FILTER_WL_LO) | (mwl > FILTER_WL_HI)),
+        F.lit(False),
+    )
+    f_digit = F.coalesce(
+        F.when(
+            chars_ns > 0,
+            digits * F.lit(1.0) / chars_ns > FILTER_DIGIT_MAX,
+        ),
+        F.lit(False),
+    )
+    flagged = d.select(
+        tk.alias("tk"),
+        f_short.alias("f_short"),
+        f_div.alias("f_div"),
+        f_wl.alias("f_wl"),
+        f_digit.alias("f_digit"),
+    )
+
+    def _cols(name: str, others: list[str]):
+        f = F.col(name)
+        only = f
+        for o in others:
+            only = only & ~F.col(o)
+        return [
+            F.sum(f.cast("long")).alias(f"{name}_n"),
+            F.sum(only.cast("long")).alias(f"{name}_only"),
+            F.sum(F.when(f, F.col("tk")).otherwise(0)).alias(f"{name}_tok"),
+        ]
+
+    names = ["f_short", "f_div", "f_wl", "f_digit"]
+    aggs = [F.count("*").alias("total_docs")]
+    for n in names:
+        aggs += _cols(n, [o for o in names if o != n])
+    one = flagged.agg(*aggs)
+    labels = {
+        "f_short": "too_short",
+        "f_div": "low_diversity",
+        "f_wl": "word_len_range",
+        "f_digit": "digit_heavy",
+    }
+    stack = ", ".join(
+        f"'{labels[n]}', {n}_n, {n}_only, {n}_tok" for n in names
+    )
+    return (
+        one.select(
+            "total_docs",
+            F.expr(
+                f"stack({len(names)}, {stack}) AS "
+                "(rule, docs_failing, docs_only_this, tokens_failing)"
+            ),
+        )
+        .select(
+            "rule",
+            "docs_failing",
+            "docs_only_this",
+            "tokens_failing",
+            _fr4(F.col("docs_failing") * 100.0 / F.col("total_docs")).alias(
+                "fail_pct"
+            ),
+        )
+        .orderBy("rule")
+    )
+
+
+FILTER_ATTRIBUTION_ORACLE = f"""
+WITH flags AS (
+  SELECT CAST(len({_TOKS_DUCK}) AS BIGINT) AS tk,
+         len(list_distinct({_TOKS_DUCK})) AS dct,
+         len(replace(text, ' ', '')) AS chars_ns,
+         len(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+  FROM documents
+),
+f AS (
+  SELECT tk,
+         tk < {MIN_TOKENS} AS f_short,
+         tk > 0 AND dct * 1.0 / tk < {FILTER_DIV_FLOOR} AS f_div,
+         tk > 0 AND (chars_ns * 1.0 / tk < {FILTER_WL_LO}
+                     OR chars_ns * 1.0 / tk > {FILTER_WL_HI}) AS f_wl,
+         chars_ns > 0 AND digits * 1.0 / chars_ns > {FILTER_DIGIT_MAX}
+           AS f_digit
+  FROM flags
+),
+one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+         CAST(SUM(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS s_n,
+         CAST(SUM(CASE WHEN f_short AND NOT f_div AND NOT f_wl
+                        AND NOT f_digit THEN 1 ELSE 0 END) AS BIGINT) AS s_o,
+         CAST(SUM(CASE WHEN f_short THEN tk ELSE 0 END) AS BIGINT) AS s_t,
+         CAST(SUM(CASE WHEN f_div THEN 1 ELSE 0 END) AS BIGINT) AS d_n,
+         CAST(SUM(CASE WHEN f_div AND NOT f_short AND NOT f_wl
+                        AND NOT f_digit THEN 1 ELSE 0 END) AS BIGINT) AS d_o,
+         CAST(SUM(CASE WHEN f_div THEN tk ELSE 0 END) AS BIGINT) AS d_t,
+         CAST(SUM(CASE WHEN f_wl THEN 1 ELSE 0 END) AS BIGINT) AS w_n,
+         CAST(SUM(CASE WHEN f_wl AND NOT f_short AND NOT f_div
+                        AND NOT f_digit THEN 1 ELSE 0 END) AS BIGINT) AS w_o,
+         CAST(SUM(CASE WHEN f_wl THEN tk ELSE 0 END) AS BIGINT) AS w_t,
+         CAST(SUM(CASE WHEN f_digit THEN 1 ELSE 0 END) AS BIGINT) AS g_n,
+         CAST(SUM(CASE WHEN f_digit AND NOT f_short AND NOT f_div
+                        AND NOT f_wl THEN 1 ELSE 0 END) AS BIGINT) AS g_o,
+         CAST(SUM(CASE WHEN f_digit THEN tk ELSE 0 END) AS BIGINT) AS g_t
+  FROM f
+),
+rows_out AS (
+  SELECT 'too_short' AS rule, s_n AS docs_failing, s_o AS docs_only_this,
+         s_t AS tokens_failing, total_docs FROM one
+  UNION ALL
+  SELECT 'low_diversity', d_n, d_o, d_t, total_docs FROM one
+  UNION ALL
+  SELECT 'word_len_range', w_n, w_o, w_t, total_docs FROM one
+  UNION ALL
+  SELECT 'digit_heavy', g_n, g_o, g_t, total_docs FROM one
+)
+SELECT rule, docs_failing, docs_only_this, tokens_failing,
+       floor(docs_failing * 100.0 / total_docs * 10000.0 + 0.5) / 10000.0
+         AS fail_pct
+FROM rows_out
+ORDER BY rule
+"""
+
+
+# --------------------------------------------------------------------------
 # Keeper-aware corpus emit — the ship-ready mart the whole dedup/
 # quality/curriculum stack exists to produce: one row per SURVIVING
 # document (near-dup clusters collapsed to their quality-chosen
@@ -1748,6 +1908,7 @@ QUERIES = {
     "pipeline_pack_attention_spans": pipeline_pack_attention_spans,
     "pipeline_packing_efficiency": pipeline_packing_efficiency,
     "pipeline_mixture_waterfill": pipeline_mixture_waterfill,
+    "pipeline_filter_attribution": pipeline_filter_attribution,
     "pipeline_split_contamination": pipeline_split_contamination,
     "pipeline_source_cards": pipeline_source_cards,
     "pipeline_epoch_shuffle": pipeline_epoch_shuffle,
@@ -1771,6 +1932,7 @@ ORACLE = {
     "pipeline_pack_attention_spans": PACK_ATTENTION_SPANS_ORACLE,
     "pipeline_packing_efficiency": PACKING_EFFICIENCY_ORACLE,
     "pipeline_mixture_waterfill": MIXTURE_WATERFILL_ORACLE,
+    "pipeline_filter_attribution": FILTER_ATTRIBUTION_ORACLE,
     "pipeline_split_contamination": SPLIT_CONTAMINATION_ORACLE,
     "pipeline_source_cards": SOURCE_CARDS_ORACLE,
     "pipeline_epoch_shuffle": EPOCH_SHUFFLE_ORACLE,

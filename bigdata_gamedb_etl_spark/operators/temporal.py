@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _fr4
 
 ASOF_LEFT_TYPE = "purchase"
 ASOF_RIGHT_TYPE = "click"
@@ -336,12 +337,127 @@ ORDER BY day, hour
 """
 
 
+# --------------------------------------------------------------------------
+# Watermark-lateness histogram (r9) — the batch audit that SIZES a
+# Structured Streaming watermark: per user (the keyed-state grain),
+# how late does an event arrive relative to the maximum event-time
+# already seen on that key, in ingestion (event_id) order?  The
+# histogram's tail IS the watermark delay: a `withWatermark("ts",
+# "5 minutes")` drops exactly the rows below the 4_lt_30m+ buckets.
+_LATE_BUCKETS = (
+    ("1_in_order", None),
+    ("2_lt_1m", 60),
+    ("3_lt_5m", 300),
+    ("4_lt_30m", 1800),
+    ("5_gte_30m", None),
+)
+
+
+def ts_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per lateness bucket: event count, corpus share, and the worst
+    lateness seen (seconds) — lateness = prior per-user max event-time
+    minus this event's time, in event_id (ingestion) order.
+
+    Scale: one window over (user_id, event_id) — the same keyed
+    partitioning the streaming operator itself shuffles to — then a
+    5-key hash-agg.  NULL timestamps and each key's first event count
+    as in-order (no prior watermark to violate).
+
+    On this corpus the feed is fully time-sorted, so the histogram's
+    single '1_in_order' row (watermark 0 suffices) is the genuine
+    finding; the multi-bucket behavior is pinned on a disordered
+    fixture in tests/test_temporal_sketches.py."""
+    return _lateness_histogram(table(spark, sf_dir, "events"))
+
+
+def _lateness_histogram(e: DataFrame) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_us = F.max(F.unix_micros("ts")).over(w)
+    late_us = prior_us - F.unix_micros("ts")
+    bucket = (
+        F.when(
+            F.col("ts").isNull()
+            | F.col("late_us").isNull()
+            | (F.col("late_us") <= 0),
+            _LATE_BUCKETS[0][0],
+        )
+        .when(F.col("late_us") < 60 * 1_000_000, _LATE_BUCKETS[1][0])
+        .when(F.col("late_us") < 300 * 1_000_000, _LATE_BUCKETS[2][0])
+        .when(F.col("late_us") < 1800 * 1_000_000, _LATE_BUCKETS[3][0])
+        .otherwise(_LATE_BUCKETS[4][0])
+    )
+    base = e.select("ts", late_us.alias("late_us")).select(
+        bucket.alias("late_bucket"),
+        F.greatest(F.lit(0).cast("long"), F.coalesce("late_us", F.lit(0)))
+        .alias("clamped_us"),
+    )
+    tot = base.agg(F.count("*").alias("n_total"))
+    return (
+        base.groupBy("late_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("clamped_us").alias("max_us"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "late_bucket",
+            "n_events",
+            _fr4(F.col("n_events") * 100.0 / F.col("n_total")).alias(
+                "event_pct"
+            ),
+            _fr4(F.col("max_us") / F.lit(1_000_000.0)).alias(
+                "max_lateness_sec"
+            ),
+        )
+        .orderBy("late_bucket")
+    )
+
+
+TS_WATERMARK_ORACLE = """
+WITH lat AS (
+  SELECT ts,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) - epoch_us(ts) AS late_us
+  FROM events
+),
+b AS (
+  SELECT CASE
+           WHEN ts IS NULL OR late_us IS NULL OR late_us <= 0
+             THEN '1_in_order'
+           WHEN late_us < 60 * 1000000 THEN '2_lt_1m'
+           WHEN late_us < 300 * 1000000 THEN '3_lt_5m'
+           WHEN late_us < 1800 * 1000000 THEN '4_lt_30m'
+           ELSE '5_gte_30m'
+         END AS late_bucket,
+         GREATEST(CAST(0 AS BIGINT), COALESCE(late_us, 0)) AS clamped_us
+  FROM lat
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b)
+SELECT late_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       floor(COUNT(*) * 100.0 / (SELECT n_total FROM tot)
+             * 10000.0 + 0.5) / 10000.0 AS event_pct,
+       floor(MAX(clamped_us) / 1000000.0 * 10000.0 + 0.5) / 10000.0
+         AS max_lateness_sec
+FROM b
+GROUP BY late_bucket
+ORDER BY late_bucket
+"""
+
+
 QUERIES = {
     "asof_purchase_click": asof_purchase_click,
     "interval_error_click_burst": interval_error_click_burst,
     "rollup_event_time_grain": rollup_event_time_grain,
     "ts_gapfill_locf": ts_gapfill_locf,
     "ts_ohlc_hourly": ts_ohlc_hourly,
+    "ts_watermark_lateness": ts_watermark_lateness,
 }
 
 ORACLE = {
@@ -350,4 +466,5 @@ ORACLE = {
     "rollup_event_time_grain": ROLLUP_GRAIN_ORACLE,
     "ts_gapfill_locf": TS_GAPFILL_ORACLE,
     "ts_ohlc_hourly": TS_OHLC_ORACLE,
+    "ts_watermark_lateness": TS_WATERMARK_ORACLE,
 }

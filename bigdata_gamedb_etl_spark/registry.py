@@ -80,6 +80,12 @@ ROUND9_NEW: list[str] = [
     # cross-modality referential DQ: per-source embedding coverage,
     # zero-norm vectors, dimensionality drift
     "dq_embedding_coverage",
+    # per-rule filter attribution: failing / only-this / token mass —
+    # the marginal-contribution audit before re-tuning any rule
+    "pipeline_filter_attribution",
+    # watermark-lateness histogram over (user, ingestion-order): the
+    # batch audit that sizes a streaming watermark delay
+    "ts_watermark_lateness",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —

@@ -136,3 +136,43 @@ def test_approx_topk_exact_below_tracked_cardinality(spark, sf_dir):
     for lang, got in per_lang.items():
         want = sorted(exact[lang].values(), reverse=True)[: APPROX_TOPK_K]
         assert sorted(got, reverse=True) == want, f"count profile off for {lang}"
+
+
+def test_watermark_lateness_buckets_on_disordered_fixture(spark):
+    """The lateness histogram's bucket edges, the per-key (not global)
+    watermark semantics, and the first-event/NULL-ts in-order rule —
+    pinned on a constructed out-of-order feed, since the shipped corpus
+    is fully time-sorted and only ever exercises '1_in_order'."""
+    import datetime
+
+    from bigdata_gamedb_etl_spark.operators import temporal
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: second event 30 s late, third 400 s late, fourth 2000 s
+        (1, ts(1000), 1), (2, ts(970), 1), (3, ts(600), 1), (4, ts(-1000), 1),
+        # user 2: in order; last event EQUALS prior max (<=0 is in-order)
+        (5, ts(0), 2), (6, ts(10), 2), (7, ts(10), 2),
+        # user 3: NULL ts then a real one (both in-order)
+        (8, None, 3), (9, ts(5), 3),
+        # user 4: 59 s late (strictly under the 1-minute edge)
+        (10, ts(100), 4), (11, ts(41), 4),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    got = {
+        r["late_bucket"]: (r["n_events"], r["max_lateness_sec"])
+        for r in temporal._lateness_histogram(e).collect()
+    }
+    # empty buckets simply don't appear (no 3_lt_5m row in this fixture)
+    assert got == {
+        "1_in_order": (7, 0.0),
+        "2_lt_1m": (2, 59.0),     # user1 +30s, user4 +59s
+        "4_lt_30m": (1, 400.0),   # user1 third event
+        "5_gte_30m": (1, 2000.0),
+    }
