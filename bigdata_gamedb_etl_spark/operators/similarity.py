@@ -485,9 +485,11 @@ def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, IVF_CELLS, IVF_MP_NPROBE)
 
 
-def _ivf_topk(
-    spark: SparkSession, sf_dir: str, k: int, nprobe: int
-) -> DataFrame:
+def _ivf_index(spark: SparkSession, sf_dir: str, k: int):
+    """Codebook + assignment shared by every IVF tier: returns
+    (assigned DataFrame with a `cell` column, centroid list, the query
+    row or None).  Split out in r9 so the recall-curve op fits the
+    quantizer ONCE across its whole nprobe ladder."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -524,15 +526,12 @@ def _ivf_topk(
         .select("emb", "cell")
         .first()
     )  # single driver job: one row
-    if q is None:
-        # query vector absent or zero-norm (filtered by _emb_cosine):
-        # cosine against it is undefined — empty result, same schema
-        return spark.createDataFrame(
-            [], "vec_id bigint, cell int, cosine double"
-        )
-    qv = q["emb"]
-    # nprobe nearest cells to the query vector (tiny driver-side math on
-    # k centroids — the model itself, not data)
+    return assigned, centers, q
+
+
+def _probe_order(qv, centers) -> list[int]:
+    """All cells sorted nearest-first to the query vector — tiny
+    driver-side math on the k centroids (the model itself, not data)."""
     import math as _math
 
     def _cos(u, v):
@@ -541,11 +540,11 @@ def _ivf_topk(
         nv = _math.sqrt(sum(a * a for a in v)) or 1.0
         return d / (nu * nv)
 
-    probe = sorted(range(len(centers)), key=lambda c: -_cos(qv, centers[c]))[:nprobe]
-    probe = probe or [0]  # codebook-less fallback: the one cell
-    qdf = spark.createDataFrame([(qv,)], "qv array<double>")
+    return sorted(range(len(centers)), key=lambda c: -_cos(qv, centers[c]))
 
-    scored = (
+
+def _ivf_scored(assigned: DataFrame, qdf: DataFrame, probe: list[int]):
+    return (
         assigned.where(F.col("cell").isin(probe))
         .crossJoin(F.broadcast(qdf))
         .select(
@@ -560,8 +559,78 @@ def _ivf_topk(
                 4,
             ).alias("cosine"),
         )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
     )
-    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int, nprobe: int
+) -> DataFrame:
+    assigned, centers, q = _ivf_index(spark, sf_dir, k)
+    if q is None:
+        # query vector absent or zero-norm (filtered by _emb_cosine):
+        # cosine against it is undefined — empty result, same schema
+        return spark.createDataFrame(
+            [], "vec_id bigint, cell int, cosine double"
+        )
+    probe = _probe_order(q["emb"], centers)[:nprobe]
+    probe = probe or [0]  # codebook-less fallback: the one cell
+    qdf = spark.createDataFrame([(q["emb"],)], "qv array<double>")
+    return _ivf_scored(assigned, qdf, probe)
+
+
+IVF_CURVE_NPROBES = (1, 2, 4, 8, 16)
+
+
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF serving-time tuning table: recall@TOP_K vs the exact
+    brute-force top-k at every nprobe on the ladder, with the candidate
+    count each setting scans — THE artifact an ANN deployment reads to
+    pick its recall/compute point.  At nprobe = IVF_CELLS the probe
+    covers every cell, the candidate set is the whole corpus, and the
+    ranking formula/tie-break equals the brute-force query's — recall
+    is exactly 1.0 by construction (pytest pins this plus recall
+    monotonicity in nprobe).
+
+    Scale: the codebook fits ONCE; the assignment and the exact top-k
+    are localCheckpoint-ed and each ladder step re-scans only its
+    probed cells.  Rows-only by design (KMeans assignment is not
+    SQL-expressible); quantitative invariants live in
+    tests/test_llm_pipeline.py."""
+    assigned, centers, q = _ivf_index(spark, sf_dir, IVF_CELLS)
+    if q is None:
+        return spark.createDataFrame(
+            [], "nprobe int, candidates bigint, hits bigint, recall double"
+        )
+    assigned = assigned.select("vec_id", "emb", "cell").localCheckpoint(
+        eager=True
+    )
+    exact = (
+        sim_cosine_topk(spark, sf_dir).select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    order = _probe_order(q["emb"], centers)
+    qdf = spark.createDataFrame([(q["emb"],)], "qv array<double>")
+    parts = []
+    for np_ in IVF_CURVE_NPROBES:
+        probe = order[:np_] or [0]
+        cand = assigned.where(F.col("cell").isin(probe))
+        topk = _ivf_scored(assigned, qdf, probe).select("vec_id")
+        hits = topk.join(exact, "vec_id").agg(F.count("*").alias("hits"))
+        ncand = cand.agg(F.count("*").alias("candidates"))
+        parts.append(
+            hits.crossJoin(ncand).select(
+                F.lit(np_).alias("nprobe"),
+                "candidates",
+                "hits",
+                _fr4(F.col("hits") * F.lit(1.0) / TOP_K).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("nprobe")
 
 
 # --------------------------------------------------------------------------
@@ -1677,6 +1746,7 @@ QUERIES = {
     "sim_centroid_outliers": sim_centroid_outliers,
     "sim_dim_variance_profile": sim_dim_variance_profile,
     "sim_split_embedding_drift": sim_split_embedding_drift,
+    "sim_ivf_recall_curve": sim_ivf_recall_curve,
     "sim_pca_power_iteration": sim_pca_power_iteration,
 }
 

@@ -86,6 +86,9 @@ ROUND9_NEW: list[str] = [
     # watermark-lateness histogram over (user, ingestion-order): the
     # batch audit that sizes a streaming watermark delay
     "ts_watermark_lateness",
+    # recall@k vs nprobe ladder over ONE fitted IVF codebook — the ANN
+    # recall/compute tuning table (rows-only; invariants in pytest)
+    "sim_ivf_recall_curve",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -115,6 +118,38 @@ RECHECK_CHANGED: list[str] = [
 #: (the staleness guard goes red and names land here).
 RECONFIRM_STALE: list[str] = []
 
+#: r9: spare window capacity refreshes the OLDEST driver evidence.
+#: These queries are unchanged since their last green (and locally
+#: re-verified every run by test_oracle_parity); their newest driver
+#: row is from round 4, the oldest in the fleet — rotating them
+#: through keeps every green row's age bounded.  Sized so the full
+#: window stays ≤ 50 with all 12 CONTROLS in.
+RECONFIRM_ROTATION: list[str] = [
+    "anomaly_daily_zscore",
+    "cohort_weekly_retention",
+    "dedup_boilerplate_lines",
+    "dedup_decontaminate",
+    "dedup_editdist_names",
+    "dedup_incremental_pairs",
+    "dq_orders_profile",
+    "dq_referential_integrity",
+    "j10_basket_part_pairs",
+    "j9_salted_segment_revenue",
+    "mart_put_script",
+    "pipeline_domain_mixture",
+    "pipeline_pack_sequences",
+    "pipeline_stratified_sample",
+    "pipeline_train_val_test",
+    "pipeline_training_examples",
+    "seq_markov_transitions",
+    "sess3_top_paths",
+    "text_chunk_udtf",
+    "text_pii_scrub",
+    "text_vocab_coverage",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_by_status",
+]
+
 CONTROLS = [
     "tpch_q1_pricing_summary", "tpch_q3_top_revenue_orders",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
@@ -124,7 +159,10 @@ CONTROLS = [
     "ga2_cube_segment_priority", "p3_latest_event_per_user",
 ]
 
-PRIORITY = ROUND9_NEW + RECHECK_CHANGED + RECONFIRM_STALE + CONTROLS
+PRIORITY = (
+    ROUND9_NEW + RECHECK_CHANGED + RECONFIRM_STALE
+    + RECONFIRM_ROTATION + CONTROLS
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -98,6 +98,25 @@ def test_ivf_multiprobe_recall_dominates_single(spark, sf):
     assert r_mp >= 0.7, f"multi-probe IVF recall {r_mp} < 0.7 at {sf}"
 
 
+def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark):
+    """The nprobe ladder shares ONE codebook, so each step's candidate
+    set is a superset of the last: candidates and recall must be
+    non-decreasing in nprobe, and at nprobe = IVF_CELLS the scan covers
+    the whole corpus with the brute-force query's exact ranking formula
+    and tie-break — recall is exactly 1.0 by construction."""
+    sf = SF_DIRS[0]
+    rows = similarity.sim_ivf_recall_curve(spark, sf).collect()
+    assert [r["nprobe"] for r in rows] == list(
+        similarity.IVF_CURVE_NPROBES
+    )
+    cands = [r["candidates"] for r in rows]
+    recalls = [r["recall"] for r in rows]
+    assert cands == sorted(cands), cands
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
+    assert all(r["hits"] <= similarity.TOP_K for r in rows)
+
+
 def test_no_round_on_double_average_policy():
     """r8 grep-clean policy closing the w10 hazard class: no operator
     module may ROUND a double AVERAGE (Spark half-up vs DuckDB
