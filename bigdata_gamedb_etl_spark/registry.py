@@ -148,6 +148,8 @@ RECONFIRM_ROTATION: list[str] = [
     "text_vocab_coverage",
     "tpch_q11_important_stock",
     "tpch_q12_priority_by_status",
+    "tpch_q20_excess_shippers",
+    "w8_range_frame_hourly",
 ]
 
 CONTROLS = [
