@@ -119,8 +119,13 @@ EXTRAS = [
     "text_repeated_spans",
     "graph_clustering_coeff",
     # round-9: the cluster-emit simhash variant (signature-graph CC —
-    # the linear-output answer to pair-emit's replica pair-mass)
+    # the linear-output answer to pair-emit's replica pair-mass), the
+    # contraction-merge incremental CC, the nprobe recall ladder over
+    # one fitted codebook, and the cross-split LM-entropy join
     "dedup_simhash_clusters",
+    "dedup_incremental_cc",
+    "sim_ivf_recall_curve",
+    "text_split_xentropy",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -399,16 +404,23 @@ def main() -> None:
         probe_dir = _ensure_scale_slice(
             SF_DIR, SCALE_PROBE_FACTOR, fingerprint["hash"]
         )
-        base_sec: dict[str, float] = {}
-        scaled_sec: dict[str, float] = {}
-        for name in SCALE_PROBE_QUERIES:
-            t0 = time.perf_counter()
-            _force(queries[name](spark, SF_DIR))
-            base_sec[name] = round(time.perf_counter() - t0, 3)
-        for name in SCALE_PROBE_QUERIES:
-            t0 = time.perf_counter()
-            _force(queries[name](spark, probe_dir))
-            scaled_sec[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2 per scale (r9): the probe was single-shot and its
+        # RATIO wobbled 2.3→3.7 between two same-code quiet runs —
+        # ratio noise compounds from both numerator and denominator,
+        # so each side gets the same steady-state treatment as the
+        # headline timings.
+        def _probe_best(name: str, d: str) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(queries[name](spark, d))
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        base_sec = {n: _probe_best(n, SF_DIR) for n in SCALE_PROBE_QUERIES}
+        scaled_sec = {
+            n: _probe_best(n, probe_dir) for n in SCALE_PROBE_QUERIES
+        }
         scale_probe = {
             "factor": SCALE_PROBE_FACTOR,
             "base_sec": base_sec,
@@ -516,7 +528,12 @@ def main() -> None:
             "treat SHARED12 deltas < ~1.2x as noise.  r9: EXTRAS run "
             "best-of-3 too and every query records its steady-state "
             "spread in variance_floor — adjudicate a same-data delta "
-            "against max(1.2, that query's floor)"
+            "against max(1.2, that query's floor).  r9 adjudication: "
+            "the quiet r9 run flagged attribution_last_touch (1.42x) "
+            "and ts_ohlc_hourly (1.26x) above their floors; a fresh "
+            "quiet JVM best-of-3 reproduced the r8 numbers for both "
+            "(0.551 vs 0.673 prior; 0.425 vs 0.447) — full-session "
+            "JVM aging, not plan regressions"
         ),
     }
     with open(DETAIL_FILE, "w") as fh:
