@@ -409,6 +409,125 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH band-ladder tuning table (r9) — the dedup twin of
+# sim_ivf_recall_curve: (bands, rows) is THE recall/cost knob of a
+# MinHash index, and this table measures it against the exact-Jaccard
+# ground truth instead of trusting the 1-(1-j^r)^b formula.  Band
+# boundaries NEST (32 permutations split into 2/4/8/16 bands): a
+# collision on a coarse band means all its minhashes agree, so both
+# halves agree — the candidate set at 2k bands is a superset of the
+# set at k bands BY CONSTRUCTION, and recall is monotone in bands.
+LSH_LADDER_BANDS = (2, 4, 8, 16)
+
+
+def dedup_lsh_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (bands, rows-per-band) setting over ONE shared 32-permutation
+    signature table: LSH candidate count, exact-verified pair count,
+    hits against the exact-Jaccard pair set, and recall — the table a
+    deployment reads to pick its banding before a 100 TB dedup run.
+
+    Scale: signatures, shingle sets, and the exact ground truth are
+    localCheckpoint-ed once; each ladder step pays only its band
+    explode + self-join + candidate verification.  Rows-only by design
+    (banding isn't SQL-expressible); monotonicity + subset invariants
+    in tests/test_llm_pipeline.py."""
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("h"),
+    )
+    sig = (
+        ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
+                for k in range(MINHASH_PERMS)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact.agg(F.count("*").alias("exact_pairs"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
+    parts = []
+    for nb in LSH_LADDER_BANDS:
+        rpb = MINHASH_PERMS // nb
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.hash(
+                            *[
+                                F.col(f"mh{b * rpb + r}")
+                                for r in range(rpb)
+                            ]
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            .distinct()
+        )
+        verified = (
+            cand.join(s1, "d1")
+            .join(s2, "d2")
+            .withColumn(
+                "common", F.size(F.array_intersect("shs1", "shs2"))
+            )
+            .where(
+                F.col("common")
+                / (F.size("shs1") + F.size("shs2") - F.col("common"))
+                >= JACCARD_THRESHOLD
+            )
+            .select("d1", "d2")
+        )
+        ncand = cand.agg(F.count("*").alias("candidates"))
+        nver = verified.agg(F.count("*").alias("verified_pairs"))
+        hits = verified.join(exact, ["d1", "d2"]).agg(
+            F.count("*").alias("hits")
+        )
+        parts.append(
+            hits.crossJoin(nver)
+            .crossJoin(ncand)
+            .crossJoin(F.broadcast(n_exact))
+            .select(
+                F.lit(nb).alias("bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                "candidates",
+                "verified_pairs",
+                "hits",
+                "exact_pairs",
+                F.when(
+                    F.col("exact_pairs") > 0,
+                    _fr4(F.col("hits") * F.lit(1.0) / F.col("exact_pairs")),
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("bands")
+
+
+# --------------------------------------------------------------------------
 def dedup_shingle_docfreq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level dup pressure report: distribution of shingle
     doc-frequency (how skewed the inverted index is — the quantity that
@@ -2320,6 +2439,7 @@ QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_simhash_band_pairs": dedup_simhash_band_pairs,
     "dedup_simhash_clusters": dedup_simhash_clusters,
+    "dedup_lsh_band_ladder": dedup_lsh_band_ladder,
     "dq_duplicate_rate_by_source": dq_duplicate_rate_by_source,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_exact_md5": dedup_exact_md5,

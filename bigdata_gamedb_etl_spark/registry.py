@@ -89,6 +89,10 @@ ROUND9_NEW: list[str] = [
     # recall@k vs nprobe ladder over ONE fitted IVF codebook — the ANN
     # recall/compute tuning table (rows-only; invariants in pytest)
     "sim_ivf_recall_curve",
+    # (bands, rows) ladder over ONE minhash signature table vs the
+    # exact-Jaccard ground truth — the dedup banding tuning table
+    # (rows-only; nested-band monotonicity pinned in pytest)
+    "dedup_lsh_band_ladder",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -149,7 +153,8 @@ RECONFIRM_ROTATION: list[str] = [
     "tpch_q11_important_stock",
     "tpch_q12_priority_by_status",
     "tpch_q20_excess_shippers",
-    "w8_range_frame_hourly",
+    # (w8_range_frame_hourly rotated out when dedup_lsh_band_ladder
+    # took the 50th slot; it re-queues in round 10's rotation)
 ]
 
 CONTROLS = [

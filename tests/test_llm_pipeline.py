@@ -117,6 +117,49 @@ def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark):
     assert all(r["hits"] <= similarity.TOP_K for r in rows)
 
 
+def test_lsh_band_ladder_monotone_and_subset_of_exact(spark):
+    """Nested band boundaries (32 perms split 2/4/8/16 ways) make each
+    finer setting's candidate set a superset of the coarser one's, so
+    candidates / verified pairs / hits / recall are all non-decreasing
+    in bands; and because verification applies the exact Jaccard
+    threshold (df cap inactive at test SF), every verified pair is in
+    the exact pair set — hits == verified_pairs."""
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    rows = dedup.dedup_lsh_band_ladder(spark, SF_DIRS[0]).collect()
+    assert [r["bands"] for r in rows] == list(dedup.LSH_LADDER_BANDS)
+    for col in ("candidates", "verified_pairs", "hits", "recall"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals), (col, vals)
+    for r in rows:
+        assert r["hits"] == r["verified_pairs"], tuple(r)
+        assert r["rows_per_band"] * r["bands"] == dedup.MINHASH_PERMS
+
+
+def test_waterfill_conserves_budget_and_respects_capacity(spark):
+    """Waterfill solver invariants at both test SFs: no source is
+    allocated beyond its above-floor capacity, round-1 never exceeds
+    the fair share, and the total allocation never exceeds the budget
+    (pool // DENOM) beyond 4dp rounding slack on the proportional
+    round-2 grants."""
+    from bigdata_gamedb_etl_spark.operators import pipeline
+
+    for sf in SF_DIRS:
+        rows = pipeline.pipeline_mixture_waterfill(spark, sf).collect()
+        if not rows:
+            continue
+        pool = sum(r["avail_tokens"] for r in rows)
+        budget = pool // pipeline.WATERFILL_BUDGET_DENOM
+        slack = 0.0001 * len(rows)  # 4dp quantization per grant
+        for r in rows:
+            assert r["alloc_round1"] <= r["fair_share"]
+            alloc = r["alloc_round1"] + r["alloc_round2"]
+            assert alloc <= r["avail_tokens"] + 0.0001, tuple(r)
+            assert 0.0 <= r["fill_pct"] <= 100.0001, tuple(r)
+        total = sum(r["alloc_round1"] + r["alloc_round2"] for r in rows)
+        assert total <= budget + slack, (total, budget)
+
+
 def test_no_round_on_double_average_policy():
     """r8 grep-clean policy closing the w10 hazard class: no operator
     module may ROUND a double AVERAGE (Spark half-up vs DuckDB
