@@ -1313,9 +1313,12 @@ def pipeline_filter_attribution(
             "docs_failing",
             "docs_only_this",
             "tokens_failing",
-            _fr4(F.col("docs_failing") * 100.0 / F.col("total_docs")).alias(
-                "fail_pct"
-            ),
+            # empty-corpus guard (repo rule: every ratio guarded on its
+            # own denominator; oracle carries the same CASE)
+            F.when(
+                F.col("total_docs") > 0,
+                _fr4(F.col("docs_failing") * 100.0 / F.col("total_docs")),
+            ).alias("fail_pct"),
         )
         .orderBy("rule")
     )
@@ -1370,8 +1373,10 @@ rows_out AS (
   SELECT 'digit_heavy', g_n, g_o, g_t, total_docs FROM one
 )
 SELECT rule, docs_failing, docs_only_this, tokens_failing,
-       floor(docs_failing * 100.0 / total_docs * 10000.0 + 0.5) / 10000.0
-         AS fail_pct
+       CASE WHEN total_docs > 0
+            THEN floor(docs_failing * 100.0 / total_docs
+                       * 10000.0 + 0.5) / 10000.0
+       END AS fail_pct
 FROM rows_out
 ORDER BY rule
 """

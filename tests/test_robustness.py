@@ -30,6 +30,10 @@ FIXED_ROWS = {
     "dq_completeness_profile": 18,
     # one row per dedup rung, null metrics on an empty corpus
     "dedup_survivorship_funnel": 4,
+    # one row per (bands, rows) ladder setting, zero counts on empty
+    "dedup_lsh_band_ladder": 4,
+    # one row per filter rule, zero counts on empty
+    "pipeline_filter_attribution": 4,
 }
 
 
