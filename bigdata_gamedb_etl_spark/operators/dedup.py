@@ -265,6 +265,134 @@ ORDER BY d1, d2
 
 
 # --------------------------------------------------------------------------
+# Jaccard-threshold sensitivity sweep (r9) — the third tuning table
+# (after the LSH band ladder and the IVF nprobe ladder): how many pairs
+# and how much of the corpus each candidate threshold would mark as
+# near-duplicate.  The production question it answers: "if we tighten
+# 0.5 → 0.7, how much dup mass do we stop collapsing?"  One
+# pair-generation pass; per-threshold counts are conditional aggregates
+# over the exploded pair endpoints (never one filtered branch per
+# threshold — that re-executes the posting-list explode per branch).
+# Spans the corpus's bimodal pair mass: coincidental-overlap noise
+# (99th pct j ≈ 0.025 here) up through the true-dup mode (j ≥ 0.8) —
+# the informative part of the curve is exactly where the two separate.
+SWEEP_THRESHOLDS = (0.01, 0.02, 0.05, 0.1, 0.5, 0.8)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate Jaccard threshold: surviving pair count, distinct
+    documents in ≥1 surviving pair, and their share of the corpus.
+    Pair grain and df-cap semantics match dedup_ngram_jaccard_pairs
+    (the oracle, like that op's, omits the cap — inactive at test SF,
+    pinned by test_shingle_df_cap_is_inactive_at_test_sf)."""
+    agg = _posting_pair_counts(spark, sf_dir)
+    jac = (
+        F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    ).alias("j")
+    ends = agg.select(
+        jac, F.explode(F.array("d1", "d2")).alias("doc")
+    )
+    aggs = []
+    for i, t in enumerate(SWEEP_THRESHOLDS):
+        hit = F.col("j") >= F.lit(t)
+        aggs.append(
+            F.coalesce(
+                F.sum(hit.cast("long")), F.lit(0).cast("long")
+            ).alias(f"pairs2_{i}")
+        )
+        aggs.append(
+            F.countDistinct(F.when(hit, F.col("doc"))).alias(f"docs_{i}")
+        )
+    one = ends.agg(*aggs)
+    total = table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("total_docs")
+    )
+    stack = ", ".join(
+        f"CAST({t} AS DOUBLE), pairs2_{i} DIV 2, docs_{i}"
+        for i, t in enumerate(SWEEP_THRESHOLDS)
+    )
+    return (
+        one.crossJoin(F.broadcast(total))
+        .select(
+            "total_docs",
+            F.expr(
+                f"stack({len(SWEEP_THRESHOLDS)}, {stack}) AS "
+                "(threshold, n_pairs, n_dup_docs)"
+            ),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_dup_docs",
+            F.when(
+                F.col("total_docs") > 0,
+                _fr4(F.col("n_dup_docs") * 100.0 / F.col("total_docs")),
+            ).alias("dup_doc_pct"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _threshold_sweep_oracle() -> str:
+    cols = []
+    rows = []
+    for i, t in enumerate(SWEEP_THRESHOLDS):
+        cols.append(
+            f"COALESCE(SUM(CASE WHEN j >= {t} THEN 1 ELSE 0 END), 0) // 2"
+            f" AS pairs_{i},\n"
+            f"         COUNT(DISTINCT CASE WHEN j >= {t} THEN doc END)"
+            f" AS docs_{i}"
+        )
+        rows.append(
+            f"SELECT CAST({t} AS DOUBLE) AS threshold,"
+            f" CAST(pairs_{i} AS BIGINT) AS n_pairs,"
+            f" CAST(docs_{i} AS BIGINT) AS n_dup_docs,"
+            " total_docs FROM one, tot"
+        )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs FROM w
+),
+ex AS (
+  SELECT doc_id, len(shs) AS n, UNNEST(shs) AS s FROM sh WHERE len(shs) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         COUNT(*) AS common,
+         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+ends AS (
+  SELECT common * 1.0 / (n1 + n2 - common) AS j, d1 AS doc FROM pairs
+  UNION ALL
+  SELECT common * 1.0 / (n1 + n2 - common) AS j, d2 AS doc FROM pairs
+),
+one AS (
+  SELECT {",".join(cols)}
+  FROM ends
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM documents),
+rows_out AS (
+  {" UNION ALL ".join(rows)}
+)
+SELECT threshold, n_pairs, n_dup_docs,
+       CASE WHEN total_docs > 0
+            THEN floor(n_dup_docs * 100.0 / total_docs
+                       * 10000.0 + 0.5) / 10000.0
+       END AS dup_doc_pct
+FROM rows_out
+ORDER BY threshold
+"""
+
+
+DEDUP_THRESHOLD_SWEEP_ORACLE = _threshold_sweep_oracle()
+
+
+# --------------------------------------------------------------------------
 # Asymmetric containment: C(a in b) = |S(a) ∩ S(b)| / |S(a)| — the
 # quote/subset signal Jaccard structurally misses (a 100-token doc
 # fully embedded in a 10k-token doc has Jaccard ≈ 0.01 but
@@ -2440,6 +2568,7 @@ QUERIES = {
     "dedup_simhash_band_pairs": dedup_simhash_band_pairs,
     "dedup_simhash_clusters": dedup_simhash_clusters,
     "dedup_lsh_band_ladder": dedup_lsh_band_ladder,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "dq_duplicate_rate_by_source": dq_duplicate_rate_by_source,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_exact_md5": dedup_exact_md5,
@@ -2467,6 +2596,7 @@ ORACLE = {
     "dedup_exact_keeper": DEDUP_EXACT_ORACLE,
     "dedup_simhash_band_pairs": DEDUP_SIMHASH_PAIRS_ORACLE,
     "dedup_simhash_clusters": DEDUP_SIMHASH_CLUSTERS_ORACLE,
+    "dedup_threshold_sweep": DEDUP_THRESHOLD_SWEEP_ORACLE,
     "dq_duplicate_rate_by_source": DQ_DUP_RATE_ORACLE,
     "dedup_bloom_prefilter": DEDUP_BLOOM_ORACLE,
     "dedup_exact_md5": DEDUP_MD5_ORACLE,

@@ -93,6 +93,9 @@ ROUND9_NEW: list[str] = [
     # exact-Jaccard ground truth — the dedup banding tuning table
     # (rows-only; nested-band monotonicity pinned in pytest)
     "dedup_lsh_band_ladder",
+    # Jaccard-threshold sensitivity: pair/doc dup mass per candidate
+    # threshold from one pair-generation pass (oracle-backed)
+    "dedup_threshold_sweep",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -152,9 +155,9 @@ RECONFIRM_ROTATION: list[str] = [
     "text_vocab_coverage",
     "tpch_q11_important_stock",
     "tpch_q12_priority_by_status",
-    "tpch_q20_excess_shippers",
-    # (w8_range_frame_hourly rotated out when dedup_lsh_band_ladder
-    # took the 50th slot; it re-queues in round 10's rotation)
+    # (w8_range_frame_hourly and tpch_q20_excess_shippers rotated out
+    # when dedup_lsh_band_ladder / dedup_threshold_sweep took the last
+    # slots; they re-queue in round 10's rotation)
 ]
 
 CONTROLS = [

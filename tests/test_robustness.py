@@ -34,6 +34,8 @@ FIXED_ROWS = {
     "dedup_lsh_band_ladder": 4,
     # one row per filter rule, zero counts on empty
     "pipeline_filter_attribution": 4,
+    # one row per candidate threshold, zero counts on empty
+    "dedup_threshold_sweep": 6,
 }
 
 
