@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
-from ._rounding import _fr
+from ._rounding import _fr, _fr4
 
 _HOURS_US = 3_600_000_000.0  # microseconds per hour
 
@@ -694,6 +694,148 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Lorenz decile table (r9) — the distribution detail behind the gini
+# scalar above: per user-activity decile (poorest first), the user and
+# event mass and the cumulative event share.  Computed WITHOUT ranking
+# users: deciles are rank intervals (b_{k-1}, b_k], b_k = (k·n) DIV 10,
+# and each count-of-counts group (c, m, cum_before) — whose users
+# occupy the contiguous rank range (cum_before, cum_before + m] under
+# any order sorted by c — is split across the ≤10 deciles it overlaps
+# by pure interval arithmetic.  The only sort is over by_c (distinct
+# activity levels), not users: the same trick the gini rank-sum uses,
+# so the op stays a tiny-relation job at any corpus size.
+LORENZ_DECILES = 10
+
+
+def behavior_event_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per activity decile (1 = least active users): user count, event
+    count, event share, and cumulative event share — the Lorenz curve
+    the gini above integrates."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    by_c = counts.groupBy("c").agg(F.count("*").alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    staged = by_c.select(
+        "c",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).alias("cb"),
+    )
+    tot = staged.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("c") * F.col("m")).alias("tot_events"),
+    )
+    D = LORENZ_DECILES
+    g = (
+        staged.crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "m",
+            "cb",
+            "n",
+            "tot_events",
+            F.explode(F.sequence(F.lit(1), F.lit(D))).alias("decile"),
+        )
+        .select(
+            "decile",
+            "tot_events",
+            # overlap of this group's rank range (cb, cb+m] with the
+            # decile's (b_{k-1}, b_k]
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.col("cb") + F.col("m"),
+                    F.expr(f"(decile * n) DIV {D}"),
+                )
+                - F.greatest(
+                    F.col("cb"), F.expr(f"((decile - 1) * n) DIV {D}")
+                ),
+            ).alias("u"),
+            F.col("c"),
+        )
+        .select("decile", "tot_events", "u", (F.col("u") * F.col("c")).alias("ev"))
+    )
+    dec = g.groupBy("decile").agg(
+        F.sum("u").alias("n_users"),
+        F.sum("ev").alias("n_events"),
+        F.first("tot_events").alias("tot_events"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = F.when(
+        F.col("tot_events") > 0,
+        _fr4(F.col("n_events") * 100.0 / F.col("tot_events")),
+    )
+    cum = F.when(
+        F.col("tot_events") > 0,
+        _fr4(
+            F.sum("n_events").over(wcum) * 100.0 / F.col("tot_events")
+        ),
+    )
+    return (
+        dec.select(
+            "decile",
+            "n_users",
+            "n_events",
+            share.alias("event_share_pct"),
+            cum.alias("cum_share_pct"),
+        )
+        .orderBy("decile")
+    )
+
+
+LORENZ_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+by_c AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM counts GROUP BY c),
+staged AS (
+  SELECT c, m,
+         COALESCE(SUM(m) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cb
+  FROM by_c
+),
+tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n,
+         CAST(SUM(c * m) AS BIGINT) AS tot_events
+  FROM staged
+),
+g AS (
+  SELECT k.decile, t.tot_events,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(s.cb + s.m, (k.decile * t.n) // {LORENZ_DECILES})
+                  - GREATEST(s.cb,
+                             ((k.decile - 1) * t.n) // {LORENZ_DECILES}))
+           AS u,
+         s.c
+  FROM staged s, tot t,
+       (SELECT UNNEST(range(1, {LORENZ_DECILES} + 1)) AS decile) k
+),
+dec AS (
+  SELECT decile,
+         CAST(SUM(u) AS BIGINT) AS n_users,
+         CAST(SUM(u * c) AS BIGINT) AS n_events,
+         ANY_VALUE(tot_events) AS tot_events
+  FROM g
+  GROUP BY decile
+)
+SELECT decile, n_users, n_events,
+       CASE WHEN tot_events > 0
+            THEN floor(n_events * 100.0 / tot_events * 10000.0 + 0.5)
+                 / 10000.0
+       END AS event_share_pct,
+       CASE WHEN tot_events > 0
+            THEN floor(SUM(n_events) OVER (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       * 100.0 / tot_events * 10000.0 + 0.5) / 10000.0
+       END AS cum_share_pct
+FROM dec
+ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
 def behavior_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of the first-view → first-strictly-later-purchase
     lag: converter count and exact p50/p90 lag in hours — the funnel's
@@ -756,6 +898,7 @@ QUERIES = {
     "funnel_user_conversion": funnel_user_conversion,
     "events_user_gini": events_user_gini,
     "behavior_conversion_lag": behavior_conversion_lag,
+    "behavior_event_lorenz": behavior_event_lorenz,
     "cohort_weekly_retention": cohort_weekly_retention,
     "anomaly_daily_zscore": anomaly_daily_zscore,
     "rfm_customer_segments": rfm_customer_segments,
@@ -767,6 +910,7 @@ ORACLE = {
     "funnel_user_conversion": FUNNEL_ORACLE,
     "events_user_gini": GINI_ORACLE,
     "behavior_conversion_lag": CONVERSION_LAG_ORACLE,
+    "behavior_event_lorenz": LORENZ_ORACLE,
     "cohort_weekly_retention": COHORT_ORACLE,
     "anomaly_daily_zscore": ANOMALY_ORACLE,
     "rfm_customer_segments": RFM_ORACLE,

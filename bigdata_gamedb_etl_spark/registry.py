@@ -96,6 +96,9 @@ ROUND9_NEW: list[str] = [
     # Jaccard-threshold sensitivity: pair/doc dup mass per candidate
     # threshold from one pair-generation pass (oracle-backed)
     "dedup_threshold_sweep",
+    # Lorenz activity deciles from count-of-counts interval arithmetic
+    # (no user-grain sort) — the distribution behind the gini scalar
+    "behavior_event_lorenz",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -154,10 +157,9 @@ RECONFIRM_ROTATION: list[str] = [
     "text_pii_scrub",
     "text_vocab_coverage",
     "tpch_q11_important_stock",
-    "tpch_q12_priority_by_status",
-    # (w8_range_frame_hourly and tpch_q20_excess_shippers rotated out
-    # when dedup_lsh_band_ladder / dedup_threshold_sweep took the last
-    # slots; they re-queue in round 10's rotation)
+    # (w8_range_frame_hourly, tpch_q20_excess_shippers, and
+    # tpch_q12_priority_by_status rotated out as late ROUND9_NEW ops
+    # took the last slots; they re-queue in round 10's rotation)
 ]
 
 CONTROLS = [
