@@ -585,16 +585,21 @@ def dedup_lsh_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for nb in LSH_LADDER_BANDS:
         rpb = MINHASH_PERMS // nb
+        # lossless band key (concat of the raw minhash values, not a
+        # 32-bit rehash): a collision on a coarse band now IMPLIES all
+        # its minhashes agree, so the nested-band candidate-superset
+        # invariant is structural, not probabilistic (ADVICE r9)
         bands = sig.select(
             "doc_id",
             F.posexplode(
                 F.array(
                     *[
-                        F.hash(
+                        F.concat_ws(
+                            ",",
                             *[
-                                F.col(f"mh{b * rpb + r}")
+                                F.col(f"mh{b * rpb + r}").cast("string")
                                 for r in range(rpb)
-                            ]
+                            ],
                         )
                         for b in range(nb)
                     ]
@@ -2214,7 +2219,10 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the genuinely quadratic replica pair-mass.  The cluster-emit
     variant (dedup_simhash_clusters) is the scale path when pair mass
     itself is the problem."""
-    groups = _materialize_iter(_simhash_groups(spark, sf_dir), False)
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
+    groups = _materialize_iter(_simhash_groups(spark, sf_dir), reliable)
     # materialize once: groups feeds the same-signature expansion and
     # BOTH sides of the cross-signature member join — without it each
     # consumer re-executes the pandas-UDF signature scan.

@@ -610,6 +610,10 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_cosine_topk(spark, sf_dir).select("vec_id")
         .localCheckpoint(eager=True)
     )
+    # recall denominator = the exact result's row count, not TOP_K:
+    # a corpus slice smaller than TOP_K yields fewer exact rows, and
+    # full-probe recall must still be exactly 1.0 (ADVICE r9)
+    n_exact = exact.agg(F.count("*").alias("exact_k"))
     order = _probe_order(q["emb"], centers)
     qdf = spark.createDataFrame([(q["emb"],)], "qv array<double>")
     parts = []
@@ -620,11 +624,15 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = topk.join(exact, "vec_id").agg(F.count("*").alias("hits"))
         ncand = cand.agg(F.count("*").alias("candidates"))
         parts.append(
-            hits.crossJoin(ncand).select(
+            hits.crossJoin(ncand)
+            .crossJoin(F.broadcast(n_exact))
+            .select(
                 F.lit(np_).alias("nprobe"),
                 "candidates",
                 "hits",
-                _fr4(F.col("hits") * F.lit(1.0) / TOP_K).alias("recall"),
+                _fr4(
+                    F.col("hits") * F.lit(1.0) / F.col("exact_k")
+                ).alias("recall"),
             )
         )
     out = parts[0]
