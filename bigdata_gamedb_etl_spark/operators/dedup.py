@@ -463,46 +463,169 @@ ORDER BY d1, d2
 
 
 # --------------------------------------------------------------------------
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs, then exact-Jaccard verification of
-    candidates only.  Rows-only checked (probabilistic recall).
+#: Mersenne prime 2^61−1 — the modulus of the minhash permutation
+#: family below.
+MINHASH_P = (1 << 61) - 1
+_T31, _T30 = 1 << 31, 1 << 30
 
-    Pipeline (all built-ins, no UDF):
-      shingles → 32 minhashes (xxhash64 seeded by permutation index)
-      → 8 bands of 4 → explode bands → self-join on (band, band-hash)
-      → distinct candidate pairs → join shingle sets back → exact
-      Jaccard filter.
-    At 100 TB: candidate generation shuffles (band, hash) pairs —
-    linear in corpus size; only candidates pay the verification join.
-    """
-    sh = _shingled(spark, sf_dir)
-    # One base hash per shingle (computed post-explode in codegen),
-    # then the 32 permutations are min-aggregates of xxhash64(seed, h)
-    # over the 8-byte long.  The explode→groupBy shape materializes the
-    # base hash exactly once; an array-of-lambdas formulation gets
-    # projection-collapsed by Catalyst into 32 recomputations of the
-    # string hash (measured 4× slower).  The groupBy shuffle is
-    # map-side-combined to one row per (doc, partition) before exchange.
-    ex = sh.select(
-        "doc_id",
-        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("h"),
+
+def _perm_const(k: int, tag: str) -> int:
+    """Deterministic 60-bit permutation constant (no RNG at runtime —
+    resumable, engine-independent): top 15 hex chars of md5(tag‖k)."""
+    return int(hashlib.md5(f"{tag}{k}".encode()).hexdigest()[:15], 16)
+
+
+def _perm_formula(k: int, div: str) -> str:
+    """Portable SQL for permutation k of the pairwise-independent
+    family mh_k(h) = (a_k·h + b_k) mod (2^61−1) over a 60-bit hash h
+    presented as columns hh1 = h div 2^31, hh0 = h mod 2^31.
+
+    a_k·h needs 121-bit intermediates, so the multiply is split
+    base-2^31 and reduced with the Mersenne identity 2^61 ≡ 1 (mod p):
+      a·h = a1·h1·2^62 + (a1·h0 + a0·h1)·2^31 + a0·h0
+          ≡ 2·a1·h1   + m1 + m0·2^31          + a0·h0   (mod p)
+      where m = (a1·h0 + a0·h1) mod p = m1·2^30 + m0.
+    Every intermediate is < 2^62, so the expression is exact in signed
+    BIGINT on both engines (Spark runs ANSI — overflow would THROW;
+    the bounds are load-bearing).  `div` is the integer-division
+    spelling: 'DIV' on Spark, '//' on DuckDB; everything else is
+    shared text, which IS the cross-engine parity argument.
+
+    Design history (r10): the first draft — a fresh md5 per
+    permutation — was cleanly reproducible but measured 10.0 s vs
+    2.0 s at sf0.1 (32 string hashes + hex parses per shingle); the
+    second — Kirsch–Mitzenmacher h1 + k·h2 — was fast but its
+    correlated permutations inflated the 8-band candidate set 53×
+    (13 663 vs 256 pairs at sf0.1).  This family measures the same
+    candidate count as the original xxhash64 family (256) at the same
+    signature cost (~1.4 s)."""
+    a = _perm_const(k, "a") % (MINHASH_P - 1) + 1
+    b = _perm_const(k, "b") % MINHASH_P
+    a1, a0 = a // _T31, a % _T31
+    m = f"(({a1}*hh0 + {a0}*hh1) % {MINHASH_P})"
+    x = f"(2*{a1}*hh1 + {m} {div} {_T30} + ({m} % {_T30}) * {_T31})"
+    return (
+        f"((({x} % {MINHASH_P} + ({a0}*hh0) % {MINHASH_P})"
+        f" % {MINHASH_P} + {b}) % {MINHASH_P})"
     )
-    sig = ex.groupBy("doc_id").agg(
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh31): 32-permutation MinHash signatures with an
+    md5-derived pairwise-independent hash family, shared by the LSH
+    pair query and the band ladder — and reproducible in the DuckDB
+    oracle (r9 verdict item 4: the xxhash64 family kept the whole
+    minhash surface rows-only).
+
+    ONE md5 per shingle; its top 60 bits (15 hex chars — ANSI-cast-
+    safe) are the base hash h, and the 32 permutations are the
+    constant-multiplier mulmod formulas of _perm_formula.  The
+    explode→project→groupBy shape parses the hex exactly once per
+    shingle; the 32 min-aggregates reference the hh1/hh0 ATTRIBUTES,
+    so Catalyst's projection collapse cannot clone the parse into each
+    aggregate (the array-of-lambdas formulation did, measured 4×
+    slower on the old xxhash64 family).  The groupBy shuffle is
+    map-side-combined to one row per (doc, partition)."""
+    sh = _shingled(spark, sf_dir)
+    ex = (
+        sh.select(
+            "doc_id",
+            F.explode(F.transform("shs", lambda s: F.md5(s))).alias("hx"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring("hx", 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"h DIV {_T31}").alias("hh1"),
+            (F.col("h") % _T31).alias("hh0"),
+        )
+    )
+    return ex.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
+            F.min(F.expr(_perm_formula(k, "DIV"))).alias(f"mh{k}")
             for k in range(MINHASH_PERMS)
         ]
     )
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
+
+
+def _minhash_sig_duck() -> str:
+    """DuckDB CTE body computing the identical signature table
+    (doc_id, mh0..mh31) over `documents` — the oracle twin of
+    _minhash_signatures (same _perm_formula text, '//' division)."""
+    mh_cols = ",\n         ".join(
+        f"MIN({_perm_formula(k, '//')}) AS mh{k}"
+        for k in range(MINHASH_PERMS)
+    )
+    return f"""
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shs FROM w
+),
+exsh AS (
+  SELECT doc_id, len(shs) AS n, UNNEST(shs) AS s FROM sh WHERE len(shs) > 0
+),
+hb AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+  FROM exsh
+),
+hs AS (
+  SELECT doc_id, h // {_T31} AS hh1, h % {_T31} AS hh0 FROM hb
+),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hs GROUP BY doc_id
+)"""
+
+
+def _band_key(nb: int, b: int):
+    """Lossless Spark band key: a STRUCT of band b's raw minhash longs.
+    Struct equality == element-wise equality, so the candidate set is
+    identical to the oracle's string-concat key (both are lossless
+    renderings of the same value tuple) while the shuffle carries
+    8·rows_per_band bytes instead of an ~80-char string (struct and
+    string keys measured within noise of the old lossy 32-bit F.hash
+    key at sf0.1 — 2.3 vs 2.7 s full-query — so losslessness is
+    free)."""
+    rpb = MINHASH_PERMS // nb
+    return F.struct(
+        *[F.col(f"mh{b * rpb + r}").alias(f"k{r}") for r in range(rpb)]
+    )
+
+
+def _band_key_duck(nb: int, b: int) -> str:
+    rpb = MINHASH_PERMS // nb
+    return " || ',' || ".join(
+        f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+    )
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, then exact-Jaccard verification of
+    candidates only.  Oracle-backed since r10: the md5 permutation
+    family and the lossless band keys make the candidate set — and
+    therefore the verified output — deterministic and reproducible in
+    ANSI SQL (previously rows-only under the Spark-native xxhash64
+    family).
+
+    Pipeline (all built-ins, no UDF):
+      shingles → 32 md5-family minhashes (_minhash_signatures)
+      → 8 bands of 4 → explode bands → self-join on (band, band-key)
+      → distinct candidate pairs → join shingle sets back → exact
+      Jaccard filter.
+    At 100 TB: candidate generation shuffles (band, key) pairs —
+    linear in corpus size; only candidates pay the verification join.
+    """
+    sh = _shingled(spark, sf_dir)
+    sig = _minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.hash(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-                    for b in range(LSH_BANDS)
-                ]
-            )
+            F.array(*[_band_key(LSH_BANDS, b) for b in range(LSH_BANDS)])
         ).alias("band", "band_hash"),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -536,6 +659,42 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+def _minhash_lsh_oracle() -> str:
+    band_rows = ",\n    ".join(
+        f"({b}, {_band_key_duck(LSH_BANDS, b)})" for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_minhash_sig_duck()},
+bands AS (
+  SELECT doc_id, t.band, t.bkey FROM sig,
+    LATERAL (VALUES
+    {band_rows}
+    ) AS t(band, bkey)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         COUNT(*) AS common,
+         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM exsh a JOIN exsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.d1, c.d2,
+       floor(common * 1.0 / (n1 + n2 - common) * 10000.0 + 0.5) / 10000.0
+         AS jaccard
+FROM cand c JOIN pairs p ON c.d1 = p.d1 AND c.d2 = p.d2
+WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
+ORDER BY c.d1, c.d2
+"""
+
+
+DEDUP_MINHASH_LSH_ORACLE = _minhash_lsh_oracle()
+
+
 # --------------------------------------------------------------------------
 # LSH band-ladder tuning table (r9) — the dedup twin of
 # sim_ivf_recall_curve: (bands, rows) is THE recall/cost knob of a
@@ -556,24 +715,12 @@ def dedup_lsh_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures, shingle sets, and the exact ground truth are
     localCheckpoint-ed once; each ladder step pays only its band
-    explode + self-join + candidate verification.  Rows-only by design
-    (banding isn't SQL-expressible); monotonicity + subset invariants
-    in tests/test_llm_pipeline.py."""
+    explode + self-join + candidate verification.  Oracle-backed since
+    r10: the shared md5 permutation family (_minhash_signatures) is
+    DuckDB-reproducible; monotonicity + subset invariants remain in
+    tests/test_llm_pipeline.py."""
     sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
-    ex = sh.select(
-        "doc_id",
-        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("h"),
-    )
-    sig = (
-        ex.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(k), F.col("h"))).alias(f"mh{k}")
-                for k in range(MINHASH_PERMS)
-            ]
-        )
-        .localCheckpoint(eager=True)
-    )
+    sig = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     exact = (
         dedup_ngram_jaccard_pairs(spark, sf_dir)
         .select("d1", "d2")
@@ -592,18 +739,7 @@ def dedup_lsh_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = sig.select(
             "doc_id",
             F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"mh{b * rpb + r}").cast("string")
-                                for r in range(rpb)
-                            ],
-                        )
-                        for b in range(nb)
-                    ]
-                )
+                F.array(*[_band_key(nb, b) for b in range(nb)])
             ).alias("band", "band_hash"),
         )
         a, b = bands.alias("a"), bands.alias("b")
@@ -658,6 +794,78 @@ def dedup_lsh_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("bands")
+
+
+def _lsh_band_ladder_oracle() -> str:
+    setting_selects = []
+    for nb in LSH_LADDER_BANDS:
+        band_rows = ",\n      ".join(
+            f"({b}, {_band_key_duck(nb, b)})" for b in range(nb)
+        )
+        setting_selects.append(
+            f"""SELECT {nb} AS nb, doc_id, t.band, t.bkey FROM sig,
+    LATERAL (VALUES
+      {band_rows}
+    ) AS t(band, bkey)"""
+        )
+    bands_union = "\n  UNION ALL\n  ".join(setting_selects)
+    settings = ", ".join(str(nb) for nb in LSH_LADDER_BANDS)
+    return f"""
+WITH {_minhash_sig_duck()},
+bands AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.nb, a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.nb = b.nb AND a.band = b.band AND a.bkey = b.bkey
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         COUNT(*) AS common,
+         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM exsh a JOIN exsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT d1, d2 FROM pairs
+  WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
+),
+verc AS (
+  SELECT c.nb, c.d1, c.d2
+  FROM cand c JOIN pairs p ON c.d1 = p.d1 AND c.d2 = p.d2
+  WHERE p.common * 1.0 / (p.n1 + p.n2 - p.common) >= {JACCARD_THRESHOLD}
+),
+cagg AS (SELECT nb, COUNT(*) AS candidates FROM cand GROUP BY nb),
+vagg AS (SELECT nb, COUNT(*) AS verified_pairs FROM verc GROUP BY nb),
+hagg AS (
+  SELECT v.nb, COUNT(*) AS hits
+  FROM verc v JOIN exact e ON v.d1 = e.d1 AND v.d2 = e.d2
+  GROUP BY v.nb
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM exact),
+st AS (SELECT UNNEST([{settings}]) AS nb)
+SELECT CAST(st.nb AS INTEGER) AS bands,
+       CAST({MINHASH_PERMS} // st.nb AS INTEGER) AS rows_per_band,
+       CAST(COALESCE(c.candidates, 0) AS BIGINT) AS candidates,
+       CAST(COALESCE(v.verified_pairs, 0) AS BIGINT) AS verified_pairs,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       t.exact_pairs,
+       CASE WHEN t.exact_pairs > 0 THEN
+         floor(COALESCE(h.hits, 0) * 1.0 / t.exact_pairs
+               * 10000.0 + 0.5) / 10000.0
+       END AS recall
+FROM st
+LEFT JOIN cagg c ON c.nb = st.nb
+LEFT JOIN vagg v ON v.nb = st.nb
+LEFT JOIN hagg h ON h.nb = st.nb
+CROSS JOIN tot t
+ORDER BY bands
+"""
+
+
+DEDUP_LSH_LADDER_ORACLE = _lsh_band_ladder_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1170,9 +1378,11 @@ ORDER BY doc_id
 # Same loop as dedup_cluster_assign, but the edge generator is the
 # banded MinHash pipeline whose candidate count stays LINEAR in the
 # corpus (the exact posting-list generator is the small-scale tier).
-# Rows-only by design (LSH banding isn't SQL-expressible), with two
-# guarantees pinned by pytest instead of an oracle: determinism (fixed
-# hash seeds, no RNG) and the REFINEMENT invariant — every LSH edge is
+# Oracle-backed since r10 (recursive-CTE reachability over the
+# DuckDB-reproducible minhash pair set — the md5 mulmod family made
+# the edge generator SQL-expressible); pytest additionally pins
+# determinism (fixed hash seeds, no RNG) and the REFINEMENT
+# invariant — every LSH edge is
 # exact-verified at ≥ the same Jaccard threshold, so the LSH edge set
 # is a subset of the exact edge set and every LSH cluster maps into
 # exactly one exact cluster.  The subset claim holds when the shingle
@@ -1202,6 +1412,25 @@ def dedup_lsh_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
     return _star_components(pairs, reliable)
 
+
+DEDUP_LSH_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+base_pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM base_pairs
+  UNION
+  SELECT d2, d1 FROM base_pairs
+),
+walk (node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON w.r = e.a
+)
+SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+FROM walk
+GROUP BY node
+ORDER BY doc_id
+"""
 
 # --------------------------------------------------------------------------
 # Keeper selection — the step that actually ENDS the dedup story: for
@@ -2625,5 +2854,10 @@ ORACLE = {
     "dq_contamination_scorecard": DQ_CONTAMINATION_ORACLE,
     "dedup_keeper_selection": DEDUP_KEEPER_ORACLE,
     "dedup_simhash_signatures": DEDUP_SIMHASH_ORACLE,
-    # dedup_minhash_lsh_pairs: rows-only (probabilistic recall by design)
+    # oracle-backed since r10: md5 permutation family + lossless band
+    # keys make the LSH candidate set DuckDB-reproducible (r9 verdict
+    # item 4 — previously rows-only under xxhash64 signatures)
+    "dedup_minhash_lsh_pairs": DEDUP_MINHASH_LSH_ORACLE,
+    "dedup_lsh_band_ladder": DEDUP_LSH_LADDER_ORACLE,
+    "dedup_lsh_cluster_assign": DEDUP_LSH_CLUSTER_ORACLE,
 }
