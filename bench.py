@@ -312,6 +312,52 @@ def _env_capture() -> dict:
     return cap
 
 
+#: Quiet-run thresholds (r9 verdict item 2 — make the detail file
+#: self-labeling).  Judged from the BEFORE capture (the AFTER capture
+#: reflects the bench's own 32-thread load) plus the steal DELTA over
+#: the run.  Calibration from the tracked history: quiet runs start at
+#: load1 0.04–0.16 / psi60 0.0; the loaded r9 driver run started at
+#: load1 3.14 / psi60 0.26; steal stayed ≤ 0.4% even during drifted
+#: runs (so 1% only catches real hypervisor noise).
+QUIET_LOAD1_MAX = 1.0
+QUIET_PSI60_MAX = 0.1
+QUIET_STEAL_MAX = 0.01
+
+
+def _quiet_verdict(before: dict, after: dict) -> dict:
+    """Self-labeling quietness verdict for this bench run.  A loaded
+    run's delta table is NOT adjudicating evidence (the r9 driver run
+    — load1 3.14→9.35 — showed 21 above-floor deltas that a quiet
+    same-commit run didn't reproduce); this stamp makes that readable
+    from the detail file alone instead of requiring forensic
+    cross-referencing of env captures."""
+    checks: dict = {}
+    if before.get("load1") is not None:
+        checks["load1_before_ok"] = before["load1"] <= QUIET_LOAD1_MAX
+    psi60 = (before.get("psi") or {}).get("avg60")
+    if psi60 is not None:
+        checks["psi60_before_ok"] = psi60 <= QUIET_PSI60_MAX
+    tb, ta = before.get("stat_ticks"), after.get("stat_ticks")
+    if tb and ta and ta["total"] > tb["total"]:
+        steal_frac = (ta["steal"] - tb["steal"]) / (
+            ta["total"] - tb["total"]
+        )
+        checks["steal_run_ok"] = steal_frac <= QUIET_STEAL_MAX
+        checks["steal_run_frac"] = round(steal_frac, 5)
+    verdict = all(
+        v for k, v in checks.items() if isinstance(v, bool)
+    ) if checks else None
+    return {
+        "verdict": verdict,
+        "checks": checks,
+        "thresholds": {
+            "load1_before": QUIET_LOAD1_MAX,
+            "psi60_before": QUIET_PSI60_MAX,
+            "steal_run": QUIET_STEAL_MAX,
+        },
+    }
+
+
 def _testdata_fingerprint(sf_dir: str) -> dict:
     """CONTENT hash of the input files — BENCH numbers are only
     comparable round-over-round when this matches (the r3→r4 'shared-12
@@ -438,6 +484,17 @@ def main() -> None:
                 "base": _simhash_stage_breakdown(spark, SF_DIR),
                 "scaled": _simhash_stage_breakdown(spark, probe_dir),
             },
+            # r9 verdict item 2: the incremental-CC batch-fraction
+            # axis — merge_sec should order by batch fraction and
+            # track batch_edges across the 10x scale step, while
+            # prior_cc_sec is the corpus-bound term production
+            # persists instead of re-paying
+            "incremental_cc_stages": {
+                "base": _incremental_cc_stage_breakdown(spark, SF_DIR),
+                "scaled": _incremental_cc_stage_breakdown(
+                    spark, probe_dir
+                ),
+            },
         }
 
     # per-query deltas vs the newest prior bench of the SAME testdata
@@ -448,8 +505,16 @@ def main() -> None:
     # fallback (SHARED12 coverage only, post-r6 format).
     deltas = _deltas_vs_prior(timings, fingerprint["hash"])
     env_after = _env_capture()
+    quiet = _quiet_verdict(env_before or {}, env_after or {})
+    if deltas is not None and quiet["verdict"] is False:
+        # a loaded run's ratios are recorded for completeness but must
+        # not be read as regressions — the committed quiet adjudication
+        # stands until a quiet run contradicts it
+        deltas = dict(deltas)
+        deltas["non_adjudicating"] = True
 
     detail = {
+        "quiet": quiet,
         "metric": (
             "headline-query wall clock (noop sink, best of 3 runs), "
             f"sum of {len(HEADLINE)} queries"
@@ -578,6 +643,68 @@ def _simhash_stage_breakdown(spark, sf_dir: str) -> dict:
         "candidate_verify_sec": round(max(0.0, full_sec - sig_sec), 3),
         "n_pairs": full.count(),
     }
+
+
+#: Batch fractions for the incremental-CC probe axis: doc_id % mod == 0
+#: plays the batch, so mod 5 = 20% batch and mod 20 = 5% batch.
+INCR_PROBE_MODS = (5, 20)
+
+
+def _incremental_cc_stage_breakdown(spark, sf_dir: str) -> dict:
+    """Decompose dedup_incremental_cc's cost into its scaling claims
+    (r9 verdict item 2: the op's value proposition is 'merge cost
+    tracks the batch, not the corpus' — measure it, per batch
+    fraction and per corpus scale):
+
+      edges_sec      — the shared Jaccard pair generation (input cost,
+                       corpus-bound; charged once, outside the claim)
+      prior_cc_sec   — CC over the old-old subgraph (the corpus-bound
+                       term; production persists this between ingests
+                       and never re-pays it)
+      merge_sec      — the contraction merge FROM a materialized prior
+                       (the term production actually pays per batch —
+                       the claim is that THIS tracks batch size)
+      batch_edges    — how many edges the batch contributed (the
+                       merge's true input size, contextualizing
+                       merge_sec across fractions and scales)
+
+    Single-shot timings (the probe already runs base+scaled; the
+    claim's signal — merge_sec ordering across fractions and its
+    growth vs prior_cc_sec's across scales — is far coarser than
+    run-to-run noise)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    t0 = time.perf_counter()
+    pairs = (
+        dedup.dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    out: dict = {"edges_sec": round(time.perf_counter() - t0, 3)}
+    for mod in INCR_PROBE_MODS:
+        new1 = F.col("d1") % mod == 0
+        new2 = F.col("d2") % mod == 0
+        t0 = time.perf_counter()
+        prior = dedup._min_label_components(
+            pairs.where(~new1 & ~new2), False
+        ).localCheckpoint(eager=True)
+        prior_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _force(
+            dedup._incremental_cc_from_pairs(
+                pairs, False, mod=mod, prior=prior
+            )
+        )
+        merge_sec = round(time.perf_counter() - t0, 3)
+        out[f"mod{mod}"] = {
+            "batch_fraction": round(1.0 / mod, 3),
+            "prior_cc_sec": prior_sec,
+            "merge_sec": merge_sec,
+            "batch_edges": pairs.where(new1 | new2).count(),
+        }
+    return out
 
 
 def summary_payload(

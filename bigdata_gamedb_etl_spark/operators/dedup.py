@@ -1700,18 +1700,30 @@ def dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _incremental_cc_from_pairs(pairs, reliable)
 
 
-def _incremental_cc_from_pairs(pairs: DataFrame, reliable: bool) -> DataFrame:
+def _incremental_cc_from_pairs(
+    pairs: DataFrame,
+    reliable: bool,
+    mod: int = INCR_MOD,
+    prior: DataFrame | None = None,
+) -> DataFrame:
     """The contraction merge over an explicit (d1, d2) pair DataFrame —
     split out so the bridge fixtures can drive it directly
-    (tests/test_llm_pipeline.py::test_incremental_cc_matches_full_recompute)."""
-    new1 = F.col("d1") % INCR_MOD == 0
-    new2 = F.col("d2") % INCR_MOD == 0
+    (tests/test_llm_pipeline.py::test_incremental_cc_matches_full_recompute).
+
+    `mod` sets the batch fraction (doc_id % mod == 0 plays the batch);
+    `prior` lets the bench's stage breakdown pass the persisted prior
+    state explicitly, isolating the merge cost the production ingest
+    loop actually pays (in-query we regenerate it, which is the
+    corpus-bound term)."""
+    new1 = F.col("d1") % mod == 0
+    new2 = F.col("d2") % mod == 0
     old_old = pairs.where(~new1 & ~new2)
     new_edges = pairs.where(new1 | new2)
 
-    prior = _materialize_iter(
-        _min_label_components(old_old, reliable), reliable
-    )  # (doc_id, cluster_id) over docs with ≥1 old-old edge
+    if prior is None:
+        prior = _materialize_iter(
+            _min_label_components(old_old, reliable), reliable
+        )  # (doc_id, cluster_id) over docs with ≥1 old-old edge
 
     lab1 = prior.select(
         F.col("doc_id").alias("d1"), F.col("cluster_id").alias("c1")
