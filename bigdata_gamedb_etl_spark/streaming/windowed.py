@@ -507,6 +507,35 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def watermarked_hourly_counts_stream(
+    events: DataFrame,
+    delay: str = "5 minutes",
+    window_dur: str = "1 hour",
+) -> DataFrame:
+    """Windowed event counts under a real event-time watermark — the
+    streaming op whose late-data DROP behavior the batch lateness
+    audit (operators/temporal.py::ts_watermark_lateness) exists to
+    size: pick the watermark delay from the histogram, and every
+    bucket entirely above it is the data this op discards.
+
+    Drop granularity is the WINDOW, not the event: Spark evicts a
+    window's state once the watermark passes its END, so a late event
+    is dropped iff lateness > delay + (window_end − event_time) — the
+    delay sized from the histogram is the guaranteed-keep bound, and
+    up to one window_dur of extra slack is kept for free.  The exact
+    kept/dropped equivalence is pinned with second-granularity windows
+    (single-key feed, one event per micro-batch, so the global
+    watermark IS the per-key prior max the batch audit computes) in
+    tests/test_streaming.py::
+    test_watermark_drop_split_matches_batch_lateness_histogram."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window_dur).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

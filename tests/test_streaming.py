@@ -678,3 +678,109 @@ def test_streaming_rollup_drops_null_ts_rows_batch_keeps_them(
         ("click", 1),
         ("view", 1),
     }
+
+
+def test_watermark_drop_split_matches_batch_lateness_histogram(
+    spark, tmp_path
+):
+    """Closes the loop on ts_watermark_lateness's docstring claim: the
+    batch histogram SIZES a streaming watermark delay, so a real
+    watermarked streaming aggregation fed the same disordered events
+    must keep exactly the events in buckets below the chosen delay and
+    drop exactly the ones above it.
+
+    Feed construction makes the two lateness definitions coincide: a
+    single user (per-key prior max == global max) arriving one event
+    per micro-batch (the watermark — prior max ts minus delay —
+    advances between every pair of events, exactly the batch audit's
+    'prior per-user max' in ingestion order).  Delay = 5 minutes, a
+    bucket EDGE, so buckets 1-2 (< 1 m) are kept and buckets 4-5
+    (>= 5 m late) are dropped — no fixture event sits on the edge."""
+    import datetime
+
+    from bigdata_gamedb_etl_spark.operators import temporal
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    # (event_id, ts, lateness vs prior max): in-order, 30 s late,
+    # 400 s late, 2000 s late — same user-1 sequence the batch
+    # histogram fixture uses
+    rows = [
+        (1, ts(1000)),
+        (2, ts(970)),
+        (3, ts(600)),
+        (4, ts(-1000)),
+    ]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # MICROS, not Spark's INT96 default: the shared ts-unit probe must
+    # see the same encoding the testdata generation uses
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    for i, (eid, t) in enumerate(rows):
+        df = spark.createDataFrame(
+            [(eid, t, 1, "click", 1.0, "{}")],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        staged = tmp_path / f"stage_{i}"
+        df.coalesce(1).write.parquet(str(staged))
+        part = next(staged.glob("part-*.parquet"))
+        dst = src / f"f{i}.parquet"
+        part.rename(dst)
+        # the file source orders micro-batches by modification time —
+        # make arrival order explicit and strictly increasing
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    events = streaming.read_events_stream(spark, str(src))
+    # 1-second windows: drop granularity is the WINDOW end, so
+    # second-granularity windows make 'window closed' == 'event later
+    # than the delay' and the split exact (see the op's docstring)
+    counts = streaming.watermarked_hourly_counts_stream(
+        events, "5 minutes", window_dur="1 second"
+    )
+    streaming.run_stream_to_memory(counts, "wm_drop_t", "update")
+    # update mode re-emits a window each time its count changes; a
+    # window's count only grows, so max() per window is its final value
+    kept = {
+        r["window_start"]: r["n_events"]
+        for r in spark.table("wm_drop_t")
+        .groupBy("window_start")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    n_kept = sum(kept.values())
+
+    # batch histogram over the same feed
+    e = spark.createDataFrame(
+        [(eid, t, 1) for eid, t in rows],
+        "event_id long, ts timestamp, user_id long",
+    )
+    hist = {
+        r["late_bucket"]: r["n_events"]
+        for r in temporal._lateness_histogram(e).collect()
+    }
+    below_delay = sum(
+        n
+        for b, n in hist.items()
+        if b in ("1_in_order", "2_lt_1m", "3_lt_5m")
+    )
+    above_delay = sum(
+        n for b, n in hist.items() if b in ("4_lt_30m", "5_gte_30m")
+    )
+    assert hist == {
+        "1_in_order": 1,
+        "2_lt_1m": 1,
+        "4_lt_30m": 1,
+        "5_gte_30m": 1,
+    }
+    assert n_kept == below_delay == 2
+    assert len(rows) - n_kept == above_delay == 2
+    # the dropped events' (1-second) windows never materialize at all
+    assert ts(600) not in kept and ts(-1000) not in kept
+    # and the kept ones are exactly the in-order + 30 s-late events
+    assert kept == {ts(1000): 1, ts(970): 1}
