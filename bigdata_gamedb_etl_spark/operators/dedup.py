@@ -869,6 +869,161 @@ DEDUP_LSH_LADDER_ORACLE = _lsh_band_ladder_oracle()
 
 
 # --------------------------------------------------------------------------
+def _jaccard_bin_expr():
+    """Decile bin of a 4dp-rounded jaccard, computed in INTEGER space
+    (the 4dp value ×10⁴ is exact, so no float-edge drift between
+    engines): floor(j·10⁴+0.5) div 1000, capped at 9 so j = 1.0 lands
+    in the top bin."""
+    return F.expr(
+        "least(CAST(floor(jaccard * 10000.0 + 0.5) AS BIGINT) DIV 1000, 9)"
+    )
+
+
+_JACCARD_BIN_DUCK = (
+    "LEAST(CAST(floor(jaccard * 10000.0 + 0.5) AS BIGINT) // 1000, 9)"
+)
+
+
+def dedup_lsh_recall_by_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per (bands, jaccard-decile-bin): how many exact near-dup pairs
+    the LSH candidate stage catches — the measured S-curve the
+    1-(1-j^r)^b formula only predicts.  The ladder
+    (dedup_lsh_band_ladder) reports AGGREGATE recall; this table shows
+    WHERE the misses live (always the bins just above the threshold),
+    which is the fact that decides whether a coarser banding is safe
+    for a given duplication profile: if the corpus's dup mass sits at
+    j ≥ 0.8, a setting that loses half the 0.5-bin pairs may still be
+    the right trade.
+
+    Scale: ONE signature table and ONE exact pair set
+    (localCheckpoint-ed) shared across the band settings; each setting
+    pays its band self-join and one broadcast-sized join against the
+    binned exact pairs.  Oracle-backed end-to-end (the md5 mulmod
+    family is DuckDB-reproducible)."""
+    sig = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    exact = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("d1", "d2", _jaccard_bin_expr().alias("bin"))
+        .localCheckpoint(eager=True)
+    )
+    tot = exact.groupBy("bin").agg(F.count("*").alias("n_exact"))
+    parts = []
+    for nb in LSH_LADDER_BANDS:
+        rpb = MINHASH_PERMS // nb
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[_band_key(nb, b) for b in range(nb)])
+            ).alias("band", "band_hash"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            .distinct()
+        )
+        caught = (
+            exact.join(cand, ["d1", "d2"])
+            .groupBy("bin")
+            .agg(F.count("*").alias("n_caught"))
+        )
+        parts.append(
+            tot.join(caught, "bin", "left").select(
+                F.lit(nb).alias("bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                (F.col("bin").cast("double") / 10.0).alias("jaccard_bin"),
+                "n_exact",
+                F.coalesce("n_caught", F.lit(0).cast("long")).alias(
+                    "n_caught"
+                ),
+                _fr4(
+                    F.coalesce("n_caught", F.lit(0).cast("long"))
+                    * F.lit(1.0)
+                    / F.col("n_exact")
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("bands", "jaccard_bin")
+
+
+def _lsh_recall_by_jaccard_oracle() -> str:
+    setting_selects = []
+    for nb in LSH_LADDER_BANDS:
+        band_rows = ",\n      ".join(
+            f"({b}, {_band_key_duck(nb, b)})" for b in range(nb)
+        )
+        setting_selects.append(
+            f"""SELECT {nb} AS nb, doc_id, t.band, t.bkey FROM sig,
+    LATERAL (VALUES
+      {band_rows}
+    ) AS t(band, bkey)"""
+        )
+    bands_union = "\n  UNION ALL\n  ".join(setting_selects)
+    return f"""
+WITH {_minhash_sig_duck()},
+bands AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.nb, a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.nb = b.nb AND a.band = b.band AND a.bkey = b.bkey
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         COUNT(*) AS common,
+         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM exsh a JOIN exsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT d1, d2,
+         floor(common * 1.0 / (n1 + n2 - common) * 10000.0 + 0.5)
+           / 10000.0 AS jaccard
+  FROM pairs
+  WHERE common * 1.0 / (n1 + n2 - common) >= {JACCARD_THRESHOLD}
+),
+exb AS (
+  SELECT d1, d2, {_JACCARD_BIN_DUCK} AS bin FROM exact
+),
+tot AS (SELECT bin, COUNT(*) AS n_exact FROM exb GROUP BY bin),
+caught AS (
+  SELECT c.nb, e.bin, COUNT(*) AS n_caught
+  FROM cand c JOIN exb e ON c.d1 = e.d1 AND c.d2 = e.d2
+  GROUP BY c.nb, e.bin
+),
+st AS (SELECT UNNEST([{", ".join(str(nb) for nb in LSH_LADDER_BANDS)}]) AS nb)
+SELECT CAST(st.nb AS INTEGER) AS bands,
+       CAST({MINHASH_PERMS} // st.nb AS INTEGER) AS rows_per_band,
+       CAST(t.bin AS DOUBLE) / 10.0 AS jaccard_bin,
+       t.n_exact,
+       CAST(COALESCE(c.n_caught, 0) AS BIGINT) AS n_caught,
+       floor(COALESCE(c.n_caught, 0) * 1.0 / t.n_exact
+             * 10000.0 + 0.5) / 10000.0 AS recall
+FROM st
+CROSS JOIN tot t
+LEFT JOIN caught c ON c.nb = st.nb AND c.bin = t.bin
+ORDER BY bands, jaccard_bin
+"""
+
+
+DEDUP_LSH_RECALL_BY_JACCARD_ORACLE = _lsh_recall_by_jaccard_oracle()
+
+
+# --------------------------------------------------------------------------
 def dedup_shingle_docfreq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level dup pressure report: distribution of shingle
     doc-frequency (how skewed the inverted index is — the quantity that
@@ -2817,6 +2972,7 @@ QUERIES = {
     "dedup_simhash_band_pairs": dedup_simhash_band_pairs,
     "dedup_simhash_clusters": dedup_simhash_clusters,
     "dedup_lsh_band_ladder": dedup_lsh_band_ladder,
+    "dedup_lsh_recall_by_jaccard": dedup_lsh_recall_by_jaccard,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "dq_duplicate_rate_by_source": dq_duplicate_rate_by_source,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
@@ -2872,4 +3028,5 @@ ORACLE = {
     "dedup_minhash_lsh_pairs": DEDUP_MINHASH_LSH_ORACLE,
     "dedup_lsh_band_ladder": DEDUP_LSH_LADDER_ORACLE,
     "dedup_lsh_cluster_assign": DEDUP_LSH_CLUSTER_ORACLE,
+    "dedup_lsh_recall_by_jaccard": DEDUP_LSH_RECALL_BY_JACCARD_ORACLE,
 }

@@ -605,8 +605,126 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+#: Fixed synchronous LPA rounds.  Near-dup communities are shallow
+#: (the component-diameter argument of the CC loop), so 4 rounds is
+#: past stability there; a FIXED count — rather than run-to-
+#: convergence — is what makes the op deterministic and its oracle
+#: writable (synchronous LPA can 2-cycle on bipartite structures, so
+#: "until stable" is not well-defined; a fixed count is).
+LPA_ITERS = 4
+
+
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the near-dup pair graph:
+    every node starts as its own label and, for LPA_ITERS synchronous
+    rounds, adopts the most frequent label among its neighbors AND
+    itself (ties → the smallest label).  Unlike connected components,
+    LPA splits a weakly-bridged component into its dense cores — the
+    signal a curation reviewer wants when one boilerplate edge chains
+    two otherwise-unrelated duplicate families together.
+
+    The self-vote is load-bearing, not stylistic: neighbor-only
+    synchronous LPA swaps labels across any bipartite structure every
+    round (an isolated 2-clique oscillates a↔b forever and an even
+    round count restores the INITIAL labels — measured exactly that on
+    the sf0.01 graph before the fix), while the self-vote makes the
+    2-clique converge to min(a, b) in one round and damps larger
+    oscillations the same way.
+
+    Deterministic by construction: synchronous updates + min-label
+    tie-break + a fixed round count (no RNG, no async visit order) —
+    which is also what makes the oracle expressible as LPA_ITERS
+    unrolled CTE layers (aggregation inside a recursive CTE is not
+    portable; same recipe as graph_pagerank).
+
+    Scale: per round one (edges ⋈ labels) shuffle join on node ids and
+    two hash-aggs — all degree-bounded (the pair graph is DF-capped at
+    construction); labels materialize per round with the same
+    checkpoint discipline as the CC/PageRank loops, so the lazy plan
+    never nests rounds."""
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
+    e = _materialize_iter(_sym_edges(spark, sf_dir), reliable)
+    nodes = _materialize_iter(e.select("src").distinct(), reliable)
+    # self-loops carry the self-vote through the same join
+    e = e.union(nodes.select("src", F.col("src").alias("dst")))
+    lab = nodes.select("src", F.col("src").alias("lab"))
+    prev_ckpt: str | None = None
+    for _ in range(LPA_ITERS):
+        nbr = e.join(
+            lab.select(F.col("src").alias("dst"), "lab"), "dst"
+        ).select("src", "lab")
+        # mode with min tie-break as ONE struct-min aggregate:
+        # min((-count, label)) is lexicographic, so the largest count
+        # wins and ties fall to the smallest label
+        lab = _materialize_iter(
+            nbr.groupBy("src", "lab")
+            .agg(F.count("*").alias("c"))
+            .groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lab").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("src", F.col("m.l").alias("lab")),
+            reliable,
+        )
+        if reliable:
+            _drop_ckpt(prev_ckpt)
+            prev_ckpt = _ckpt_file(lab)
+    return lab.select(
+        F.col("src").alias("doc_id"), F.col("lab").alias("community")
+    ).orderBy("doc_id")
+
+
+def _lpa_oracle() -> str:
+    """DuckDB twin of graph_lpa_communities: LPA_ITERS unrolled CTE
+    layers; the mode-with-min-tie-break is the ordered aggregate
+    FIRST(lab ORDER BY c DESC, lab) (arg_max rejects composite keys —
+    the ts_ohlc_hourly recipe)."""
+    ctes = [
+        f"base_pairs AS ({DEDUP_JACCARD_ORACLE})",
+        (
+            "sym AS (SELECT d1 AS src, d2 AS dst FROM base_pairs\n"
+            "  UNION ALL SELECT d2, d1 FROM base_pairs)"
+        ),
+        # self-loops = the self-vote (see the operator docstring)
+        (
+            "edges AS (SELECT src, dst FROM sym\n"
+            "  UNION ALL SELECT DISTINCT src, src FROM sym)"
+        ),
+        "l0 AS (SELECT DISTINCT src, src AS lab FROM edges)",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.src, l.lab, COUNT(*) AS c\n"
+            f"  FROM edges e JOIN l{i - 1} l ON e.dst = l.src\n"
+            f"  GROUP BY e.src, l.lab)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT src,\n"
+            f"  FIRST(lab ORDER BY c DESC, lab) AS lab\n"
+            f"  FROM c{i} GROUP BY src)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT src AS doc_id, lab AS community
+FROM l{LPA_ITERS}
+ORDER BY doc_id
+"""
+    )
+
+
+GRAPH_LPA_ORACLE = _lpa_oracle()
+
+
 QUERIES = {
     "graph_2hop_reach": graph_2hop_reach,
+    "graph_lpa_communities": graph_lpa_communities,
     "graph_neighbor_jaccard": graph_neighbor_jaccard,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
@@ -617,6 +735,7 @@ QUERIES = {
 
 ORACLE = {
     "graph_2hop_reach": GRAPH_2HOP_ORACLE,
+    "graph_lpa_communities": GRAPH_LPA_ORACLE,
     "graph_neighbor_jaccard": GRAPH_NEIGHBOR_JACCARD_ORACLE,
     "graph_triangle_count": GRAPH_TRIANGLE_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,

@@ -51,115 +51,85 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-9 head: r8's late additions pushed CONTROLS out of the window,
-# which is exactly where the round's one driver-red hid (the swept
-# control sql_word_price_stats' r4 green described code that no longer
-# existed).  Round 9 restores the invariant: NEW + RECHECK budgeted
-# ≤ 38 so all 12 CONTROLS hold window slots.  New queries are appended
-# to ROUND9_NEW in the same commit that registers them (enforced by
-# test_every_query_has_driver_evidence_or_is_queued).
-ROUND9_NEW: list[str] = [
-    # cluster-emit simhash dedup (r8 verdict item 4): output linear in
-    # corpus size where pair-emit's replica pair-mass is quadratic
-    "dedup_simhash_clusters",
-    # incremental-corpus CC: merge batch edges into prior components
-    # by contraction; oracle = full-graph recompute (must be identical)
-    "dedup_incremental_cc",
-    # packing-strategy decision table: no-split padding waste vs
-    # concat-then-chunk boundary crossings, per doc-length bin
-    "pipeline_packing_efficiency",
-    # per-dimension train-vs-val centroid shift over the split hash —
-    # one conditional-agg scan, no joins
-    "sim_split_embedding_drift",
-    # quality-floored two-round waterfill mixture solve: fair shares
-    # then proportional redistribution of the unused budget
-    "pipeline_mixture_waterfill",
-    # val-split cross-entropy under the train-split unigram LM (add-1
-    # smoothed) — the distribution-shift/contamination gauge
-    "text_split_xentropy",
-    # cross-modality referential DQ: per-source embedding coverage,
-    # zero-norm vectors, dimensionality drift
-    "dq_embedding_coverage",
-    # per-rule filter attribution: failing / only-this / token mass —
-    # the marginal-contribution audit before re-tuning any rule
-    "pipeline_filter_attribution",
-    # watermark-lateness histogram over (user, ingestion-order): the
-    # batch audit that sizes a streaming watermark delay
-    "ts_watermark_lateness",
-    # recall@k vs nprobe ladder over ONE fitted IVF codebook — the ANN
-    # recall/compute tuning table (rows-only; invariants in pytest)
-    "sim_ivf_recall_curve",
-    # (bands, rows) ladder over ONE minhash signature table vs the
-    # exact-Jaccard ground truth — the dedup banding tuning table
-    # (rows-only; nested-band monotonicity pinned in pytest)
-    "dedup_lsh_band_ladder",
-    # Jaccard-threshold sensitivity: pair/doc dup mass per candidate
-    # threshold from one pair-generation pass (oracle-backed)
-    "dedup_threshold_sweep",
-    # Lorenz activity deciles from count-of-counts interval arithmetic
-    # (no user-grain sort) — the distribution behind the gini scalar
-    "behavior_event_lorenz",
+# Round-10 head (r9 verdict items 1/4/6): zero reds and an all-green
+# fleet make this round an EVIDENCE-FRESHNESS round — NEW + RECHECK
+# budgeted to 6 so 32 rotation slots clear the entire r4-age tail and
+# the oldest 23 of the r5-age batch (the remaining 17 r5 queries queue
+# for round 11).  All 12 CONTROLS keep window slots, as always.
+ROUND10_NEW: list[str] = [
+    # label-propagation communities over the near-dup graph: splits
+    # weakly-bridged components into dense cores; fixed synchronous
+    # rounds + min tie-break make it deterministic and its oracle an
+    # unrolled-CTE mode-per-neighborhood (r9 verdict item 6)
+    "graph_lpa_communities",
+    # per (bands, jaccard-decile) LSH recall vs the exact pair set —
+    # the measured S-curve behind the band ladder's aggregate recall
+    # (r9 verdict item 6: "recall against ground truth makes the
+    # ladder decision-grade")
+    "dedup_lsh_recall_by_jaccard",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the
 #: head of the window.
 RECHECK_CHANGED: list[str] = [
-    # r8 verdict item 1 — DECIMAL-vs-DOUBLE floor-recipe drift: the
-    # Spark-side SQL texts' floor(...)/100.0 divisions now CAST the
-    # floor to DOUBLE so the result column is double on both engines
-    # (values were already numerically equal; the driver's exact value
-    # hash failed on the type).  sql_word_price_stats carries the same
-    # fix and re-greens from the CONTROLS block, which IS in-window
-    # this round.  tests/test_oracle_parity.py now asserts result-type
-    # FAMILIES match before value normalization, so this class of
-    # drift fails locally instead of at the driver.
-    "sql_supplier_distribution",
-    "sql_window_top_suppliers",
-    # r8 verdict item 4 — simhash pair-emit rewritten to collapse
-    # identical signatures before the band join (band join, candidate
-    # distinct, and Hamming verify now run at signature-pair cost;
-    # output provably unchanged — one signature per doc).  Re-queued
-    # because the logical plan was rewritten, not merely hinted.
-    "dedup_simhash_band_pairs",
+    # r9 verdict item 4 — the whole minhash surface moved from the
+    # Spark-native xxhash64 permutations to the cross-engine md5
+    # mulmod family and from lossy 32-bit band hashes to lossless
+    # band keys; all three now carry full oracles (previously
+    # rows-only)
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_band_ladder",
+    "dedup_lsh_cluster_assign",
+    # r9 ADVICE — recall denominator is now min(TOP_K, corpus size)
+    # via the exact result's own row count
+    "sim_ivf_recall_curve",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
 #: (the staleness guard goes red and names land here).
 RECONFIRM_STALE: list[str] = []
 
-#: r9: spare window capacity refreshes the OLDEST driver evidence.
-#: These queries are unchanged since their last green (and locally
-#: re-verified every run by test_oracle_parity); their newest driver
-#: row is from round 4, the oldest in the fleet — rotating them
-#: through keeps every green row's age bounded.  Sized so the full
-#: window stays ≤ 50 with all 12 CONTROLS in.
+#: r10: spare window capacity refreshes the OLDEST driver evidence —
+#: the full r4-age tail (9, including the three rotations r9's late
+#: additions displaced) plus the alphabetically-first 23 of the 40
+#: r5-age queries.  All unchanged since their last green and locally
+#: re-verified every run by test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
-    "anomaly_daily_zscore",
-    "cohort_weekly_retention",
-    "dedup_boilerplate_lines",
-    "dedup_decontaminate",
-    "dedup_editdist_names",
-    "dedup_incremental_pairs",
-    "dq_orders_profile",
-    "dq_referential_integrity",
-    "j10_basket_part_pairs",
-    "j9_salted_segment_revenue",
-    "mart_put_script",
-    "pipeline_domain_mixture",
-    "pipeline_pack_sequences",
-    "pipeline_stratified_sample",
-    "pipeline_train_val_test",
-    "pipeline_training_examples",
-    "seq_markov_transitions",
-    "sess3_top_paths",
-    "text_chunk_udtf",
-    "text_pii_scrub",
-    "text_vocab_coverage",
-    "tpch_q11_important_stock",
-    # (w8_range_frame_hourly, tpch_q20_excess_shippers, and
-    # tpch_q12_priority_by_status rotated out as late ROUND9_NEW ops
-    # took the last slots; they re-queue in round 10's rotation)
+    # r4-age tail
+    "sess1_user_sessions",
+    "sketch_approx_topk_tokens",
+    "sketch_cm_heavy_hitters",
+    "tpch_q12_priority_by_status",
+    "tpch_q20_excess_shippers",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "w8_range_frame_hourly",
+    "w9_sliding_active_users",
+    # oldest 23 of the r5-age batch (rest queue for r11)
+    "a10_retailprice_histogram",
+    "a11_size_histogram",
+    "a12_brand_type_revenue",
+    "a17_percentiles",
+    "a17b_approx_aggregates",
+    "a2_supplier_metrics",
+    "a3_year_trend",
+    "a5_top_supplier",
+    "a9_month_distribution",
+    "attribution_last_touch",
+    "churn_activity_flags",
+    "dedup_normalized_keeper",
+    "dedup_repeated_ngram_share",
+    "dq_freshness_lag",
+    "dq_key_skew_profile",
+    "ga1_rollup_region_nation",
+    "ga3_grouping_sets_margins",
+    "graph_2hop_reach",
+    "graph_triangle_count",
+    "j11_acctbal_band_join",
+    "mart_customer_profile",
+    "mart_incremental_refresh",
+    "mart_nation_customer_index",
 ]
 
 CONTROLS = [
@@ -172,7 +142,7 @@ CONTROLS = [
 ]
 
 PRIORITY = (
-    ROUND9_NEW + RECHECK_CHANGED + RECONFIRM_STALE
+    ROUND10_NEW + RECHECK_CHANGED + RECONFIRM_STALE
     + RECONFIRM_ROTATION + CONTROLS
 )
 

@@ -1232,3 +1232,85 @@ def test_png_corrupt_idat_is_valueerror():
     corrupt[idx + 4 : idx + 8] = b"\x00\xff\x00\xff"
     with _pytest.raises(ValueError):
         multimodal._png_pixels(bytes(corrupt))
+
+
+def test_lpa_communities_refine_connected_components(spark):
+    """LPA invariants on the near-dup graph: labels only travel along
+    edges, so every LPA community sits inside exactly ONE connected
+    component (LPA refines CC, never merges across); coverage equals
+    the graph's node set; and an isolated 2-clique — where each
+    member's sole neighbor is the other — converges to both members
+    carrying the smaller doc_id as their label."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators import dedup, graph
+
+    sf = SF_DIRS[1]
+    lpa = {
+        r["doc_id"]: r["community"]
+        for r in graph.graph_lpa_communities(spark, sf).collect()
+    }
+    assert lpa, "pair graph unexpectedly empty at sf0.01"
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_cluster_assign(spark, sf).collect()
+    }
+    assert set(lpa) == set(cc)
+    comm_to_cc: dict = {}
+    for doc, comm in lpa.items():
+        comm_to_cc.setdefault(comm, set()).add(cc[doc])
+    for comm, ccs in comm_to_cc.items():
+        assert len(ccs) == 1, f"community {comm} spans components {ccs}"
+
+    edges = graph._sym_edges(spark, sf)
+    deg = {
+        r["src"]: r["cnt"]
+        for r in edges.groupBy("src")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    two_cliques = [
+        (e["src"], e["dst"])
+        for e in edges.collect()
+        if deg[e["src"]] == 1 and deg[e["dst"]] == 1
+    ]
+    assert two_cliques, "fixture regressed: no isolated 2-cliques"
+    for a, b in two_cliques:
+        assert lpa[a] == lpa[b] == min(a, b)
+
+
+def test_lsh_recall_by_jaccard_consistent_with_ladder(spark):
+    """The per-bin recall curve and the aggregate ladder are two views
+    of the SAME candidate sets: per band setting, the bin-wise caught
+    counts must sum to the ladder's hits (candidates∩exact ==
+    verified∩exact, because verification keeps exactly the candidates
+    at ≥ the threshold and every exact pair is at ≥ the threshold),
+    and the bin totals must sum to exact_pairs.  Per bin, recall is
+    monotone in bands (nested band boundaries ⇒ candidate supersets)."""
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    sf = SF_DIRS[0]
+    curve = dedup.dedup_lsh_recall_by_jaccard(spark, sf).collect()
+    ladder = {
+        r["bands"]: r
+        for r in dedup.dedup_lsh_band_ladder(spark, sf).collect()
+    }
+    by_band: dict = {}
+    for r in curve:
+        by_band.setdefault(r["bands"], []).append(r)
+    assert sorted(by_band) == list(dedup.LSH_LADDER_BANDS)
+    for nb, rows in by_band.items():
+        assert sum(r["n_caught"] for r in rows) == ladder[nb]["hits"]
+        assert sum(r["n_exact"] for r in rows) == ladder[nb]["exact_pairs"]
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
+    # per-bin monotonicity in bands
+    bins = {r["jaccard_bin"] for r in curve}
+    for jb in bins:
+        seq = [
+            r["recall"]
+            for nb in dedup.LSH_LADDER_BANDS
+            for r in by_band[nb]
+            if r["jaccard_bin"] == jb
+        ]
+        assert seq == sorted(seq), (jb, seq)
