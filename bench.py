@@ -126,6 +126,11 @@ EXTRAS = [
     "dedup_incremental_cc",
     "sim_ivf_recall_curve",
     "text_split_xentropy",
+    # round-10 heavies: the per-jaccard-bin LSH recall curve (one
+    # signature table + exact pairs + 4 band self-joins) and the
+    # 4-round self-vote LPA loop
+    "dedup_lsh_recall_by_jaccard",
+    "graph_lpa_communities",
 ]
 
 HEADLINE = SHARED12 + EXTRAS

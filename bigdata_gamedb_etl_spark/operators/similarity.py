@@ -167,19 +167,37 @@ ORDER BY label
 
 
 # --------------------------------------------------------------------------
-def _hyperplanes(n_planes: int = LSH_TABLES * LSH_BITS) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no RNG dependency —
-    derived from a fixed integer hash so every run and both test
-    processes agree)."""
+#: Embedding quantization scale for the sign-LSH: 6dp fixed-point.
+#: |emb[d]| < 1 on this corpus, so a 64-term signed sum is < 2²⁷ —
+#: decades of headroom in BIGINT, and exact integer arithmetic is
+#: summation-ORDER-independent, which is the whole point (see
+#: _hyperplane_signs).
+LSH_Q_SCALE = 1_000_000
+
+
+def _hyperplane_signs(n_planes: int = LSH_TABLES * LSH_BITS) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplanes — derived from a
+    fixed integer scramble so every run and both engines agree.
+
+    ±1 entries instead of the earlier uniform-float entries are what
+    makes the op ORACLE-CHECKABLE (r10): the bucket bit is the sign of
+    Σ ±q(emb[d]) over 6dp-quantized components — EXACT integer
+    arithmetic, so numpy's blocked GEMM and DuckDB's sequential sum
+    cannot disagree even when a dot product lands near zero, whereas
+    float hyperplane dots have engine-dependent summation order and an
+    irreducible sign-flip hazard at the decision boundary.  Rademacher
+    projections are a standard JL/sign-LSH family (Achlioptas-style);
+    measured recall vs the exact top-k is unchanged (the ≥0.9 gate in
+    tests/test_llm_pipeline.py)."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(64):
-            # xorshift-ish integer scramble → (-1, 1) uniform-ish
+            # same xorshift-ish scramble as before; keep only the sign
             x = (p * 2654435761 + d * 40503 + 12345) & 0xFFFFFFFF
             x ^= x >> 13
             x = (x * 1274126177) & 0xFFFFFFFF
-            row.append(((x / 0xFFFFFFFF) * 2.0 - 1.0))
+            row.append(1 if x >= 0x80000000 else -1)
         planes.append(row)
     return planes
 
@@ -197,19 +215,23 @@ def _lsh_buckets_of(emb: DataFrame) -> DataFrame:
     BEFORE the GEMM — a filter placed after mapInPandas cannot be
     pushed through it and would re-run the full-corpus GEMM."""
     emb = emb.select("vec_id", "emb")
-    planes = _hyperplanes()
+    planes = _hyperplane_signs()
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
-        P = np.asarray(planes)  # (tables*bits, dim)
+        P = np.asarray(planes, dtype=np.int64)  # (tables*bits, dim)
         weights = 1 << np.arange(LSH_BITS)
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.vstack(pdf["emb"].to_numpy())
-            bits = (E @ P.T) >= 0  # (rows, tables*bits)
+            # floor(x·scale + 0.5): the repo's cross-engine rounding
+            # recipe (np.round is half-to-even, DuckDB round is
+            # half-away — floor+0.5 is the same text on both)
+            Eq = np.floor(E * LSH_Q_SCALE + 0.5).astype(np.int64)
+            bits = (Eq @ P.T) >= 0  # exact integer GEMM
             out = {"vec_id": pdf["vec_id"].to_numpy()}
             for t in range(LSH_TABLES):
                 out[f"b{t}"] = bits[:, t * LSH_BITS : (t + 1) * LSH_BITS] @ weights
@@ -220,12 +242,15 @@ def _lsh_buckets_of(emb: DataFrame) -> DataFrame:
 
 
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: multi-table (band-OR) random-hyperplane LSH — the corpus
-    explodes into (table, bucket) index rows, the query's L probes
-    broadcast into an equi-join on (table, bucket), distinct candidates
-    get exact cosine, top-k wins.  Rows-only checked (approximate by
-    design); recall ≥ 0.9 vs the exact top-k is asserted in
-    tests/test_llm_pipeline.py.
+    """ANN: multi-table (band-OR) sign-LSH — the corpus explodes into
+    (table, bucket) index rows, the query's L probes broadcast into an
+    equi-join on (table, bucket), distinct candidates get exact
+    cosine, top-k wins.  Oracle-backed since r10 (±1 hyperplanes over
+    quantized integers make the bucket index engine-exact — see
+    _hyperplane_signs); recall ≥ 0.9 vs the exact top-k is still
+    asserted in tests/test_llm_pipeline.py (the approximation is in
+    WHICH candidates the index surfaces, which is now deterministic,
+    not in how they are scored).
 
     Scale: candidate generation is linear in corpus × L (same shape as
     the MinHash LSH bands in dedup) and the probe join touches only
@@ -267,6 +292,71 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of sim_ann_lsh_topk, exact by construction: the ±1
+    hyperplane signs inline as grouped +/− component sums over the
+    6dp-quantized embedding (integer arithmetic — see
+    _hyperplane_signs), bucket bits pack with the same weights, the
+    band-OR candidate join is 24 OR'd equalities against the query
+    row's buckets, and scoring reuses the exact-cosine text of
+    SIM_TOPK_ORACLE."""
+    planes = _hyperplane_signs()
+
+    def plane_dot(p: int) -> str:
+        pos = [f"e[{d + 1}]" for d, s in enumerate(planes[p]) if s > 0]
+        neg = [f"e[{d + 1}]" for d, s in enumerate(planes[p]) if s < 0]
+        return f"(({' + '.join(pos)}) - ({' + '.join(neg)}))"
+
+    bucket_cols = []
+    for t in range(LSH_TABLES):
+        bits = " + ".join(
+            f"{1 << b} * CASE WHEN {plane_dot(t * LSH_BITS + b)} >= 0"
+            " THEN 1 ELSE 0 END"
+            for b in range(LSH_BITS)
+        )
+        bucket_cols.append(f"({bits}) AS b{t}")
+    bucket_select = ",\n         ".join(bucket_cols)
+    band_or = " OR ".join(f"a.b{t} = qb.b{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * {LSH_Q_SCALE}.0 + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+),
+bk AS (
+  SELECT vec_id,
+         {bucket_select}
+  FROM qe
+),
+qb AS (SELECT * FROM bk WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT DISTINCT a.vec_id FROM bk a, qb
+  WHERE {band_or}
+),
+q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {QUERY_VEC_ID}
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+)
+SELECT e.vec_id,
+       ROUND(
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+ORDER BY cosine DESC, e.vec_id
+LIMIT {TOP_K}
+"""
+
+
+SIM_ANN_LSH_ORACLE = _ann_lsh_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1773,6 +1863,10 @@ ORACLE = {
     "sim_dim_variance_profile": SIM_DIM_PROFILE_ORACLE,
     "sim_split_embedding_drift": SIM_SPLIT_DRIFT_ORACLE,
     "sim_pca_power_iteration": SIM_PCA_ORACLE,
-    # sim_ann_lsh_topk, sim_ivf_topk, sim_pq_topk: rows-only
-    # (approximate recall by design)
+    # oracle-backed since r10: ±1 hyperplanes over quantized-integer
+    # embeddings make the bucket index engine-exact
+    "sim_ann_lsh_topk": SIM_ANN_LSH_ORACLE,
+    # sim_ivf_topk, sim_pq_topk (and the multiprobe/recall-curve
+    # variants): rows-only — the KMeans codebook fit is iterative
+    # float arithmetic with no portable SQL twin
 }

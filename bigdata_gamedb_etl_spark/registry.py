@@ -84,6 +84,10 @@ RECHECK_CHANGED: list[str] = [
     # r9 ADVICE — recall denominator is now min(TOP_K, corpus size)
     # via the exact result's own row count
     "sim_ivf_recall_curve",
+    # r10 — hyperplane LSH rebased on ±1 planes over quantized-integer
+    # embeddings; the bucket index is engine-exact and the op moves
+    # from rows-only to oracle-backed
+    "sim_ann_lsh_topk",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
@@ -129,7 +133,8 @@ RECONFIRM_ROTATION: list[str] = [
     "j11_acctbal_band_join",
     "mart_customer_profile",
     "mart_incremental_refresh",
-    "mart_nation_customer_index",
+    # (mart_nation_customer_index displaced by sim_ann_lsh_topk's
+    # recheck slot; queues for round 11 with the rest of the r5 batch)
 ]
 
 CONTROLS = [
