@@ -710,3 +710,49 @@ def test_degree_histogram_single_pair_generation(spark, sf_dir):
 
     df = graph.graph_degree_distribution(spark, sf_dir)
     assert plans.num_explodes(df) <= 4, plans.optimized(df)
+
+
+def test_minhash_signature_parse_not_cloned_into_aggregates(spark, sf_dir):
+    """r10: the md5 mulmod signature recipe parses the hex base hash
+    ONCE per shingle (one Generate, one conv per hh column) and the 32
+    permutation min-aggregates reference the hh1/hh0 attributes.  If a
+    refactor lets projection collapse clone the conv parse into each
+    aggregate (the array-of-lambdas failure mode, measured 4× slower),
+    the conv count explodes past this bound."""
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    sig = dedup._minhash_signatures(spark, sf_dir)
+    opt = plans.optimized(sig)
+    assert opt.count("Generate") == 1, opt
+    assert opt.count("conv(") <= 2, opt
+    # one shuffle: the doc_id agg (partial → exchange → final)
+    assert plans.num_exchanges(sig) == 1, plans.physical(sig)
+
+
+def test_ann_lsh_probe_join_broadcasts_query_buckets(spark, sf_dir):
+    """The band-OR candidate join must broadcast the query row's L
+    probe buckets into the corpus index — shuffling the corpus index
+    against a 24-row table would be the 100 TB mistake."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    df = similarity.sim_ann_lsh_topk(spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plans.physical(df).replace(
+        "BroadcastNestedLoopJoin", ""
+    )
+
+
+def test_lsh_recall_curve_no_cartesian_and_checkpointed_inputs(
+    spark, sf_dir
+):
+    """r10: the per-bin recall curve shares ONE signature table and ONE
+    exact pair set across its 4 band settings via localCheckpoint — the
+    final plan must read checkpointed RDDs (no re-execution of the
+    shingle pipeline per setting) and contain no cartesian join."""
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    df = dedup.dedup_lsh_recall_by_jaccard(spark, sf_dir)
+    phys = plans.physical(df)
+    assert "CartesianProduct" not in phys, phys
+    # the checkpointed sig/exact tables surface as RDD scans
+    assert "Scan ExistingRDD" in phys, phys
