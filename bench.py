@@ -603,7 +603,13 @@ def main() -> None:
             "and ts_ohlc_hourly (1.26x) above their floors; a fresh "
             "quiet JVM best-of-3 reproduced the r8 numbers for both "
             "(0.551 vs 0.673 prior; 0.425 vs 0.447) — full-session "
-            "JVM aging, not plan regressions"
+            "JVM aging, not plan regressions.  r10 expected delta: "
+            "dedup_minhash_lsh_pairs carries ~+0.3 s vs its r9 series "
+            "— the md5 mulmod signature family that oracle-backed the "
+            "whole minhash surface (r9 verdict item 4; decomposition "
+            "in dedup._perm_formula's docstring: signature stage "
+            "1.05→1.40 s, band join within noise) — an accepted, "
+            "recorded trade, not a regression"
         ),
     }
     with open(DETAIL_FILE, "w") as fh:

@@ -1844,6 +1844,16 @@ def dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is PROVABLY identical to a full recompute — the oracle is
     full-graph reachability (same SQL as dedup_cluster_assign).
 
+    The batch-not-corpus cost claim is MEASURED (r10, bench.py
+    incremental_cc_stages at sf0.1 and its 10× slice): the contraction
+    merge from a materialized prior ran 1.29→1.44 s across the 10×
+    corpus step at a 5% batch (1.35→1.70 s at 20%) — ordered by batch
+    fraction, near-flat in corpus size — while the corpus-bound term
+    is the edge generation (3.5→7.4 s), which production amortizes
+    across every consumer of the pair graph, and the prior state,
+    which production persists between ingests instead of regenerating
+    in-query as this benchmark shape must.
+
     Output: (doc_id, cluster_id) for every doc in ≥1 full-graph pair."""
     reliable = (
         spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
