@@ -897,65 +897,114 @@ def dedup_lsh_recall_by_jaccard(
     j ≥ 0.8, a setting that loses half the 0.5-bin pairs may still be
     the right trade.
 
-    Scale: ONE signature table and ONE exact pair set
-    (localCheckpoint-ed) shared across the band settings; each setting
-    pays its band self-join and one broadcast-sized join against the
-    binned exact pairs.  Oracle-backed end-to-end (the md5 mulmod
-    family is DuckDB-reproducible)."""
+    Scale — ONE band self-join, not four: the band boundaries NEST
+    (32 permutations split 2/4/8/16 ways), so every coarser setting's
+    candidate set is a subset of the 16-band one.  The plan joins ONCE
+    at the loosest setting, joins the surviving pairs back to their
+    two signature rows, and derives each setting's membership as a
+    boolean expression over the pair's own minhash columns (OR over
+    bands of AND over rows-per-band equality) — turning three band
+    self-joins + distincts into per-pair codegen flags (measured
+    7.1 → 5.9 s at sf0.1 same-session; the remaining cost is the
+    shared signature + exact-pair generation, not the settings).
+    The ORACLE keeps the direct per-setting
+    band-join formulation: it is the SPEC, and the nesting theorem is
+    exactly the equivalence the parity test then proves on real data.
+    Signature table and binned exact pairs are localCheckpoint-ed and
+    shared."""
     sig = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     exact = (
         dedup_ngram_jaccard_pairs(spark, sf_dir)
         .select("d1", "d2", _jaccard_bin_expr().alias("bin"))
         .localCheckpoint(eager=True)
     )
-    tot = exact.groupBy("bin").agg(F.count("*").alias("n_exact"))
-    parts = []
-    for nb in LSH_LADDER_BANDS:
+    nb_max = max(LSH_LADDER_BANDS)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_key(nb_max, b) for b in range(nb_max)])
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{k}").alias(f"x{k}") for k in range(MINHASH_PERMS)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{k}").alias(f"y{k}") for k in range(MINHASH_PERMS)],
+    )
+
+    def collides(nb: int):
         rpb = MINHASH_PERMS // nb
-        bands = sig.select(
-            "doc_id",
-            F.posexplode(
-                F.array(*[_band_key(nb, b) for b in range(nb)])
-            ).alias("band", "band_hash"),
+        band_hit = None
+        for bb in range(nb):
+            hit = None
+            for r in range(rpb):
+                k = bb * rpb + r
+                eq = F.col(f"x{k}") == F.col(f"y{k}")
+                hit = eq if hit is None else (hit & eq)
+            band_hit = hit if band_hit is None else (band_hit | hit)
+        return band_hit
+
+    flags = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            *[collides(nb).alias(f"c{nb}") for nb in LSH_LADDER_BANDS],
         )
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    agg = (
+        exact.join(flags, ["d1", "d2"], "left")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_exact"),
+            *[
+                F.sum(
+                    F.coalesce(F.col(f"c{nb}"), F.lit(False)).cast("long")
+                ).alias(f"caught{nb}")
+                for nb in LSH_LADDER_BANDS
+            ],
+        )
+    )
+    melted = agg.select(
+        "bin",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).alias("bands"),
+                        F.lit(MINHASH_PERMS // nb).alias("rows_per_band"),
+                        F.col(f"caught{nb}").alias("n_caught"),
+                    )
+                    for nb in LSH_LADDER_BANDS
+                ]
             )
-            .select(
-                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-            )
-            .distinct()
-        )
-        caught = (
-            exact.join(cand, ["d1", "d2"])
-            .groupBy("bin")
-            .agg(F.count("*").alias("n_caught"))
-        )
-        parts.append(
-            tot.join(caught, "bin", "left").select(
-                F.lit(nb).alias("bands"),
-                F.lit(rpb).alias("rows_per_band"),
-                (F.col("bin").cast("double") / 10.0).alias("jaccard_bin"),
-                "n_exact",
-                F.coalesce("n_caught", F.lit(0).cast("long")).alias(
-                    "n_caught"
-                ),
-                _fr4(
-                    F.coalesce("n_caught", F.lit(0).cast("long"))
-                    * F.lit(1.0)
-                    / F.col("n_exact")
-                ).alias("recall"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("bands", "jaccard_bin")
+        ).alias("s"),
+    )
+    return melted.select(
+        F.col("s.bands").alias("bands"),
+        F.col("s.rows_per_band").alias("rows_per_band"),
+        (F.col("bin").cast("double") / 10.0).alias("jaccard_bin"),
+        "n_exact",
+        F.col("s.n_caught").alias("n_caught"),
+        _fr4(F.col("s.n_caught") * F.lit(1.0) / F.col("n_exact")).alias(
+            "recall"
+        ),
+    ).orderBy("bands", "jaccard_bin")
 
 
 def _lsh_recall_by_jaccard_oracle() -> str:
