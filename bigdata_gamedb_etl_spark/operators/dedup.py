@@ -604,6 +604,71 @@ def _band_key_duck(nb: int, b: int) -> str:
     )
 
 
+def _band_collides(nb: int):
+    """Boolean 'this pair collides at the nb-band setting' over a
+    pair row carrying both signatures as x0..x31 / y0..y31: OR over
+    bands of AND over rows-per-band equality.  Combined with the
+    nesting of the band boundaries (cand(nb) ⊆ cand(2·nb)), this lets
+    the tuning tables join ONCE at the loosest setting and derive the
+    coarser settings as codegen flags instead of extra self-joins."""
+    band_hit = None
+    rpb = MINHASH_PERMS // nb
+    for bb in range(nb):
+        hit = None
+        for r in range(rpb):
+            k = bb * rpb + r
+            eq = F.col(f"x{k}") == F.col(f"y{k}")
+            hit = eq if hit is None else (hit & eq)
+        band_hit = hit if band_hit is None else (band_hit | hit)
+    return band_hit
+
+
+def _sig_pair_flags(sig: DataFrame, cand: DataFrame) -> DataFrame:
+    """(d1, d2, c{nb}...) — the candidate pairs joined back to both
+    signature rows with one collision flag per ladder setting."""
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{k}").alias(f"x{k}") for k in range(MINHASH_PERMS)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{k}").alias(f"y{k}") for k in range(MINHASH_PERMS)],
+    )
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            *[_band_collides(nb).alias(f"c{nb}") for nb in LSH_LADDER_BANDS],
+        )
+    )
+
+
+def _loosest_band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (d1 < d2) candidate pairs at the LOOSEST ladder setting
+    (max bands = fewest rows per band) — a superset of every other
+    setting's candidates by band nesting."""
+    nb_max = max(LSH_LADDER_BANDS)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_key(nb_max, b) for b in range(nb_max)])
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, then exact-Jaccard verification of
     candidates only.  Oracle-backed since r10: the md5 permutation
@@ -713,12 +778,18 @@ def dedup_lsh_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits against the exact-Jaccard pair set, and recall — the table a
     deployment reads to pick its banding before a 100 TB dedup run.
 
-    Scale: signatures, shingle sets, and the exact ground truth are
-    localCheckpoint-ed once; each ladder step pays only its band
-    explode + self-join + candidate verification.  Oracle-backed since
-    r10: the shared md5 permutation family (_minhash_signatures) is
-    DuckDB-reproducible; monotonicity + subset invariants remain in
-    tests/test_llm_pipeline.py."""
+    Scale — one band self-join + one verification for the whole
+    ladder (same r10 rewrite as dedup_lsh_recall_by_jaccard): the
+    nested band boundaries make the loosest setting's candidate set a
+    superset of every other's, so the plan joins once at max-bands,
+    flags each pair's membership per setting as codegen boolean
+    expressions over its own signature columns (_band_collides),
+    verifies exact Jaccard once, and reads every ladder row out of one
+    conditional aggregation.  The ORACLE keeps the direct per-setting
+    band-join formulation — the spec the parity test proves this
+    optimization against.  Oracle-backed since r10 (the md5 mulmod
+    family is DuckDB-reproducible); monotonicity + subset invariants
+    remain in tests/test_llm_pipeline.py."""
     sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
     sig = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     exact = (
@@ -729,71 +800,78 @@ def dedup_lsh_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.agg(F.count("*").alias("exact_pairs"))
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shs").alias("shs1"))
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shs").alias("shs2"))
-    parts = []
-    for nb in LSH_LADDER_BANDS:
-        rpb = MINHASH_PERMS // nb
-        # lossless band key (concat of the raw minhash values, not a
-        # 32-bit rehash): a collision on a coarse band now IMPLIES all
-        # its minhashes agree, so the nested-band candidate-superset
-        # invariant is structural, not probabilistic (ADVICE r9)
-        bands = sig.select(
-            "doc_id",
-            F.posexplode(
-                F.array(*[_band_key(nb, b) for b in range(nb)])
-            ).alias("band", "band_hash"),
+    flags = _sig_pair_flags(sig, _loosest_band_candidates(sig))
+    jac = F.col("common") / (
+        F.size("shs1") + F.size("shs2") - F.col("common")
+    )
+    scored = (
+        flags.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("common", F.size(F.array_intersect("shs1", "shs2")))
+        .withColumn("verified", jac >= JACCARD_THRESHOLD)
+        .join(exact.withColumn("ex", F.lit(True)), ["d1", "d2"], "left")
+        .select(
+            *[F.col(f"c{nb}") for nb in LSH_LADDER_BANDS],
+            "verified",
+            F.coalesce("ex", F.lit(False)).alias("ex"),
         )
-        a, b = bands.alias("a"), bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    zero = F.lit(0).cast("long")
+    agg = scored.agg(
+        *[
+            agg_col
+            for nb in LSH_LADDER_BANDS
+            for agg_col in (
+                F.coalesce(
+                    F.sum(F.col(f"c{nb}").cast("long")), zero
+                ).alias(f"cand{nb}"),
+                F.coalesce(
+                    F.sum((F.col(f"c{nb}") & F.col("verified")).cast("long")),
+                    zero,
+                ).alias(f"ver{nb}"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col(f"c{nb}") & F.col("verified") & F.col("ex")
+                        ).cast("long")
+                    ),
+                    zero,
+                ).alias(f"hit{nb}"),
             )
-            .select(
-                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        ]
+    )
+    melted = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).alias("bands"),
+                        F.lit(MINHASH_PERMS // nb).alias("rows_per_band"),
+                        F.col(f"cand{nb}").alias("candidates"),
+                        F.col(f"ver{nb}").alias("verified_pairs"),
+                        F.col(f"hit{nb}").alias("hits"),
+                    )
+                    for nb in LSH_LADDER_BANDS
+                ]
             )
-            .distinct()
+        ).alias("s")
+    ).select("s.*")
+    return (
+        melted.crossJoin(F.broadcast(n_exact))
+        .select(
+            "bands",
+            "rows_per_band",
+            "candidates",
+            "verified_pairs",
+            "hits",
+            "exact_pairs",
+            F.when(
+                F.col("exact_pairs") > 0,
+                _fr4(F.col("hits") * F.lit(1.0) / F.col("exact_pairs")),
+            ).alias("recall"),
         )
-        verified = (
-            cand.join(s1, "d1")
-            .join(s2, "d2")
-            .withColumn(
-                "common", F.size(F.array_intersect("shs1", "shs2"))
-            )
-            .where(
-                F.col("common")
-                / (F.size("shs1") + F.size("shs2") - F.col("common"))
-                >= JACCARD_THRESHOLD
-            )
-            .select("d1", "d2")
-        )
-        ncand = cand.agg(F.count("*").alias("candidates"))
-        nver = verified.agg(F.count("*").alias("verified_pairs"))
-        hits = verified.join(exact, ["d1", "d2"]).agg(
-            F.count("*").alias("hits")
-        )
-        parts.append(
-            hits.crossJoin(nver)
-            .crossJoin(ncand)
-            .crossJoin(F.broadcast(n_exact))
-            .select(
-                F.lit(nb).alias("bands"),
-                F.lit(rpb).alias("rows_per_band"),
-                "candidates",
-                "verified_pairs",
-                "hits",
-                "exact_pairs",
-                F.when(
-                    F.col("exact_pairs") > 0,
-                    _fr4(F.col("hits") * F.lit(1.0) / F.col("exact_pairs")),
-                ).alias("recall"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("bands")
+        .orderBy("bands")
+    )
 
 
 def _lsh_band_ladder_oracle() -> str:
@@ -918,54 +996,7 @@ def dedup_lsh_recall_by_jaccard(
         .select("d1", "d2", _jaccard_bin_expr().alias("bin"))
         .localCheckpoint(eager=True)
     )
-    nb_max = max(LSH_LADDER_BANDS)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[_band_key(nb_max, b) for b in range(nb_max)])
-        ).alias("band", "band_hash"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    s1 = sig.select(
-        F.col("doc_id").alias("d1"),
-        *[F.col(f"mh{k}").alias(f"x{k}") for k in range(MINHASH_PERMS)],
-    )
-    s2 = sig.select(
-        F.col("doc_id").alias("d2"),
-        *[F.col(f"mh{k}").alias(f"y{k}") for k in range(MINHASH_PERMS)],
-    )
-
-    def collides(nb: int):
-        rpb = MINHASH_PERMS // nb
-        band_hit = None
-        for bb in range(nb):
-            hit = None
-            for r in range(rpb):
-                k = bb * rpb + r
-                eq = F.col(f"x{k}") == F.col(f"y{k}")
-                hit = eq if hit is None else (hit & eq)
-            band_hit = hit if band_hit is None else (band_hit | hit)
-        return band_hit
-
-    flags = (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .select(
-            "d1",
-            "d2",
-            *[collides(nb).alias(f"c{nb}") for nb in LSH_LADDER_BANDS],
-        )
-    )
+    flags = _sig_pair_flags(sig, _loosest_band_candidates(sig))
     agg = (
         exact.join(flags, ["d1", "d2"], "left")
         .groupBy("bin")
