@@ -23,6 +23,9 @@ Register once per session, then read:
 
 from __future__ import annotations
 
+import sys
+
+from pyspark import cloudpickle
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
     DoubleType,
@@ -31,6 +34,14 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# Ship this module BY VALUE: the registered DataSource class is
+# cloudpickled to executor Python workers, which inherit the DRIVER
+# process's cwd — on a real harness launched outside /root/repo the
+# reference-pickled class dies with ModuleNotFoundError at scan time
+# (found by running the suite from /tmp, r10; same fix as
+# operators/multimodal.py and streaming/windowed.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
