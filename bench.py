@@ -609,7 +609,13 @@ def main() -> None:
             "whole minhash surface (r9 verdict item 4; decomposition "
             "in dedup._perm_formula's docstring: signature stage "
             "1.05→1.40 s, band join within noise) — an accepted, "
-            "recorded trade, not a regression"
+            "recorded trade, not a regression.  r10 adjudication: the "
+            "quiet full-session SHARED12 read 14.06 s (zero above-"
+            "floor per-query deltas); the SHARED12-only fresh-JVM "
+            "diagnostic read 13.23 s — below the 13.41 s r6 envelope "
+            "— so the full-session excess is the documented session-"
+            "aging component, and minhash's fresh-JVM 2.57 s vs the "
+            "r9 2.03 s series is the family cost plus noise"
         ),
     }
     with open(DETAIL_FILE, "w") as fh:
