@@ -127,10 +127,12 @@ EXTRAS = [
     "sim_ivf_recall_curve",
     "text_split_xentropy",
     # round-10 heavies: the per-jaccard-bin LSH recall curve (one
-    # signature table + exact pairs + 4 band self-joins) and the
-    # 4-round self-vote LPA loop
+    # signature table + nested-band flags), the 4-round self-vote LPA
+    # loop, and the integer-Lloyd IVF whose 6-round fit is part of the
+    # measured query
     "dedup_lsh_recall_by_jaccard",
     "graph_lpa_communities",
+    "sim_ivf_int_topk",
 ]
 
 HEADLINE = SHARED12 + EXTRAS

@@ -732,6 +732,298 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Integer-Lloyd IVF (r10): the END-TO-END oracle-checkable ANN tier.
+# The MLlib-codebook IVF family above is rows-only because float Lloyd
+# iterations are summation-order-dependent — no SQL twin can reproduce
+# them.  This variant replaces the float fit with EXACT integer
+# arithmetic: embeddings quantize once to 6dp fixed-point, centroids
+# are truncated integer means (a ≤1-quantum perturbation of true Lloyd
+# — irrelevant to clustering quality), distances and the probe-order
+# cosine numerators/norms are exact int64 sums, and every float the two
+# engines compare is produced by the same single correctly-rounded IEEE
+# op on identical integer inputs.  Result: the full pipeline — fit,
+# assignment, probe selection, candidate scan, exact-cosine top-k —
+# has a DuckDB twin that matches bit-for-bit.
+IVF_INT_ITERS = 6
+
+#: trunc-toward-zero integer division, spelled engine-neutrally:
+#: Spark DIV and DuckDB // both truncate, but the CASE form makes the
+#: semantics explicit in the shared text (and matches numpy's
+#: sign(s)·(|s|//n) in the assignment UDF).
+_TRUNC_DIV = "CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END"
+
+
+def _int_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb double[], e bigint[]) — positive-norm embeddings
+    with their 6dp fixed-point quantization (floor(x·1e6 + 0.5), the
+    repo's cross-engine rounding recipe)."""
+    emb = _emb_cosine(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        "emb",
+        F.transform(
+            "emb",
+            lambda x: F.floor(x * F.lit(float(LSH_Q_SCALE)) + F.lit(0.5))
+            .cast("long"),
+        ).alias("e"),
+    )
+
+
+_INT_TRAIN_GATE_DUCK = (
+    "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 2 = 0"
+)
+
+
+def _int_train_gate():
+    """Deterministic ~50% training sample, md5-based so the oracle can
+    reproduce it (the MLlib tier's xxhash64 gate cannot be)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+
+
+def _int_assign(eq: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Nearest-centroid assignment over int64 quantized embeddings —
+    an Arrow-batched integer GEMM (exact; ties to the smallest cell id,
+    matching the oracle's FIRST(cell ORDER BY dist2, cell))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cell_ids = sorted(cents)
+    C = [list(map(int, cents[j])) for j in cell_ids]
+
+    # no type-hint signature: `pd` is function-local here, and with
+    # module-level `from __future__ import annotations` the string
+    # hints would be unresolvable in module globals at decoration time
+    @pandas_udf(IntegerType())
+    def cellof(es):
+        if not len(es):
+            return pd.Series([], dtype="int32")
+        Cn = np.asarray(C, dtype=np.int64)
+        cn2 = (Cn * Cn).sum(axis=1)
+        ids = np.asarray(cell_ids, dtype=np.int64)
+        E = np.vstack(es.to_numpy()).astype(np.int64)
+        # argmin of dist² == argmin of (−2·e·c + |c|²); |e|² is a
+        # per-row constant.  All int64, no overflow: |e|,|c| ≤ ~1.1e6,
+        # 64 dims ⇒ |e·c| ≤ 7.8e13.
+        score = -2 * (E @ Cn.T) + cn2[None, :]
+        return pd.Series(ids[np.argmin(score, axis=1)].astype("int32"))
+
+    return eq.withColumn("cell", cellof("e"))
+
+
+def _int_lloyd_fit(eq_train: DataFrame) -> dict[int, list[int]]:
+    """IVF_INT_ITERS rounds of integer Lloyd from a first-k-by-vec_id
+    seed.  Per round: one assignment pass + one (cell, dim) integer-sum
+    aggregation; the new centroids — model-sized, k·dim ints — come
+    back to the driver exactly like MLlib's own fit loop.  Cells that
+    lose all members vanish (the oracle's GROUP BY does the same)."""
+    seed = (
+        eq_train.orderBy("vec_id").limit(IVF_CELLS).select("e").take(IVF_CELLS)
+    )
+    cents = {j: [int(v) for v in r["e"]] for j, r in enumerate(seed)}
+    if not cents:
+        return {}
+    for _ in range(IVF_INT_ITERS):
+        rows = (
+            _int_assign(eq_train, cents)
+            .select("cell", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select("cell", "dim", F.expr(_TRUNC_DIV).alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias(
+                    "dc"
+                )
+            )
+            .take(IVF_CELLS)
+        )
+        cents = {
+            int(r["cell"]): [int(x["c"]) for x in r["dc"]] for r in rows
+        }
+    return cents
+
+
+def sim_ivf_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the exact-integer codebook — same serving shape as
+    sim_ivf_topk (coarse quantizer → nprobe nearest cells → exact
+    cosine top-k inside them) but oracle-checked END-TO-END, codebook
+    included.  Scale properties match the MLlib tier: the fit samples
+    ~50% (md5 gate), assignment is one Arrow-batched integer GEMM per
+    pass, the search scans |corpus|·nprobe/k rows, and driver traffic
+    is the k·dim-int codebook per round — model-sized."""
+    eq = _int_quantized(spark, sf_dir)
+    cents = _int_lloyd_fit(eq.where(_int_train_gate()).select("vec_id", "e"))
+    empty = "vec_id bigint, cell int, cosine double"
+    if not cents:
+        return spark.createDataFrame([], empty)
+    assigned = _int_assign(eq, cents)
+    qrow = (
+        assigned.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select("emb", "e")
+        .first()
+    )
+    if qrow is None:
+        return spark.createDataFrame([], empty)
+    import math
+
+    qe = [int(v) for v in qrow["e"]]
+    qq = sum(v * v for v in qe)
+
+    def probe_key(j: int):
+        c = cents[j]
+        a = sum(x * y for x, y in zip(qe, c))
+        nn = sum(x * x for x in c)
+        if qq == 0 or nn == 0:
+            # zero quantized vector has no direction: sink below any
+            # real cosine (the oracle's CASE does the same; a Python
+            # int/0.0 would raise where DuckDB yields inf)
+            return -2.0
+        return a / (math.sqrt(float(qq)) * math.sqrt(float(nn)))
+
+    probe = sorted(cents, key=lambda j: (-probe_key(j), j))[:IVF_NPROBE]
+    qdf = spark.createDataFrame([(qrow["emb"],)], "qv array<double>")
+    return (
+        assigned.where(F.col("cell").isin(probe))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                _dot(F.col("emb"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ivf_int_oracle() -> str:
+    """DuckDB twin of sim_ivf_int_topk: the IVF_INT_ITERS Lloyd rounds
+    unrolled as chained CTEs (the pagerank recipe), every distance /
+    centroid / probe-order quantity in the same exact integer
+    arithmetic, trunc-div spelled with the same CASE text."""
+    dist2 = (
+        "CAST(list_sum(list_transform(range(1, len(v.e) + 1),"
+        " d -> (v.e[d] - c.c[d]) * (v.e[d] - c.c[d]))) AS BIGINT)"
+    )
+    trunc_div = _TRUNC_DIV.replace(" DIV ", " // ")
+    ctes = [
+        f"""qe0 AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * {LSH_Q_SCALE}.0 + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+)""",
+        f"tr AS MATERIALIZED (SELECT vec_id, e FROM qe0"
+        f" WHERE {_INT_TRAIN_GATE_DUCK})",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         e AS c
+  FROM tr ORDER BY vec_id LIMIT {IVF_CELLS}
+)""",
+    ]
+    for i in range(1, IVF_INT_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, FIRST(cell ORDER BY dist2, cell) AS cell
+  FROM (
+    SELECT v.vec_id, c.cell, {dist2} AS dist2
+    FROM tr v CROSS JOIN c{i - 1} c
+  ) GROUP BY vec_id
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT cell,
+         list(CAST({trunc_div} AS BIGINT) ORDER BY dim) AS c
+  FROM (
+    SELECT a.cell, x.dim, SUM(x.v) AS s, COUNT(*) AS n
+    FROM (SELECT vec_id, UNNEST(e) AS v,
+                 UNNEST(range(1, len(e) + 1)) AS dim FROM tr) x
+    JOIN a{i} a ON x.vec_id = a.vec_id
+    GROUP BY a.cell, x.dim
+  ) GROUP BY cell
+)"""
+        )
+    cn = f"c{IVF_INT_ITERS}"
+    ctes.append(
+        f"""afin AS MATERIALIZED (
+  SELECT vec_id, FIRST(cell ORDER BY dist2, cell) AS cell
+  FROM (
+    SELECT v.vec_id, c.cell, {dist2} AS dist2
+    FROM qe0 v CROSS JOIN {cn} c
+  ) GROUP BY vec_id
+)"""
+    )
+    ctes.append(
+        f"""qx AS (
+  SELECT e AS qe, emb AS qv FROM qe0 WHERE vec_id = {QUERY_VEC_ID}
+)"""
+    )
+    ctes.append(
+        """qn AS (
+  SELECT CAST(list_sum(list_transform(range(1, len(qe) + 1),
+      d -> qe[d] * qe[d])) AS BIGINT) AS qq FROM qx
+)"""
+    )
+    ctes.append(
+        f"""pk AS (
+  SELECT c.cell,
+    CAST(list_sum(list_transform(range(1, len(c.c) + 1),
+        d -> q.qe[d] * c.c[d])) AS BIGINT) AS a,
+    CAST(list_sum(list_transform(range(1, len(c.c) + 1),
+        d -> c.c[d] * c.c[d])) AS BIGINT) AS nn,
+    qn.qq AS qq
+  FROM {cn} c CROSS JOIN qx q CROSS JOIN qn
+)"""
+    )
+    ctes.append(
+        f"""probe AS (
+  SELECT cell FROM pk
+  ORDER BY CASE WHEN qq = 0 OR nn = 0 THEN -2.0
+                ELSE CAST(a AS DOUBLE)
+                     / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE)))
+           END DESC, cell
+  LIMIT {IVF_NPROBE}
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.vec_id, a.cell,
+       ROUND(
+         list_dot_product(e.emb, q.qv)
+         / (sqrt(list_dot_product(e.emb, e.emb))
+            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM afin a
+JOIN qe0 e ON a.vec_id = e.vec_id
+CROSS JOIN qx q
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY cosine DESC, e.vec_id
+LIMIT {TOP_K}
+"""
+    )
+
+
+SIM_IVF_INT_ORACLE = _ivf_int_oracle()
+
+
+# --------------------------------------------------------------------------
 def sim_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (i<j) with cosine ≥
     threshold — the embedding-space twin of the n-gram Jaccard dedup.
@@ -1845,6 +2137,7 @@ QUERIES = {
     "sim_dim_variance_profile": sim_dim_variance_profile,
     "sim_split_embedding_drift": sim_split_embedding_drift,
     "sim_ivf_recall_curve": sim_ivf_recall_curve,
+    "sim_ivf_int_topk": sim_ivf_int_topk,
     "sim_pca_power_iteration": sim_pca_power_iteration,
 }
 
@@ -1866,6 +2159,8 @@ ORACLE = {
     # oracle-backed since r10: ±1 hyperplanes over quantized-integer
     # embeddings make the bucket index engine-exact
     "sim_ann_lsh_topk": SIM_ANN_LSH_ORACLE,
+    # oracle-backed end-to-end, CODEBOOK INCLUDED (r10): integer Lloyd
+    "sim_ivf_int_topk": SIM_IVF_INT_ORACLE,
     # sim_ivf_topk, sim_pq_topk (and the multiprobe/recall-curve
     # variants): rows-only — the KMeans codebook fit is iterative
     # float arithmetic with no portable SQL twin

@@ -67,6 +67,10 @@ ROUND10_NEW: list[str] = [
     # (r9 verdict item 6: "recall against ground truth makes the
     # ladder decision-grade")
     "dedup_lsh_recall_by_jaccard",
+    # IVF ANN with an exact-integer Lloyd codebook — the first ANN
+    # tier whose FIT is oracle-checked, not just its scoring; proves
+    # the machinery for flipping the MLlib family in a later round
+    "sim_ivf_int_topk",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -132,9 +136,10 @@ RECONFIRM_ROTATION: list[str] = [
     "graph_triangle_count",
     "j11_acctbal_band_join",
     "mart_customer_profile",
-    "mart_incremental_refresh",
-    # (mart_nation_customer_index displaced by sim_ann_lsh_topk's
-    # recheck slot; queues for round 11 with the rest of the r5 batch)
+    # (mart_incremental_refresh and mart_nation_customer_index
+    # displaced by sim_ann_lsh_topk's recheck slot and
+    # sim_ivf_int_topk's new slot; they queue for round 11 with the
+    # rest of the r5 batch)
 ]
 
 CONTROLS = [
