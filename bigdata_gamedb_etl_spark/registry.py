@@ -53,9 +53,11 @@ MODULES = [
 #
 # Round-10 head (r9 verdict items 1/4/6): zero reds and an all-green
 # fleet make this round an EVIDENCE-FRESHNESS round — NEW + RECHECK
-# budgeted to 6 so 32 rotation slots clear the entire r4-age tail and
-# the oldest 23 of the r5-age batch (the remaining 17 r5 queries queue
-# for round 11).  All 12 CONTROLS keep window slots, as always.
+# landed at the 8-slot budget ceiling (3 new + 5 rechecks from the
+# minhash/ANN oracle-backing), leaving 30 rotation slots: the entire
+# r4-age tail plus the oldest 21 of the 40 r5-age queries (the
+# remaining 19 queue for round 11).  All 12 CONTROLS keep window
+# slots, as always.
 ROUND10_NEW: list[str] = [
     # label-propagation communities over the near-dup graph: splits
     # weakly-bridged components into dense cores; fixed synchronous
