@@ -253,3 +253,38 @@ def test_bench_names_are_registered():
     registered = set(QUERIES) | bench_aliases
     missing = (set(HEADLINE) | set(SCALE_PROBE_QUERIES)) - registered
     assert not missing, f"bench names not in registry: {sorted(missing)}"
+
+
+def test_quiet_verdict_labels_loaded_and_quiet_runs():
+    """r9 verdict item 2: the bench detail must self-label its
+    quietness so a loaded run's delta table can't silently contradict
+    the committed quiet adjudication.  Calibration cases from the
+    tracked history: a quiet-start capture passes, the r9 driver's
+    loaded capture (load1 3.14, psi60 0.26) fails on both before-run
+    checks, and an empty capture abstains (None, not a guess)."""
+    from bench import _quiet_verdict
+
+    quiet = _quiet_verdict(
+        {"load1": 0.06, "psi": {"avg60": 0.0},
+         "stat_ticks": {"total": 100_000, "steal": 10}},
+        {"stat_ticks": {"total": 200_000, "steal": 20}},
+    )
+    assert quiet["verdict"] is True
+
+    loaded = _quiet_verdict(
+        {"load1": 3.14, "psi": {"avg60": 0.26},
+         "stat_ticks": {"total": 334_178_975, "steal": 524_186}},
+        {"stat_ticks": {"total": 336_064_760, "steal": 524_443}},
+    )
+    assert loaded["verdict"] is False
+    assert loaded["checks"]["load1_before_ok"] is False
+    assert loaded["checks"]["psi60_before_ok"] is False
+
+    stolen = _quiet_verdict(
+        {"load1": 0.05, "psi": {"avg60": 0.0},
+         "stat_ticks": {"total": 100_000, "steal": 0}},
+        {"stat_ticks": {"total": 200_000, "steal": 5_000}},
+    )
+    assert stolen["verdict"] is False  # 5% steal during the run
+
+    assert _quiet_verdict({}, {})["verdict"] is None

@@ -516,3 +516,92 @@ def test_cc_variants_match_union_find(spark, pairs):
     }
     assert minl == expected
     assert star == expected
+
+
+# ---------------------------------------------------------------------------
+# The minhash permutation family (r10): the overflow-safe split-multiply
+# formula must equal plain big-int (a_k·h + b_k) mod (2^61−1) on EVERY
+# 60-bit input — the bound analysis in dedup._perm_formula's docstring
+# is load-bearing under Spark's ANSI overflow-throws, so brute
+# adversarial inputs (0, maxima, near-modulus values) matter most.
+def _py_perm(k: int, h: int) -> int:
+    from bigdata_gamedb_etl_spark.operators import dedup as dd
+
+    a = dd._perm_const(k, "a") % (dd.MINHASH_P - 1) + 1
+    b = dd._perm_const(k, "b") % dd.MINHASH_P
+    return (a * h + b) % dd.MINHASH_P
+
+
+def _eval_perm_formula(k: int, h: int) -> int:
+    """Evaluate the generated SQL text in pure Python int arithmetic
+    (the text only uses + * % and integer division, so a '//'
+    substitution makes it a Python expression) — proving the FORMULA,
+    independent of any engine."""
+    from bigdata_gamedb_etl_spark.operators import dedup as dd
+
+    expr = dd._perm_formula(k, "//")
+    hh1, hh0 = h // dd._T31, h % dd._T31
+    out = eval(expr, {"__builtins__": {}}, {"hh1": hh1, "hh0": hh0})
+    # every intermediate must have stayed inside signed 64-bit: re-walk
+    # the biggest terms from the docstring's bound analysis
+    a = dd._perm_const(k, "a") % (dd.MINHASH_P - 1) + 1
+    a1, a0 = a // dd._T31, a % dd._T31
+    m = (a1 * hh0 + a0 * hh1) % dd.MINHASH_P
+    x = 2 * a1 * hh1 + m // dd._T30 + (m % dd._T30) * dd._T31
+    assert x < 2**63 and a0 * hh0 < 2**63 and a1 * hh0 + a0 * hh1 < 2**63
+    return out
+
+
+@given(
+    k=st.integers(min_value=0, max_value=31),
+    h=st.one_of(
+        st.integers(min_value=0, max_value=2**60 - 1),
+        st.sampled_from(
+            [0, 1, 2**31 - 1, 2**31, 2**60 - 1, 2**60 - 2**31]
+        ),
+    ),
+)
+@settings(
+    max_examples=500,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_perm_formula_equals_bigint_mulmod(k, h):
+    assert _eval_perm_formula(k, h) == _py_perm(k, h)
+
+
+def test_perm_formula_matches_spark_and_duckdb_on_boundaries(spark):
+    """The same formula text, evaluated by both engines on adversarial
+    60-bit inputs, must equal the big-int reference — the end-to-end
+    twin of the pure-Python property above."""
+    import duckdb
+
+    from bigdata_gamedb_etl_spark.operators import dedup as dd
+
+    hs = [0, 1, 2**31 - 1, 2**31, 2**59, 2**60 - 1]
+    ks = [0, 1, 17, 31]
+    rows = [(h,) for h in hs]
+    df = spark.createDataFrame(rows, "h long").selectExpr(
+        f"h DIV {dd._T31} AS hh1", f"h % {dd._T31} AS hh0",
+        "h",
+    )
+    got_spark = df.selectExpr(
+        "h", *[f"{dd._perm_formula(k, 'DIV')} AS p{k}" for k in ks]
+    ).collect()
+    con = duckdb.connect()
+    for r in got_spark:
+        h = r["h"]
+        hh1, hh0 = h // dd._T31, h % dd._T31
+        sql = "SELECT " + ", ".join(
+            dd._perm_formula(k, "//") for k in ks
+        )
+        # inline as BIGINT casts: a bare literal types as INT32 and
+        # overflows, whereas the production CTE columns are BIGINT
+        sql = sql.replace("hh1", f"CAST({hh1} AS BIGINT)").replace(
+            "hh0", f"CAST({hh0} AS BIGINT)"
+        )
+        duck = con.execute(sql).fetchone()
+        for i, k in enumerate(ks):
+            want = _py_perm(k, h)
+            assert r[f"p{k}"] == want, (k, h)
+            assert duck[i] == want, (k, h)
