@@ -102,7 +102,7 @@ RECONFIRM_STALE: list[str] = []
 
 #: r10: spare window capacity refreshes the OLDEST driver evidence —
 #: the full r4-age tail (9, including the three rotations r9's late
-#: additions displaced) plus the alphabetically-first 23 of the 40
+#: additions displaced) plus the alphabetically-first 21 of the 40
 #: r5-age queries.  All unchanged since their last green and locally
 #: re-verified every run by test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
@@ -116,7 +116,7 @@ RECONFIRM_ROTATION: list[str] = [
     "tpch_q9_product_profit",
     "w8_range_frame_hourly",
     "w9_sliding_active_users",
-    # oldest 23 of the r5-age batch (rest queue for r11)
+    # oldest 21 of the r5-age batch (rest queue for r11)
     "a10_retailprice_histogram",
     "a11_size_histogram",
     "a12_brand_type_revenue",
