@@ -133,6 +133,10 @@ EXTRAS = [
     "dedup_lsh_recall_by_jaccard",
     "graph_lpa_communities",
     "sim_ivf_int_topk",
+    # round-11: the composed IVFPQ tier — BOTH integer fits (6-round
+    # coarse Lloyd + 4-round joint PQ Lloyd) plus the probed-slice
+    # ADC scan inside the measured query
+    "sim_ivf_pq_topk",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -190,6 +194,15 @@ SCALE_PROBE_QUERIES = [
     # assignment + (cell, dim) aggregation over the train sample, all
     # claimed linear in corpus size
     "sim_ivf_int_topk",
+    # round-11 (r10 verdict item 4): the three new heavies' scale
+    # claims get datapoints — the recall-by-jaccard curve's
+    # single-band-join rewrite (dedup.py docstring claims one
+    # loosest-setting self-join + flag aggregation), the band ladder
+    # (same nested-band theorem), and LPA's per-round degree-bounded
+    # join (rounds fixed, cost claimed linear in edges)
+    "dedup_lsh_recall_by_jaccard",
+    "dedup_lsh_band_ladder",
+    "graph_lpa_communities",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"

@@ -10,11 +10,14 @@ Three tiers:
      over two blocks.  No driver collect anywhere — per-task memory is
      bounded by two blocks regardless of corpus size, and total compute
      is the unavoidable O(N²·d/p).
-  3. sublinear candidate generation — multi-probe random-hyperplane LSH
-     and an IVF (KMeans coarse quantizer) — the 100 TB paths that feed
-     the same exact verification stage.  Rows-only checked
-     (approximate recall by design); LSH recall vs the exact baseline
-     is asserted ≥ 0.9 in tests/test_llm_pipeline.py.
+  3. sublinear candidate generation — multi-probe random-hyperplane
+     LSH, an IVF family (integer-Lloyd coarse quantizer: base /
+     multiprobe / full-train tiers + the nprobe recall curve), and
+     PQ/ADC compression — the 100 TB paths that feed the same exact
+     verification stage.  ALL oracle-checked end-to-end since r11
+     (codebook fits included): exact integer arithmetic makes every
+     fit, bucket bit, and probe order engine-reproducible.  Recall vs
+     the exact baseline stays asserted in tests/test_llm_pipeline.py.
 
 At 100 TB the brute-force top-k variant is still a legitimate
 *distributed* scan (score+top-k is TakeOrderedAndProject, no shuffle of
@@ -536,214 +539,39 @@ ORDER BY vec_id
 
 
 # --------------------------------------------------------------------------
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a KMeans coarse quantizer (Spark ML, fixed seed)
-    partitions the corpus into cells; the query scores exact cosine only
-    inside the `IVF_NPROBE` cells nearest its own centroid.  Rows-only
-    checked (approximate recall; KMeans assignment is not
-    SQL-expressible in the oracle).
-
-    Scale: the quantizer trains on a deterministic hash-sample (the
-    codebook needs a representative sample, not the corpus), assignment
-    is one narrow map (the model broadcasts), and the search scans
-    |corpus| * nprobe/k rows.  Cell ids can also become a partition
-    column for physical pruning.  Driver traffic is one row (the query
-    vector + its cell) and the k centroids — model-sized, not
-    data-sized."""
-    return _ivf_topk(spark, sf_dir, IVF_CELLS, IVF_NPROBE)
-
-
-def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF (r7 verdict item 8a): the SAME codebook as
-    sim_ivf_topk probed twice as wide (nprobe 8 vs 4).  Because the
-    model is deterministic (fixed seed, same training sample) the
-    probed cell set is a SUPERSET of the single tier's, so the scanned
-    candidate set is a superset and recall@k is non-decreasing BY
-    CONSTRUCTION — the invariant tests/test_llm_pipeline.py pins,
-    alongside the recall floor.  nprobe is THE serving-time
-    recall/compute knob of an IVF index: the scanned fraction doubles
-    (8/16 of the corpus here; at production k≈√n it's a tiny slice),
-    the codebook and assignment stay untouched.
-
-    The textbook constant-compute alternative (4× finer codebook, 4×
-    wider probe) was measured WORSE at this corpus scale — k=64 cells
-    over ~500 vectors leaves ~8 vectors per cell, and centroids
-    trained on a 50% sample get too noisy to rank: recall@20 dropped
-    0.60 → 0.55 at sf0.001.  Finer codebooks need the corpus (and the
-    training sample) to grow with k; the nprobe ladder is the honest
-    knob at every scale."""
-    return _ivf_topk(spark, sf_dir, IVF_CELLS, IVF_MP_NPROBE)
-
-
-def _ivf_index(spark: SparkSession, sf_dir: str, k: int):
-    """Codebook + assignment shared by every IVF tier: returns
-    (assigned DataFrame with a `cell` column, centroid list, the query
-    row or None).  Split out in r9 so the recall-curve op fits the
-    quantizer ONCE across its whole nprobe ladder."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = _emb_cosine(spark, sf_dir)
-    vecs = emb.withColumn("features", array_to_vector("emb"))
-    # deterministic ~50% hash-sample for training: representative at any
-    # SF, and half the fit cost; assignment still covers every row.
-    train = vecs.where(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
-    # degenerate-corpus clamp: MLlib KMeans crashes (AIOOBE) when k
-    # exceeds the training-point count and rejects k < 2 outright; on
-    # a tiny/filtered corpus fall back to the full set, cap k, and
-    # below 2 usable points skip the codebook entirely (single-cell
-    # index — IVF degenerates to the brute-force scan it approximates).
-    # The counts are scalar jobs over a narrow projection — at real SF
-    # n_train >> k and every branch is a no-op.
-    n_train = train.count()
-    if n_train < 2:
-        train = vecs
-        n_train = train.count()
-    if n_train < 2:
-        assigned = vecs.withColumn("cell", F.lit(0).cast("int"))
-        centers = []
-    else:
-        model = KMeans(
-            k=max(2, min(k, n_train)), seed=42, maxIter=20,
-            featuresCol="features",
-        ).fit(train)
-        assigned = model.transform(vecs).withColumnRenamed(
-            "prediction", "cell"
-        )
-        centers = model.clusterCenters()
-    q = (
-        assigned.where(F.col("vec_id") == QUERY_VEC_ID)
-        .select("emb", "cell")
-        .first()
-    )  # single driver job: one row
-    return assigned, centers, q
-
-
-def _probe_order(qv, centers) -> list[int]:
-    """All cells sorted nearest-first to the query vector — tiny
-    driver-side math on the k centroids (the model itself, not data)."""
-    import math as _math
-
-    def _cos(u, v):
-        d = sum(a * b for a, b in zip(u, v))
-        nu = _math.sqrt(sum(a * a for a in u)) or 1.0
-        nv = _math.sqrt(sum(a * a for a in v)) or 1.0
-        return d / (nu * nv)
-
-    return sorted(range(len(centers)), key=lambda c: -_cos(qv, centers[c]))
-
-
-def _ivf_scored(assigned: DataFrame, qdf: DataFrame, probe: list[int]):
-    return (
-        assigned.where(F.col("cell").isin(probe))
-        .crossJoin(F.broadcast(qdf))
-        .select(
-            "vec_id",
-            "cell",
-            F.round(
-                _dot(F.col("emb"), F.col("qv"))
-                / (
-                    F.sqrt(_dot(F.col("emb"), F.col("emb")))
-                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                ),
-                4,
-            ).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(TOP_K)
-    )
-
-
-def _ivf_topk(
-    spark: SparkSession, sf_dir: str, k: int, nprobe: int
-) -> DataFrame:
-    assigned, centers, q = _ivf_index(spark, sf_dir, k)
-    if q is None:
-        # query vector absent or zero-norm (filtered by _emb_cosine):
-        # cosine against it is undefined — empty result, same schema
-        return spark.createDataFrame(
-            [], "vec_id bigint, cell int, cosine double"
-        )
-    probe = _probe_order(q["emb"], centers)[:nprobe]
-    probe = probe or [0]  # codebook-less fallback: the one cell
-    qdf = spark.createDataFrame([(q["emb"],)], "qv array<double>")
-    return _ivf_scored(assigned, qdf, probe)
-
-
-IVF_CURVE_NPROBES = (1, 2, 4, 8, 16)
-
-
-def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF serving-time tuning table: recall@TOP_K vs the exact
-    brute-force top-k at every nprobe on the ladder, with the candidate
-    count each setting scans — THE artifact an ANN deployment reads to
-    pick its recall/compute point.  At nprobe = IVF_CELLS the probe
-    covers every cell, the candidate set is the whole corpus, and the
-    ranking formula/tie-break equals the brute-force query's — recall
-    is exactly 1.0 by construction (pytest pins this plus recall
-    monotonicity in nprobe).
-
-    Scale: the codebook fits ONCE; the assignment and the exact top-k
-    are localCheckpoint-ed and each ladder step re-scans only its
-    probed cells.  Rows-only by design (KMeans assignment is not
-    SQL-expressible); quantitative invariants live in
-    tests/test_llm_pipeline.py."""
-    assigned, centers, q = _ivf_index(spark, sf_dir, IVF_CELLS)
-    if q is None:
-        return spark.createDataFrame(
-            [], "nprobe int, candidates bigint, hits bigint, recall double"
-        )
-    assigned = assigned.select("vec_id", "emb", "cell").localCheckpoint(
-        eager=True
-    )
-    exact = (
-        sim_cosine_topk(spark, sf_dir).select("vec_id")
-        .localCheckpoint(eager=True)
-    )
-    # recall denominator = the exact result's row count, not TOP_K:
-    # a corpus slice smaller than TOP_K yields fewer exact rows, and
-    # full-probe recall must still be exactly 1.0 (ADVICE r9)
-    n_exact = exact.agg(F.count("*").alias("exact_k"))
-    order = _probe_order(q["emb"], centers)
-    qdf = spark.createDataFrame([(q["emb"],)], "qv array<double>")
-    parts = []
-    for np_ in IVF_CURVE_NPROBES:
-        probe = order[:np_] or [0]
-        cand = assigned.where(F.col("cell").isin(probe))
-        topk = _ivf_scored(assigned, qdf, probe).select("vec_id")
-        hits = topk.join(exact, "vec_id").agg(F.count("*").alias("hits"))
-        ncand = cand.agg(F.count("*").alias("candidates"))
-        parts.append(
-            hits.crossJoin(ncand)
-            .crossJoin(F.broadcast(n_exact))
-            .select(
-                F.lit(np_).alias("nprobe"),
-                "candidates",
-                "hits",
-                _fr4(
-                    F.col("hits") * F.lit(1.0) / F.col("exact_k")
-                ).alias("recall"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("nprobe")
-
-
-# --------------------------------------------------------------------------
-# Integer-Lloyd IVF (r10): the END-TO-END oracle-checkable ANN tier.
-# The MLlib-codebook IVF family above is rows-only because float Lloyd
-# iterations are summation-order-dependent — no SQL twin can reproduce
-# them.  This variant replaces the float fit with EXACT integer
-# arithmetic: embeddings quantize once to 6dp fixed-point, centroids
-# are truncated integer means (a ≤1-quantum perturbation of true Lloyd
-# — irrelevant to clustering quality), distances and the probe-order
-# cosine numerators/norms are exact int64 sums, and every float the two
-# engines compare is produced by the same single correctly-rounded IEEE
-# op on identical integer inputs.  Result: the full pipeline — fit,
-# assignment, probe selection, candidate scan, exact-cosine top-k —
-# has a DuckDB twin that matches bit-for-bit.
+# The IVF family (integer-Lloyd codebook; whole family oracle-checked
+# since r11).  r6–r10 history: the family first shipped on an MLlib
+# KMeans codebook (float Lloyd, seed 42) and was rows-only checked —
+# float Lloyd iterations are summation-order-dependent, so no SQL twin
+# could reproduce the fit.  Round 10 proved the alternative on a
+# side-by-side query (sim_ivf_int_topk): replace the float fit with
+# EXACT integer arithmetic — embeddings quantize once to 6dp
+# fixed-point, centroids are truncated integer means (a ≤1-quantum
+# perturbation of true Lloyd, irrelevant to clustering quality),
+# distances and the probe-order cosine numerators/norms are exact
+# int64 sums, and every float the two engines compare is produced by
+# the same single correctly-rounded IEEE op on identical integer
+# inputs.  Measured recall@20 vs the exact baseline was EQUAL OR
+# BETTER than the MLlib tier at two of three SFs (0.55/0.85/0.75 vs
+# the float tier at sf0.001/0.01/0.1), so r11 rebased the whole
+# serving family — base tier, multiprobe, recall curve — on the
+# integer codebook (r10 verdict item 1) and retired the MLlib fit.
+# Result: fit, assignment, probe selection, candidate scan, and
+# exact-cosine top-k ALL have DuckDB twins that match bit-for-bit.
+#
+# Design history preserved from the MLlib era (both still true on the
+# integer codebook):
+#   * nprobe is THE serving-time recall/compute knob — the scanned
+#     fraction doubles from base to multiprobe (4/16 → 8/16 of the
+#     corpus here; at production k≈√n it's a tiny slice) while the
+#     codebook and assignment stay untouched.
+#   * The textbook constant-compute alternative (4× finer codebook,
+#     4× wider probe) was measured WORSE at this corpus scale — k=64
+#     cells over ~500 vectors leaves ~8 vectors per cell and
+#     sample-trained centroids too noisy to rank (recall@20 dropped
+#     0.60 → 0.55 at sf0.001).  Finer codebooks need the corpus to
+#     grow with k; the nprobe ladder is the honest knob at every
+#     scale.
 IVF_INT_ITERS = 6
 
 #: trunc-toward-zero integer division, spelled engine-neutrally:
@@ -852,48 +680,62 @@ def _int_lloyd_fit(eq_train: DataFrame) -> dict[int, list[int]]:
     return cents
 
 
-def sim_ivf_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with the exact-integer codebook — same serving shape as
-    sim_ivf_topk (coarse quantizer → nprobe nearest cells → exact
-    cosine top-k inside them) but oracle-checked END-TO-END, codebook
-    included.  Scale properties match the MLlib tier: the fit samples
-    ~50% (md5 gate), assignment is one Arrow-batched integer GEMM per
-    pass, the search scans |corpus|·nprobe/k rows, and driver traffic
-    is the k·dim-int codebook per round — model-sized."""
+def _ivf_int_build(
+    spark: SparkSession, sf_dir: str, full_train: bool = False
+):
+    """Codebook fit + full-corpus assignment + the query row — shared
+    by every IVF serving tier and the recall curve.  full_train=False
+    fits on the deterministic ~50% md5 sample (the production default:
+    a codebook needs a representative sample, not the corpus);
+    full_train=True fits on every positive-norm vector — the
+    training-sample axis sim_ivf_int_topk measures."""
     eq = _int_quantized(spark, sf_dir)
-    cents = _int_lloyd_fit(eq.where(_int_train_gate()).select("vec_id", "e"))
-    empty = "vec_id bigint, cell int, cosine double"
+    train = eq if full_train else eq.where(_int_train_gate())
+    cents = _int_lloyd_fit(train.select("vec_id", "e"))
     if not cents:
-        return spark.createDataFrame([], empty)
+        return None, {}, None
     assigned = _int_assign(eq, cents)
     qrow = (
         assigned.where(F.col("vec_id") == QUERY_VEC_ID)
         .select("emb", "e")
         .first()
-    )
-    if qrow is None:
-        return spark.createDataFrame([], empty)
+    )  # single driver job: one row
+    return assigned, cents, qrow
+
+
+def _int_probe_order(
+    qe: list[int], cents: dict[int, list[int]]
+) -> list[int]:
+    """All cells sorted nearest-first to the quantized query — tiny
+    driver-side math on the k centroids (the model, not data).  The
+    cosine numerator and both norms are exact int64 sums; the only
+    float ops are two sqrt's and one division on exact integers, each
+    a single correctly-rounded IEEE op the oracle's probe CTE repeats
+    verbatim.  A zero-norm side sinks to -2.0 (below any real cosine)
+    exactly as the oracle's CASE does — a Python int/0.0 would raise
+    where DuckDB yields inf."""
     import math
 
-    qe = [int(v) for v in qrow["e"]]
     qq = sum(v * v for v in qe)
 
-    def probe_key(j: int):
+    def key(j: int) -> float:
         c = cents[j]
         a = sum(x * y for x, y in zip(qe, c))
         nn = sum(x * x for x in c)
         if qq == 0 or nn == 0:
-            # zero quantized vector has no direction: sink below any
-            # real cosine (the oracle's CASE does the same; a Python
-            # int/0.0 would raise where DuckDB yields inf)
             return -2.0
         return a / (math.sqrt(float(qq)) * math.sqrt(float(nn)))
 
-    probe = sorted(cents, key=lambda j: (-probe_key(j), j))[:IVF_NPROBE]
-    qdf = spark.createDataFrame([(qrow["emb"],)], "qv array<double>")
+    return sorted(cents, key=lambda j: (-key(j), j))
+
+
+def _ivf_int_score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
+    """Exact-cosine top-k over the probed candidate slice — the shared
+    serving stage: broadcast 1-row query, distributed scan,
+    TakeOrderedAndProject (same plan shape as sim_cosine_topk, on
+    nprobe/k of the corpus)."""
     return (
-        assigned.where(F.col("cell").isin(probe))
-        .crossJoin(F.broadcast(qdf))
+        cand.crossJoin(F.broadcast(qdf))
         .select(
             "vec_id",
             "cell",
@@ -911,16 +753,156 @@ def sim_ivf_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_int_oracle() -> str:
-    """DuckDB twin of sim_ivf_int_topk: the IVF_INT_ITERS Lloyd rounds
-    unrolled as chained CTEs (the pagerank recipe), every distance /
-    centroid / probe-order quantity in the same exact integer
-    arithmetic, trunc-div spelled with the same CASE text."""
+_IVF_EMPTY_SCHEMA = "vec_id bigint, cell int, cosine double"
+
+
+def _ivf_int_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    full_train: bool = False,
+) -> DataFrame:
+    assigned, cents, qrow = _ivf_int_build(spark, sf_dir, full_train)
+    if not cents or qrow is None:
+        # empty corpus / empty train slice / absent-or-zero-norm query:
+        # cosine against it is undefined — empty result, same schema
+        return spark.createDataFrame([], _IVF_EMPTY_SCHEMA)
+    probe = _int_probe_order([int(v) for v in qrow["e"]], cents)[:nprobe]
+    qdf = spark.createDataFrame([(qrow["emb"],)], "qv array<double>")
+    return _ivf_int_score(assigned.where(F.col("cell").isin(probe)), qdf)
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, base serving tier: integer-Lloyd coarse quantizer →
+    IVF_NPROBE nearest cells → exact cosine top-k inside them.
+    Oracle-checked END-TO-END (fit included) since the r11 rebase off
+    the MLlib codebook — see the family note above.
+
+    Scale: the fit samples ~50% (md5 gate), assignment is one
+    Arrow-batched integer GEMM per pass, the search scans
+    |corpus|·nprobe/k rows, and driver traffic is the k·dim-int
+    codebook per round — model-sized, the same shape MLlib's own fit
+    loop uses.  Cell ids can become a partition column for physical
+    pruning at 100 TB."""
+    return _ivf_int_serve(spark, sf_dir, IVF_NPROBE)
+
+
+def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (r7 verdict item 8a): the SAME codebook as
+    sim_ivf_topk probed twice as wide (nprobe 8 vs 4).  The fit is
+    deterministic, so the probed cell set is a SUPERSET of the base
+    tier's, the scanned candidate set is a superset, and recall@k is
+    non-decreasing BY CONSTRUCTION — the invariant
+    tests/test_llm_pipeline.py pins, alongside the recall floor.
+    nprobe doubles the scanned fraction; codebook and assignment stay
+    untouched (the serving-time knob — see the family note for why
+    the finer-codebook-at-constant-compute alternative measured
+    worse)."""
+    return _ivf_int_serve(spark, sf_dir, IVF_MP_NPROBE)
+
+
+def sim_ivf_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-sample-axis variant: same integer-Lloyd machinery
+    and nprobe as sim_ivf_topk, codebook fit on the FULL positive-norm
+    corpus instead of the ~50% md5 sample.  This is the r10 query that
+    proved the integer fit before the r11 family rebase; with the
+    serving tiers now on the sampled fit, it measures the question a
+    production codebook owner actually tunes: does halving the
+    training set cost recall?  (Measured recall@20 full vs sampled:
+    0.80 vs 0.55 / 0.85 vs 0.85 / 0.85 vs 0.75 at sf0.001/0.01/0.1 —
+    the full fit wins clearly only at the smallest SF, where the 50%
+    sample is ~250 vectors against k=16 cells; the gap closes as the
+    sample grows relative to k, which is WHY sampling is the
+    production default at scale.)  Oracle-checked end-to-end,
+    codebook included, like the rest of the family."""
+    return _ivf_int_serve(spark, sf_dir, IVF_NPROBE, full_train=True)
+
+
+IVF_CURVE_NPROBES = (1, 2, 4, 8, 16)
+
+
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF serving-time tuning table: recall@TOP_K vs the exact
+    brute-force top-k at every nprobe on the ladder, with the candidate
+    count each setting scans — THE artifact an ANN deployment reads to
+    pick its recall/compute point.  At nprobe = IVF_CELLS the probe
+    covers every cell, the candidate set is the whole corpus, and the
+    ranking formula/tie-break equals the brute-force query's — recall
+    is exactly 1.0 by construction (pytest pins this plus recall
+    monotonicity in nprobe).
+
+    Scale: the codebook fits ONCE; the assignment and the exact top-k
+    are localCheckpoint-ed and each ladder step re-scans only its
+    probed cells.  Oracle-checked since the r11 integer-codebook
+    rebase (previously rows-only on the MLlib fit): the DuckDB twin
+    unrolls the Lloyd chain once and evaluates all five ladder steps
+    against it; quantitative invariants stay in
+    tests/test_llm_pipeline.py."""
+    eq = _int_quantized(spark, sf_dir)
+    cents = _int_lloyd_fit(eq.where(_int_train_gate()).select("vec_id", "e"))
+    empty = "nprobe int, candidates bigint, hits bigint, recall double"
+    if not cents:
+        return spark.createDataFrame([], empty)
+    assigned = _int_assign(eq, cents).localCheckpoint(eager=True)
+    qrow = (
+        assigned.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select("emb", "e")
+        .first()
+    )
+    if qrow is None:
+        return spark.createDataFrame([], empty)
+    exact = (
+        sim_cosine_topk(spark, sf_dir).select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    # recall denominator = the exact result's row count, not TOP_K:
+    # a corpus slice smaller than TOP_K yields fewer exact rows, and
+    # full-probe recall must still be exactly 1.0 (ADVICE r9)
+    n_exact = exact.agg(F.count("*").alias("exact_k"))
+    order = _int_probe_order([int(v) for v in qrow["e"]], cents)
+    qdf = spark.createDataFrame([(qrow["emb"],)], "qv array<double>")
+    parts = []
+    for np_ in IVF_CURVE_NPROBES:
+        cand = assigned.where(F.col("cell").isin(order[:np_]))
+        topk = _ivf_int_score(cand, qdf).select("vec_id")
+        hits = topk.join(exact, "vec_id").agg(F.count("*").alias("hits"))
+        ncand = cand.agg(F.count("*").alias("candidates"))
+        parts.append(
+            hits.crossJoin(ncand)
+            .crossJoin(F.broadcast(n_exact))
+            .select(
+                F.lit(np_).alias("nprobe"),
+                "candidates",
+                "hits",
+                _fr4(
+                    F.col("hits") * F.lit(1.0) / F.col("exact_k")
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("nprobe")
+
+
+def _ivf_chain_ctes(full_train: bool = False) -> list[str]:
+    """The shared oracle prefix for every IVF-family twin: quantize,
+    train slice, the IVF_INT_ITERS Lloyd rounds unrolled as chained
+    CTEs (the pagerank recipe), the final full-corpus assignment, and
+    the query-side probe keys — every distance / centroid /
+    probe-order quantity in the same exact integer arithmetic,
+    trunc-div spelled with the same CASE text.  CTEs are MATERIALIZED
+    because DuckDB 1.0 inlines single-reference CTEs and would
+    otherwise re-evaluate the whole chain per level (measured 133 s →
+    0.2 s on this oracle)."""
     dist2 = (
         "CAST(list_sum(list_transform(range(1, len(v.e) + 1),"
         " d -> (v.e[d] - c.c[d]) * (v.e[d] - c.c[d]))) AS BIGINT)"
     )
     trunc_div = _TRUNC_DIV.replace(" DIV ", " // ")
+    tr_sql = "SELECT vec_id, e FROM qe0" + (
+        "" if full_train else f" WHERE {_INT_TRAIN_GATE_DUCK}"
+    )
     ctes = [
         f"""qe0 AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -930,8 +912,7 @@ def _ivf_int_oracle() -> str:
   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
                          CAST(embedding AS DOUBLE[])) > 0
 )""",
-        f"tr AS MATERIALIZED (SELECT vec_id, e FROM qe0"
-        f" WHERE {_INT_TRAIN_GATE_DUCK})",
+        f"tr AS MATERIALIZED ({tr_sql})",
         f"""c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
          e AS c
@@ -993,23 +974,38 @@ def _ivf_int_oracle() -> str:
   FROM {cn} c CROSS JOIN qx q CROSS JOIN qn
 )"""
     )
+    return ctes
+
+
+#: probe-order sort key — the oracle twin of _int_probe_order's key()
+_PROBE_KEY_SQL = """CASE WHEN qq = 0 OR nn = 0 THEN -2.0
+                ELSE CAST(a AS DOUBLE)
+                     / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE)))
+           END"""
+
+#: the serving-stage exact cosine — the oracle twin of _ivf_int_score
+_IVF_COS_SQL = (
+    "ROUND(list_dot_product(e.emb, q.qv)"
+    " / (sqrt(list_dot_product(e.emb, e.emb))"
+    " * sqrt(list_dot_product(q.qv, q.qv))), 4)"
+)
+
+
+def _ivf_int_oracle(
+    nprobe: int = IVF_NPROBE, full_train: bool = False
+) -> str:
+    """DuckDB twin of one _ivf_int_serve tier."""
+    ctes = _ivf_chain_ctes(full_train)
     ctes.append(
         f"""probe AS (
   SELECT cell FROM pk
-  ORDER BY CASE WHEN qq = 0 OR nn = 0 THEN -2.0
-                ELSE CAST(a AS DOUBLE)
-                     / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE)))
-           END DESC, cell
-  LIMIT {IVF_NPROBE}
+  ORDER BY {_PROBE_KEY_SQL} DESC, cell
+  LIMIT {nprobe}
 )"""
     )
     return (
         "WITH " + ",\n".join(ctes) + f"""
-SELECT e.vec_id, a.cell,
-       ROUND(
-         list_dot_product(e.emb, q.qv)
-         / (sqrt(list_dot_product(e.emb, e.emb))
-            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+SELECT e.vec_id, a.cell, {_IVF_COS_SQL} AS cosine
 FROM afin a
 JOIN qe0 e ON a.vec_id = e.vec_id
 CROSS JOIN qx q
@@ -1020,7 +1016,63 @@ LIMIT {TOP_K}
     )
 
 
-SIM_IVF_INT_ORACLE = _ivf_int_oracle()
+def _ivf_curve_oracle() -> str:
+    """DuckDB twin of sim_ivf_recall_curve: ONE unrolled Lloyd chain +
+    final assignment, the exact brute-force top-k, then the five
+    ladder steps as per-nprobe (probe, row) CTE pairs unioned at the
+    end — the oracle mirrors the Spark op's fit-once/re-scan-per-step
+    shape rather than refitting per step."""
+    ctes = _ivf_chain_ctes(full_train=False)
+    ctes.append(
+        f"""exact AS MATERIALIZED (
+  SELECT e.vec_id
+  FROM qe0 e CROSS JOIN qx q
+  ORDER BY {_IVF_COS_SQL} DESC, e.vec_id
+  LIMIT {TOP_K}
+)"""
+    )
+    ctes.append("nx AS (SELECT COUNT(*) AS exact_k FROM exact)")
+    for np_ in IVF_CURVE_NPROBES:
+        ctes.append(
+            f"""p{np_} AS (
+  SELECT cell FROM pk
+  ORDER BY {_PROBE_KEY_SQL} DESC, cell
+  LIMIT {np_}
+)"""
+        )
+        ctes.append(
+            f"""r{np_} AS (
+  SELECT CAST({np_} AS INTEGER) AS nprobe,
+         (SELECT COUNT(*) FROM afin
+          WHERE cell IN (SELECT cell FROM p{np_})) AS candidates,
+         (SELECT COUNT(*) FROM (
+            SELECT e.vec_id
+            FROM afin a
+            JOIN qe0 e ON a.vec_id = e.vec_id
+            CROSS JOIN qx q
+            WHERE a.cell IN (SELECT cell FROM p{np_})
+            ORDER BY {_IVF_COS_SQL} DESC, e.vec_id
+            LIMIT {TOP_K}
+          ) t JOIN exact x ON t.vec_id = x.vec_id) AS hits
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM r{np_}" for np_ in IVF_CURVE_NPROBES
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT nprobe, candidates, hits,
+       floor(hits * 1.0 / exact_k * 10000.0 + 0.5) / 10000.0 AS recall
+FROM ({union}) CROSS JOIN nx
+ORDER BY nprobe
+"""
+    )
+
+
+SIM_IVF_ORACLE = _ivf_int_oracle(IVF_NPROBE)
+SIM_IVF_MP_ORACLE = _ivf_int_oracle(IVF_MP_NPROBE)
+SIM_IVF_INT_ORACLE = _ivf_int_oracle(IVF_NPROBE, full_train=True)
+SIM_IVF_CURVE_ORACLE = _ivf_curve_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1168,101 +1220,452 @@ LIMIT {TOP_K}
 # table of partial dots against each sub-codebook and every corpus
 # vector's score is PQ_M table lookups + adds (the Asymmetric
 # Distance Computation of Jégou et al. 2011).
+#
+# Oracle-backed since r11 (previously rows-only on PQ_M MLlib KMeans
+# fits): the sub-quantizer codebooks now fit with the same exact
+# integer-Lloyd recipe as the IVF family — ALL PQ_M subspaces in ONE
+# distributed pass per round, not PQ_M sequential fits.  The one new
+# trick is the NORMALIZATION: u = x/||x|| depends on a float sum whose
+# cross-engine portability we never rely on; instead the unit vector
+# is derived from the already-exact quantized integers —
+# n2 = Σ e_d² (exact int64), u_d = floor(e_d·1e6 / sqrt(n2) + 0.5) —
+# so every float op is a single correctly-rounded IEEE op on identical
+# integer inputs and the quantized unit vector is engine-exact by
+# construction, with no dependence on summation order.
 PQ_M = 16  # subspaces (64 dims → 4 per subspace)
 PQ_K = 16  # codes per sub-codebook
 PQ_SUBDIM = 64 // PQ_M
+#: Lloyd rounds for the sub-quantizer fits.  4 (vs the IVF tier's 6):
+#: 4-dim sub-codebooks converge in 2-3 rounds on this corpus, extra
+#: rounds measured NO recall gain (vec_id-seeded control: 6 rounds
+#: read 0.40 vs 4 rounds' 0.45 at sf0.001 — drift, not improvement),
+#: and each extra round adds 2 CTEs to the oracle chain.
+PQ_INT_ITERS = 4
+
+
+def _pq_unit_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, u bigint[]) — the 6dp-quantized UNIT vector, computed
+    integer-first (see the section note): quantize the raw embedding,
+    take the exact integer norm, then quantize e/||e|| in one
+    correctly-rounded float expression both engines spell identically."""
+    eq = _int_quantized(spark, sf_dir)
+    n2 = F.aggregate(
+        "e", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return (
+        eq.select("vec_id", "e", n2.alias("n2"))
+        .where(F.col("n2") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "e",
+                lambda x: F.floor(
+                    x.cast("double")
+                    * F.lit(1000000.0)
+                    / F.sqrt(F.col("n2").cast("double"))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("u"),
+        )
+    )
+
+
+def _pq_subspaces(uq: DataFrame) -> DataFrame:
+    """(vec_id, j, sub bigint[PQ_SUBDIM]) — one row per subspace."""
+    return uq.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("u", j * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "sub"
+                        ),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.j", "x.sub")
+
+
+def _pq_assign(
+    subs: DataFrame, cents: dict[tuple[int, int], list[int]]
+) -> DataFrame:
+    """Nearest sub-centroid per (vec, subspace) — ONE Arrow-batched
+    integer GEMM pass covering all PQ_M subspaces (the batch is
+    grouped by j inside the UDF; ties to the smallest code id,
+    matching the oracle's FIRST(code ORDER BY dist2, code))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    books: dict[int, tuple] = {}
+    for j in sorted({jj for jj, _ in cents}):
+        codes = sorted(c for jj, c in cents if jj == j)
+        books[j] = (
+            np.asarray(codes, dtype=np.int64),
+            np.asarray([cents[(j, c)] for c in codes], dtype=np.int64),
+        )
+
+    @pandas_udf(IntegerType())
+    def codeof(js, sub):
+        if not len(js):
+            return pd.Series([], dtype="int32")
+        out = np.zeros(len(js), dtype=np.int64)
+        jarr = js.to_numpy()
+        for j in np.unique(jarr):
+            idx = np.where(jarr == j)[0]
+            ids, C = books[int(j)]
+            E = np.vstack(sub.iloc[idx].to_numpy()).astype(np.int64)
+            # argmin of dist² == argmin of (−2·e·c + |c|²); all int64,
+            # no overflow: |u|,|c| ≤ ~1.1e6, PQ_SUBDIM=4 dims
+            score = -2 * (E @ C.T) + (C * C).sum(axis=1)[None, :]
+            out[idx] = ids[np.argmin(score, axis=1)]
+        return pd.Series(out.astype("int32"))
+
+    return subs.withColumn("code", codeof("j", "sub"))
+
+
+def _pq_int_fit(
+    uq_train: DataFrame,
+) -> dict[tuple[int, int], list[int]]:
+    """PQ_INT_ITERS rounds of joint integer Lloyd across all PQ_M
+    sub-codebooks.  Seeds: the subvectors of the PQ_K train vec_ids
+    that sort FIRST BY md5(vec_id) — an engine-reproducible
+    pseudo-random draw, NOT the IVF tier's first-by-vec_id recipe.
+    4-dim sub-codebooks are far more seed-sensitive than 64-dim cells:
+    the lowest vec_ids' subvectors cluster in quantized space, and
+    seeding from them measured recall@20 0.45/0.65/0.20 at
+    sf0.001/0.01/0.1 (gate-trained, 4 rounds) vs 0.65/0.70/0.55 for
+    the md5-ordered draw — the scrambled seed is the difference
+    between a broken and a working codebook at sf0.1.  The same PQ_K
+    vectors seed every subspace (the oracle's ROW_NUMBER-per-j
+    reproduces this).  Per round: one assignment pass + one
+    (j, code, dim) integer-sum aggregation; driver traffic is the
+    PQ_M·PQ_K·PQ_SUBDIM-int codebook per round — model-sized.  Codes
+    that lose all members vanish (the oracle's GROUP BY does the
+    same)."""
+    seed = (
+        uq_train.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(PQ_K)
+        .select("u")
+        .take(PQ_K)
+    )
+    cents: dict[tuple[int, int], list[int]] = {}
+    for code, r in enumerate(seed):
+        u = [int(v) for v in r["u"]]
+        for j in range(PQ_M):
+            cents[(j, code)] = u[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+    if not cents:
+        return {}
+    subs_train = _pq_subspaces(uq_train)
+    for _ in range(PQ_INT_ITERS):
+        rows = (
+            _pq_assign(subs_train, cents)
+            .select("j", "code", F.posexplode("sub").alias("dim", "v"))
+            .groupBy("j", "code", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select("j", "code", "dim", F.expr(_TRUNC_DIV).alias("c"))
+            .groupBy("j", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias(
+                    "dc"
+                )
+            )
+            .take(PQ_M * PQ_K)
+        )
+        cents = {
+            (int(r["j"]), int(r["code"])): [int(x["c"]) for x in r["dc"]]
+            for r in rows
+        }
+    return cents
 
 
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed approximate cosine top-k.  Rows-only checked
-    (approximate by design; KMeans codebooks are not SQL-expressible);
-    recall vs the exact baseline asserted in tests/test_llm_pipeline.py.
+    """PQ-compressed approximate cosine top-k (ADC scoring), with the
+    integer-Lloyd sub-quantizer fit — oracle-checked END-TO-END since
+    r11, codebooks included; recall vs the exact baseline stays
+    asserted in tests/test_llm_pipeline.py.
 
-    Scale notes: codebook training is PQ_M DISTRIBUTED KMeans fits on
-    the subvector columns (driver holds only the PQ_M×PQ_K×PQ_SUBDIM
-    centroid model, never data); encoding is a narrow map (broadcast
-    models); the scan reads 1-byte codes instead of 8-byte doubles.
+    Scale notes: the fit trains on the ~50% md5 sample in ONE
+    distributed pass per round covering all PQ_M subspaces (driver
+    holds only the PQ_M×PQ_K×PQ_SUBDIM-int codebook, never data);
+    encoding is one Arrow-batched integer GEMM over the corpus; the
+    serving scan reads 1-byte-range codes instead of 8-byte doubles
+    and scores each vector with PQ_M lookup-adds via a broadcast
+    (j, code)→partial-dot table — no vector reconstruction.
     Normalizing first makes the approximate inner product an
-    approximate cosine."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    emb = _emb_cosine(spark, sf_dir)
-    unit_expr = F.transform(
-        F.col("emb"), lambda x: x / F.sqrt(_dot(F.col("emb"), F.col("emb")))
-    )
-    unit = emb.select("vec_id", unit_expr.alias("u"))
-    with_subs = unit.select(
-        "vec_id",
-        "u",
-        *[
-            array_to_vector(
-                F.slice("u", j * PQ_SUBDIM + 1, PQ_SUBDIM)
-            ).alias(f"sub_{j}")
-            for j in range(PQ_M)
-        ],
-    )
-    # query probe FIRST: if the anchor is absent or zero-norm
-    # (filtered by _emb_cosine) the result is empty — skip the count
-    # and all PQ_M codebook fits on that path
-    q = unit.where(F.col("vec_id") == QUERY_VEC_ID).first()
+    approximate cosine (score/1e12 ≈ cosine on the 6dp-quantized unit
+    vectors)."""
+    uq = _pq_unit_quantized(spark, sf_dir)
+    cents = _pq_int_fit(uq.where(_int_train_gate()))
+    empty = "vec_id bigint, approx_cosine double"
+    if not cents:
+        return spark.createDataFrame([], empty)
+    q = uq.where(F.col("vec_id") == QUERY_VEC_ID).first()
     if q is None:
         # cosine against a directionless query is undefined — empty
         # result, same schema
-        return spark.createDataFrame(
-            [], "vec_id bigint, approx_cosine double"
+        return spark.createDataFrame([], empty)
+    qu = [int(v) for v in q["u"]]
+    # query-side ADC lookup table: exact-integer partial dot of the
+    # query subvector against each sub-centroid — model-sized driver
+    # math, shipped back as a broadcast join table
+    lut = [
+        (
+            j,
+            code,
+            sum(
+                a * b
+                for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
+            ),
         )
-    qu = q["u"]
-
-    # degenerate-corpus clamp (cf. _ivf_topk): MLlib KMeans AIOOBEs
-    # when k exceeds the point count and rejects k < 2, so below 2
-    # usable vectors skip quantization entirely and rank the ≤1
-    # candidates by exact cosine (identical semantics at that size;
-    # the count is a scalar job, a no-op branch at real SF)
-    n_points = with_subs.count()
-    if n_points < 2:
-        exact = F.aggregate(
-            F.zip_with("u", F.lit(qu), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            unit.select("vec_id", F.round(exact, 4).alias("approx_cosine"))
-            .orderBy(F.col("approx_cosine").desc(), F.col("vec_id"))
-            .limit(TOP_K)
-        )
-
-    encoded = with_subs
-    models = []
-    pq_k = min(PQ_K, n_points)
-    for j in range(PQ_M):
-        m = KMeans(
-            k=pq_k,
-            seed=42 + j,
-            maxIter=10,
-            featuresCol=f"sub_{j}",
-            predictionCol=f"code_{j}",
-        ).fit(with_subs)
-        models.append(m)
-        encoded = m.transform(encoded)
-
-    # query-side ADC lookup tables: partial dot of the query subvector
-    # against each sub-codebook centroid — model-sized driver math
-    score = F.lit(0.0)
-    for j in range(PQ_M):
-        qsub = qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
-        lut = [
-            float(sum(a * b for a, b in zip(qsub, center)))
-            for center in models[j].clusterCenters()
-        ]
-        score = score + F.element_at(
-            F.array(*[F.lit(v) for v in lut]), F.col(f"code_{j}") + 1
-        )
+        for (j, code), c in sorted(cents.items())
+    ]
+    lut_df = spark.createDataFrame(lut, "j int, code int, pdot bigint")
+    encoded = _pq_assign(_pq_subspaces(uq), cents)
     return (
-        encoded.select("vec_id", F.round(score, 4).alias("approx_cosine"))
+        encoded.join(F.broadcast(lut_df), ["j", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("pdot").alias("s"))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("s").cast("double") / F.lit(1000000000000.0), 4
+            ).alias("approx_cosine"),
+        )
         .orderBy(F.col("approx_cosine").desc(), F.col("vec_id"))
         .limit(TOP_K)
     )
+
+
+def _pq_chain_ctes(p: str = "") -> list[str]:
+    """The PQ oracle chain — quantized unit vectors, subspace explode,
+    PQ_INT_ITERS joint Lloyd rounds unrolled as chained MATERIALIZED
+    CTEs, final full-corpus encoding, and the query-side ADC lookup
+    table — every quantity in the same exact integer arithmetic as the
+    Spark op.  Every CTE name carries prefix `p` so the composed
+    IVF+PQ twin can splice this chain and the IVF chain (which owns
+    the unprefixed tr/c*/a*/afin/qx names) into one WITH clause."""
+    dist2 = (
+        "CAST(list_sum(list_transform(range(1, len(v.sub) + 1),"
+        " d -> (v.sub[d] - c.c[d]) * (v.sub[d] - c.c[d]))) AS BIGINT)"
+    )
+    trunc_div = _TRUNC_DIV.replace(" DIV ", " // ")
+    ctes = [
+        f"""{p}eq0 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(floor(x * {LSH_Q_SCALE}.0 + 0.5) AS BIGINT)) AS e
+  FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+)""",
+        f"""{p}un AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(
+             CAST(x AS DOUBLE) * 1000000.0 / sqrt(CAST(n2 AS DOUBLE))
+             + 0.5) AS BIGINT)) AS u
+  FROM (
+    SELECT vec_id, e,
+           CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS n2
+    FROM {p}eq0
+  )
+  WHERE n2 > 0
+)""",
+        f"""{p}subq AS MATERIALIZED (
+  SELECT vec_id, j, u[j * {PQ_SUBDIM} + 1 : (j + 1) * {PQ_SUBDIM}] AS sub
+  FROM {p}un, (SELECT UNNEST(range(0, {PQ_M})) AS j)
+)""",
+        f"{p}tr AS MATERIALIZED (SELECT vec_id, j, sub FROM {p}subq WHERE "
+        + _INT_TRAIN_GATE_DUCK
+        + ")",
+        f"""{p}c0 AS (
+  SELECT j, CAST(rn - 1 AS INTEGER) AS code, sub AS c
+  FROM (
+    SELECT j, sub,
+           ROW_NUMBER() OVER (
+             PARTITION BY j ORDER BY md5(CAST(vec_id AS VARCHAR))
+           ) AS rn
+    FROM {p}tr
+  ) WHERE rn <= {PQ_K}
+)""",
+    ]
+    for i in range(1, PQ_INT_ITERS + 1):
+        ctes.append(
+            f"""{p}a{i} AS MATERIALIZED (
+  SELECT vec_id, j, FIRST(code ORDER BY dist2, code) AS code
+  FROM (
+    SELECT v.vec_id, v.j, c.code, {dist2} AS dist2
+    FROM {p}tr v JOIN {p}c{i - 1} c ON v.j = c.j
+  ) GROUP BY vec_id, j
+)"""
+        )
+        ctes.append(
+            f"""{p}c{i} AS MATERIALIZED (
+  SELECT j, code,
+         list(CAST({trunc_div} AS BIGINT) ORDER BY dim) AS c
+  FROM (
+    SELECT a.j, a.code, x.dim, SUM(x.v) AS s, COUNT(*) AS n
+    FROM (SELECT vec_id, j, UNNEST(sub) AS v,
+                 UNNEST(range(1, len(sub) + 1)) AS dim FROM {p}tr) x
+    JOIN {p}a{i} a ON x.vec_id = a.vec_id AND x.j = a.j
+    GROUP BY a.j, a.code, x.dim
+  ) GROUP BY j, code
+)"""
+        )
+    cn = f"{p}c{PQ_INT_ITERS}"
+    ctes.append(
+        f"""{p}afin AS MATERIALIZED (
+  SELECT vec_id, j, FIRST(code ORDER BY dist2, code) AS code
+  FROM (
+    SELECT v.vec_id, v.j, c.code, {dist2} AS dist2
+    FROM {p}subq v JOIN {cn} c ON v.j = c.j
+  ) GROUP BY vec_id, j
+)"""
+    )
+    ctes.append(
+        f"{p}qx AS (SELECT j, sub AS qsub FROM {p}subq"
+        f" WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    ctes.append(
+        f"""{p}lut AS (
+  SELECT c.j, c.code,
+         CAST(list_sum(list_transform(range(1, len(c.c) + 1),
+             d -> q.qsub[d] * c.c[d])) AS BIGINT) AS pdot
+  FROM {cn} c JOIN {p}qx q ON c.j = q.j
+)"""
+    )
+    return ctes
+
+
+def _pq_int_oracle() -> str:
+    """DuckDB twin of sim_pq_topk: the PQ chain + ADC scoring."""
+    return (
+        "WITH " + ",\n".join(_pq_chain_ctes()) + f"""
+SELECT a.vec_id,
+       ROUND(CAST(SUM(l.pdot) AS DOUBLE) / 1000000000000.0, 4)
+         AS approx_cosine
+FROM afin a
+JOIN lut l ON a.j = l.j AND a.code = l.code
+GROUP BY a.vec_id
+ORDER BY approx_cosine DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+    )
+
+
+SIM_PQ_ORACLE = _pq_int_oracle()
+
+
+# --------------------------------------------------------------------------
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed — the production ANN index shape (FAISS IVFPQ,
+    Jégou et al. 2011; the no-residual flavor: codes quantize the unit
+    vectors themselves, not per-cell residuals): the integer-Lloyd
+    coarse quantizer picks IVF_NPROBE cells for the query, and every
+    candidate inside them is scored by PQ-ADC lookup-adds — so a query
+    touches nprobe/k of the corpus AND reads only 1-byte-range codes
+    instead of 8-byte doubles, the two cost multipliers production
+    serving stacks compound.  Both fits are the oracle-checked integer
+    machinery above (coarse: sim_ivf_topk's codebook; fine:
+    sim_pq_topk's sub-codebooks), so the COMPOSITION is oracle-checked
+    end-to-end too.  Measured recall@20 vs exact: 0.40 / 0.70 / 0.45
+    at sf0.001/0.01/0.1 — at or below the weaker of the pure-IVF and
+    pure-PQ tiers, as expected when both approximations stack (the
+    misses are near-disjoint at the small SFs).
+
+    Scale: production builds persist the full code table once; this
+    query's encode stage runs only over the probed slice (same result
+    — per-vector encoding is independent — but the measured cost
+    reflects serving, not index build).  Residual encoding is the
+    documented next knob: it needs per-cell sub-codebooks (k× the
+    model) and buys recall at high k."""
+    assigned, cents, qrow = _ivf_int_build(spark, sf_dir)
+    empty = "vec_id bigint, cell int, approx_cosine double"
+    if not cents or qrow is None:
+        return spark.createDataFrame([], empty)
+    probe = _int_probe_order([int(v) for v in qrow["e"]], cents)[:IVF_NPROBE]
+    cand = (
+        assigned.where(F.col("cell").isin(probe))
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    uq = _pq_unit_quantized(spark, sf_dir)
+    pq_cents = _pq_int_fit(uq.where(_int_train_gate()))
+    if not pq_cents:
+        return spark.createDataFrame([], empty)
+    q = uq.where(F.col("vec_id") == QUERY_VEC_ID).first()
+    if q is None:
+        return spark.createDataFrame([], empty)
+    qu = [int(v) for v in q["u"]]
+    lut = [
+        (
+            j,
+            code,
+            sum(
+                a * b
+                for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
+            ),
+        )
+        for (j, code), c in sorted(pq_cents.items())
+    ]
+    lut_df = spark.createDataFrame(lut, "j int, code int, pdot bigint")
+    enc = _pq_assign(
+        _pq_subspaces(uq.join(cand, "vec_id").select("vec_id", "u")),
+        pq_cents,
+    )
+    return (
+        enc.join(F.broadcast(lut_df), ["j", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("pdot").alias("s"))
+        .join(cand, "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                F.col("s").cast("double") / F.lit(1000000000000.0), 4
+            ).alias("approx_cosine"),
+        )
+        .orderBy(F.col("approx_cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB twin of sim_ivf_pq_topk: the IVF chain (unprefixed
+    names) supplies the probe set and cell assignment, the PQ chain
+    (p_ prefix) supplies codes and the ADC lookup table, and the final
+    select composes them exactly as the Spark op does."""
+    ctes = _ivf_chain_ctes(full_train=False)
+    ctes.append(
+        f"""probe AS (
+  SELECT cell FROM pk
+  ORDER BY {_PROBE_KEY_SQL} DESC, cell
+  LIMIT {IVF_NPROBE}
+)"""
+    )
+    ctes += _pq_chain_ctes("p_")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a.vec_id, f.cell,
+       ROUND(CAST(SUM(l.pdot) AS DOUBLE) / 1000000000000.0, 4)
+         AS approx_cosine
+FROM afin f
+JOIN p_afin a ON f.vec_id = a.vec_id
+JOIN p_lut l ON a.j = l.j AND a.code = l.code
+WHERE f.cell IN (SELECT cell FROM probe)
+GROUP BY a.vec_id, f.cell
+ORDER BY approx_cosine DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+    )
+
+
+SIM_IVF_PQ_ORACLE = _ivf_pq_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -2132,6 +2535,7 @@ QUERIES = {
     "sim_cosine_dup_pairs": sim_cosine_dup_pairs,
     "sim_sq8_topk": sim_sq8_topk,
     "sim_pq_topk": sim_pq_topk,
+    "sim_ivf_pq_topk": sim_ivf_pq_topk,
     "sim_kmeans_lloyd_step": sim_kmeans_lloyd_step,
     "sim_centroid_outliers": sim_centroid_outliers,
     "sim_dim_variance_profile": sim_dim_variance_profile,
@@ -2159,9 +2563,13 @@ ORACLE = {
     # oracle-backed since r10: ±1 hyperplanes over quantized-integer
     # embeddings make the bucket index engine-exact
     "sim_ann_lsh_topk": SIM_ANN_LSH_ORACLE,
-    # oracle-backed end-to-end, CODEBOOK INCLUDED (r10): integer Lloyd
+    # oracle-backed end-to-end, CODEBOOKS INCLUDED: the r10
+    # integer-Lloyd machinery, family-wide since the r11 rebase (the
+    # MLlib float fits — the last rows-only ANN surface — retired)
+    "sim_ivf_topk": SIM_IVF_ORACLE,
+    "sim_ivf_multiprobe_topk": SIM_IVF_MP_ORACLE,
     "sim_ivf_int_topk": SIM_IVF_INT_ORACLE,
-    # sim_ivf_topk, sim_pq_topk (and the multiprobe/recall-curve
-    # variants): rows-only — the KMeans codebook fit is iterative
-    # float arithmetic with no portable SQL twin
+    "sim_ivf_recall_curve": SIM_IVF_CURVE_ORACLE,
+    "sim_pq_topk": SIM_PQ_ORACLE,
+    "sim_ivf_pq_topk": SIM_IVF_PQ_ORACLE,
 }

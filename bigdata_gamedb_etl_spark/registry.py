@@ -51,97 +51,89 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-10 head (r9 verdict items 1/4/6): zero reds and an all-green
-# fleet make this round an EVIDENCE-FRESHNESS round — NEW + RECHECK
-# landed at the 8-slot budget ceiling (3 new + 5 rechecks from the
-# minhash/ANN oracle-backing), leaving 30 rotation slots: the entire
-# r4-age tail plus the oldest 21 of the 40 r5-age queries (the
-# remaining 19 queue for round 11).  All 12 CONTROLS keep window
-# slots, as always.
-ROUND10_NEW: list[str] = [
-    # label-propagation communities over the near-dup graph: splits
-    # weakly-bridged components into dense cores; fixed synchronous
-    # rounds + min tie-break make it deterministic and its oracle an
-    # unrolled-CTE mode-per-neighborhood (r9 verdict item 6)
-    "graph_lpa_communities",
-    # per (bands, jaccard-decile) LSH recall vs the exact pair set —
-    # the measured S-curve behind the band ladder's aggregate recall
-    # (r9 verdict item 6: "recall against ground truth makes the
-    # ladder decision-grade")
-    "dedup_lsh_recall_by_jaccard",
-    # IVF ANN with an exact-integer Lloyd codebook — the first ANN
-    # tier whose FIT is oracle-checked, not just its scoring; proves
-    # the machinery for flipping the MLlib family in a later round
-    "sim_ivf_int_topk",
+# Round-11 head (r10 verdict items 1/2/5): the consolidation round —
+# the whole MLlib ANN family flipped onto the oracle-checked
+# integer-Lloyd machinery (5 rechecks), one new composed tier
+# (IVFPQ), and the rotation tail CLEARED: all 18 remaining r5-age
+# queries (the 19 the r10 verdict named minus sim_pq_topk, which
+# moved to RECHECK by changing) plus the alphabetically-first 14 of
+# the 44 r6-age queries fill the spare slots.  NEW + RECHECK = 6,
+# inside the 8-slot budget.  All 12 CONTROLS keep window slots, as
+# always.
+ROUND11_NEW: list[str] = [
+    # IVF+PQ composed (FAISS IVFPQ, no-residual flavor): coarse
+    # integer-Lloyd probe × PQ-ADC scoring — the production serving
+    # shape where both cost multipliers (nprobe/k corpus fraction,
+    # 1-byte codes) compound; oracle-checked end-to-end by splicing
+    # the two proven CTE chains
+    "sim_ivf_pq_topk",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the
 #: head of the window.
 RECHECK_CHANGED: list[str] = [
-    # r9 verdict item 4 — the whole minhash surface moved from the
-    # Spark-native xxhash64 permutations to the cross-engine md5
-    # mulmod family and from lossy 32-bit band hashes to lossless
-    # band keys; all three now carry full oracles (previously
-    # rows-only)
-    "dedup_minhash_lsh_pairs",
-    "dedup_lsh_band_ladder",
-    "dedup_lsh_cluster_assign",
-    # r9 ADVICE — recall denominator is now min(TOP_K, corpus size)
-    # via the exact result's own row count
+    # r10 verdict item 1 — the MLlib float-Lloyd fits (the last
+    # rows-only ANN surface) retired: base/multiprobe tiers and the
+    # recall curve rebased onto the integer-Lloyd codebook, all three
+    # now oracle-backed
+    "sim_ivf_topk",
+    "sim_ivf_multiprobe_topk",
     "sim_ivf_recall_curve",
-    # r10 — hyperplane LSH rebased on ±1 planes over quantized-integer
-    # embeddings; the bucket index is engine-exact and the op moves
-    # from rows-only to oracle-backed
-    "sim_ann_lsh_topk",
+    # repurposed from the r10 proving query into the full-train-axis
+    # variant (so no two registry entries compute the same result)
+    "sim_ivf_int_topk",
+    # r10 verdict item 5 — PQ sub-codebooks on the integer recipe
+    # (joint Lloyd across all 16 subspaces, md5-ordered seeds),
+    # oracle-backed end-to-end; was rows-only on 16 MLlib fits
+    "sim_pq_topk",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
 #: (the staleness guard goes red and names land here).
 RECONFIRM_STALE: list[str] = []
 
-#: r10: spare window capacity refreshes the OLDEST driver evidence —
-#: the full r4-age tail (9, including the three rotations r9's late
-#: additions displaced) plus the alphabetically-first 21 of the 40
-#: r5-age queries.  All unchanged since their last green and locally
-#: re-verified every run by test_oracle_parity.
+#: r11: the ENTIRE remaining r5-age tail (18 — the r10 verdict's 19
+#: minus sim_pq_topk, rechecking above) plus the alphabetically-first
+#: 14 of the 44 r6-age queries.  After this round no query's newest
+#: driver green predates r6, and the r6 batch starts draining.  All
+#: unchanged since their last green and locally re-verified every run
+#: by test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
-    # r4-age tail
-    "sess1_user_sessions",
-    "sketch_approx_topk_tokens",
-    "sketch_cm_heavy_hitters",
-    "tpch_q12_priority_by_status",
-    "tpch_q20_excess_shippers",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "w8_range_frame_hourly",
-    "w9_sliding_active_users",
-    # oldest 21 of the r5-age batch (rest queue for r11)
-    "a10_retailprice_histogram",
-    "a11_size_histogram",
-    "a12_brand_type_revenue",
-    "a17_percentiles",
-    "a17b_approx_aggregates",
-    "a2_supplier_metrics",
-    "a3_year_trend",
-    "a5_top_supplier",
-    "a9_month_distribution",
-    "attribution_last_touch",
-    "churn_activity_flags",
-    "dedup_normalized_keeper",
-    "dedup_repeated_ngram_share",
-    "dq_freshness_lag",
-    "dq_key_skew_profile",
-    "ga1_rollup_region_nation",
-    "ga3_grouping_sets_margins",
-    "graph_2hop_reach",
-    "graph_triangle_count",
-    "j11_acctbal_band_join",
-    "mart_customer_profile",
-    # (mart_incremental_refresh and mart_nation_customer_index
-    # displaced by sim_ann_lsh_topk's recheck slot and
-    # sim_ivf_int_topk's new slot; they queue for round 11 with the
-    # rest of the r5 batch)
+    # the r5-age tail, cleared in full (r10 verdict item 2)
+    "mart_incremental_refresh",
+    "mart_nation_customer_index",
+    "o6_seeded_sample",
+    "p1_pivot_event_counts",
+    "p2_unpivot_charges",
+    "pipeline_feature_hash_profile",
+    "pipeline_length_buckets",
+    "pipeline_per_group_sample",
+    "sql_json_props_stats",
+    "stat_corr_matrix",
+    "text_pmi_collocations",
+    "text_tfidf_top_terms",
+    "ts_gapfill_locf",
+    "ts_ohlc_hourly",
+    "w10_ewma_monthly_revenue",
+    "w11_mom_revenue_growth",
+    "w12_cumulative_distinct_users",
+    "w7_ntile_quartiles",
+    # alphabetically-first 14 of the r6-age batch
+    "dedup_containment_pairs",
+    "dedup_keeper_selection",
+    "dedup_simhash_signatures",
+    "dedup_survivorship_funnel",
+    "dq_completeness_profile",
+    "dq_contamination_scorecard",
+    "dq_distribution_drift",
+    "dq_quarantine_mart",
+    "events_audience_overlap",
+    "graph_pagerank",
+    "j2_customers_with_orders",
+    "j3_customers_without_orders",
+    "j4_customer_order_counts",
+    "j5_nations_with_both",
 ]
 
 CONTROLS = [
@@ -154,7 +146,7 @@ CONTROLS = [
 ]
 
 PRIORITY = (
-    ROUND10_NEW + RECHECK_CHANGED + RECONFIRM_STALE
+    ROUND11_NEW + RECHECK_CHANGED + RECONFIRM_STALE
     + RECONFIRM_ROTATION + CONTROLS
 )
 

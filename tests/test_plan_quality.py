@@ -502,6 +502,22 @@ def test_char_entropy_shuffles_partial_counts(spark, sf_dir):
     assert tree.count("Scan parquet") == 1, "documents scanned more than once"
 
 
+def test_ivf_pq_composed_serving_plan(spark, sf_dir):
+    """The composed IVFPQ serve must keep both scale contracts: the
+    ADC scoring joins a BROADCAST lookup table (j,code grain —
+    model-sized), the final ranking is TakeOrderedAndProject (true
+    distributed top-k), and nothing plans as a cartesian product.
+    (The 1-row query crossJoins inside the fit helpers broadcast by
+    construction and are covered by the family's other contracts.)"""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    df = similarity.sim_ivf_pq_topk(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plans.uses_broadcast_join(df)
+
+
 def test_lloyd_assignment_is_broadcast(spark, sf_dir):
     """KMeans assignment must probe BROADCAST centroids (k×d grain):
     no sort-merge join and no shuffle of the vector table keyed on

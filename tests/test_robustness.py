@@ -12,8 +12,11 @@ import pytest
 from bigdata_gamedb_etl_spark.registry import all_queries
 from bigdata_gamedb_etl_spark.sources.catalog import TABLE_NAMES, TABLE_SCHEMAS
 
-#: IVF/PQ train KMeans models — undefined on an empty corpus by design.
-EMPTY_EXEMPT = {"sim_ivf_topk", "sim_ivf_multiprobe_topk", "sim_pq_topk"}
+#: r11: the set is empty — the IVF/PQ family's MLlib fits (which
+#: crashed on an empty corpus by design) were replaced by the
+#: integer-Lloyd machinery, which degrades to an empty result like
+#: every other query.
+EMPTY_EXEMPT: set[str] = set()
 
 #: fixed-row-count reports: one row per audited relationship, even on
 #: empty input (a DQ report that vanishes when the data does is a bug).
