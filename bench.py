@@ -636,7 +636,39 @@ def main() -> None:
             "envelope; a SHARED12-only fresh-JVM diagnostic read "
             "13.23 s.  minhash's 2.40 s vs the r9 2.03 s series is "
             "the ~+0.35 s family cost plus noise, inside the 1.2x "
-            "bound"
+            "bound.  r11 adjudication (r10 verdict item 1): the four "
+            "above-floor deltas in the committed r10 quiet detail "
+            "(incremental_cc 1.21, simhash_clusters 1.24, LPA 1.40, "
+            "ivf_recall_curve 1.25) got the fresh-JVM best-of-3 "
+            "protocol TWICE at sf0.1 (warm-start load1 1.5 and "
+            "quiet-start load1 0.06): incremental_cc 5.90/6.00 vs "
+            "quiet-r10 5.87 vs prior 4.85 vs the loaded r10 DRIVER "
+            "run's 4.41; simhash_clusters 4.85/5.46 vs 5.82/4.69/4.67; "
+            "LPA 3.27/4.20 vs 4.48/3.20/3.37.  The two fresh-JVM runs "
+            "themselves spread 1.02-1.28x per query and BRACKET both "
+            "the flagged values and the priors, and one run reproduced "
+            "simhash's prior within 3% — so the deltas are intrinsic "
+            "spread on 4-6 s iterative queries (session aging ruled "
+            "OUT this time: fresh JVMs reproduce the high values too), "
+            "not plan regressions; none of the three ops' code changed "
+            "in r10/r11.  ivf_recall_curve's flag is superseded by the "
+            "r11 integer-codebook rebase; the NEW implementation's "
+            "fresh-JVM best-of-3 read 4.29/4.50 vs the old 4.17 — the "
+            "rebase that bought the oracle is cost-neutral.  r11 "
+            "expected deltas: sim_ivf_int_topk now fits on the FULL "
+            "corpus (2x train input, ~+0.3 s expected on its series); "
+            "sim_ivf_recall_curve as above.  r11 committed-run "
+            "adjudication: vs the r10 quiet detail only two deltas "
+            "exceed 1.15 — asof_purchase_click 1.26 and "
+            "text_split_xentropy 1.20, both sub-second queries whose "
+            "r10 best-of-3 caught a tail run (r10 runs 0.657/0.514/"
+            "0.429 and 1.274/0.925/0.781; this run's steady-state "
+            "pairs 0.539/0.553 and 0.942/0.937 sit INSIDE those "
+            "spreads).  The fresh-JVM protocol is non-adjudicating at "
+            "this size class — a fresh JVM warmed only by q1 read "
+            "1.004/1.599, 2x the full-session numbers, pure cold-"
+            "codegen cost — so sub-second flags adjudicate on "
+            "steady-state spread overlap instead."
         ),
     }
     with open(DETAIL_FILE, "w") as fh:
