@@ -137,6 +137,13 @@ EXTRAS = [
     # coarse Lloyd + 4-round joint PQ Lloyd) plus the probed-slice
     # ADC scan inside the measured query
     "sim_ivf_pq_topk",
+    # round-11 late additions: exact-substring cut spans (gram-df join
+    # + per-doc islands window), the mulmod-rebased CM sketch (the
+    # xxhash64→md5 flip gets its delta recorded like minhash's r10
+    # flip did), and the hand-rolled two-level HLL merge
+    "dedup_substring_spans",
+    "sketch_cm_heavy_hitters",
+    "sketch_hll_mulmod_merge",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -203,6 +210,12 @@ SCALE_PROBE_QUERIES = [
     "dedup_lsh_recall_by_jaccard",
     "dedup_lsh_band_ladder",
     "graph_lpa_communities",
+    # round-11 late: substring spans — claimed linear (gram-key df
+    # filter + one equi-join + per-doc window); the replica probe
+    # checks the duplicated-gram join doesn't inflate (replica
+    # suffixing keeps cross-replica grams distinct, so dup postings
+    # scale with the factor, not its square)
+    "dedup_substring_spans",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"

@@ -3057,6 +3057,154 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-substring duplicate SPANS (the cut-list flavor of exact-substring
+# dedup, after Lee et al. 2021, "Deduplicating Training Data Makes
+# Language Models Better": instead of dropping whole documents, find the
+# maximal token intervals whose content also occurs elsewhere in the
+# corpus, so a pipeline can CUT just those bytes).  Reference parity
+# note: the reference corpus tooling has no substring-granular dedup at
+# all (spark_eda.py is whole-record); this is part of the
+# training-data-pipeline battery.
+#
+# Shape (all built-in ops, linear, no pairwise joins):
+#   1. seeds: every width-SS_W token window, keyed by the top 60 md5
+#      bits of the window text (the shuffle carries an 8-byte key, not
+#      the window string);
+#   2. duplicated grams: groupBy(gram) HAVING count >= 2 — within-doc
+#      repeats count, matching the suffix-array semantics where ANY
+#      second occurrence makes the bytes redundant;
+#   3. flag occurrences of duplicated grams (one equi-join on the
+#      8-byte key — postings are never paired with each other, so a
+#      boilerplate gram with a million occurrences costs a million
+#      FLAG rows, not a trillion pairs);
+#   4. gaps-and-islands per doc: a seed at pos covers [pos, pos+W-1];
+#      merge overlap-or-adjacent seeds (pos − prev ≤ W) with one
+#      lag + running-sum window partitioned BY DOC (state bounded by
+#      document length, never corpus size) into maximal spans.
+# Any repeated substring of ≥ W tokens necessarily repeats one of its
+# width-W windows, so spans cover every such region; sub-W repeats are
+# below the resolution floor by design (same argument as
+# text_repeated_spans' window width).
+#
+# 64-bit gram-key collisions: P(any collision) ≈ n²/2^61 — at 10^9
+# grams that is ~0.5, so a 100 TB run would widen the key to the full
+# md5 (two BIGINT columns, same plan); at test scale (≤10^6 grams,
+# P ≈ 10^-6) the 60-bit key keeps the oracle text identical to the
+# minhash family's.
+SS_W = 8
+
+
+def _ss_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    grams = (
+        f"transform(sequence(1, size({toks}) - {SS_W} + 1),"
+        f" i -> array_join(slice({toks}, i, {SS_W}), ' '))"
+    )
+    return (
+        d.where(F.expr(f"size({toks}) >= {SS_W}"))
+        .select("doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("g"),
+        )
+    )
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token intervals per document: (doc_id,
+    span_start, span_end, span_tokens, n_seeds), ordered for stable
+    comparison.  span_* are 0-based token positions, end-inclusive."""
+    occ = _ss_seeds(spark, sf_dir)
+    dupg = (
+        occ.groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("g")
+    )
+    seeds = occ.join(dupg, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = seeds.withColumn(
+        "f",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > SS_W),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SS_W - 1).alias("span_end"),
+            F.count("*").alias("n_seeds"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_seeds",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+DEDUP_SUBSTRING_SPANS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id, u.pos AS pos,
+         CAST('0x' || substr(md5(u.gr), 1, 15) AS BIGINT) AS gg
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ts) - {SS_W} + 2),
+                 i -> struct_pack(pos := i - 1,
+                                  gr := array_to_string(
+                                    list_slice(ts, i, i + {SS_W} - 1), ' ')))) AS u
+        FROM t WHERE len(ts) >= {SS_W})
+),
+dup AS (SELECT gg FROM g GROUP BY gg HAVING COUNT(*) >= 2),
+seeds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gg)),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > {SS_W} THEN 1 ELSE 0 END AS f
+  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+),
+sp AS (
+  SELECT doc_id, island,
+         MIN(pos) AS span_start,
+         MAX(pos) + {SS_W} - 1 AS span_end,
+         CAST(COUNT(*) AS BIGINT) AS n_seeds
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(span_start AS INT) AS span_start,
+       CAST(span_end AS INT) AS span_end,
+       CAST(span_end - span_start + 1 AS INT) AS span_tokens,
+       n_seeds
+FROM sp
+ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_simhash_band_pairs": dedup_simhash_band_pairs,
@@ -3085,6 +3233,7 @@ QUERIES = {
     "dq_contamination_scorecard": dq_contamination_scorecard,
     "dedup_keeper_selection": dedup_keeper_selection,
     "dedup_survivorship_funnel": dedup_survivorship_funnel,
+    "dedup_substring_spans": dedup_substring_spans,
 }
 
 ORACLE = {
@@ -3119,4 +3268,5 @@ ORACLE = {
     "dedup_lsh_band_ladder": DEDUP_LSH_LADDER_ORACLE,
     "dedup_lsh_cluster_assign": DEDUP_LSH_CLUSTER_ORACLE,
     "dedup_lsh_recall_by_jaccard": DEDUP_LSH_RECALL_BY_JACCARD_ORACLE,
+    "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_ORACLE,
 }

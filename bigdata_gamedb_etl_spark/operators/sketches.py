@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from .dedup import _T31, _perm_formula
 
 HLL_LGK = 14  # 2^14 buckets → ~1% relative standard error
 
@@ -81,43 +82,88 @@ CM_WIDTH = 8192
 #: proved.
 CM_SAMPLE_MOD = 20
 CM_TOP_K = 20
+#: permutation-constant index base for the CM depth rows — offset past
+#: the minhash family's k ∈ [0, 32) so the two sketches never share a
+#: hash function (independence across sketches costs nothing and
+#: removes a correlated-failure class).
+CM_PERM_BASE = 100
 
 _CM_TOKS = "filter(split(text, ' '), t -> t <> '')"
+_CM_TOKS_DUCK = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _cm_cell(j: int, div: str) -> str:
+    """Row-j CM bucket over the 60-bit base hash presented as hh1/hh0:
+    one mulmod permutation (dedup._perm_formula — the r10 minhash
+    family, exact in BIGINT on both engines) folded to CM_WIDTH."""
+    return f"(({_perm_formula(CM_PERM_BASE + j, div)}) % {CM_WIDTH})"
+
+
+def _cm_hashed(col: str, div: str) -> str:
+    """Shared hex-parse text: top 60 bits of md5(col) as a BIGINT."""
+    if div == "DIV":  # Spark spelling
+        return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT)"
 
 
 def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K heavy-hitter tokens with count-min-estimated counts.
 
     Three stages, none of which shuffles at token grain:
-      1. build: explode tokens × CM_DEPTH hash rows, groupBy the d×w
-         cell id — bounded-cardinality hash-agg (the sketch);
+      1. build: one md5 per token occurrence (top 60 bits → hh1/hh0),
+         CM_DEPTH mulmod permutations folded to CM_WIDTH, groupBy the
+         d×w cell id — bounded-cardinality hash-agg (the sketch);
       2. candidates: hash-gated occurrence sample → distinct tokens;
       3. probe: candidates × depth joined against the broadcast-sized
          sketch, min across rows = the CM estimate (always ≥ truth,
          overcount ≤ ~2N/w with d independent rows).
-    Deterministic end-to-end (xxhash64 everywhere, no RNG), but not
-    SQL-expressible in DuckDB (no xxhash64) — rows-only checked, with
-    the CM guarantee est ≥ exact and the overcount bound asserted
-    against exact counts in tests/test_llm_pipeline.py."""
+    Deterministic end-to-end AND engine-reproducible: r11 rebased the
+    cell hash from xxhash64 (Spark-only — kept this query rows-only
+    through r10) onto the md5 mulmod permutation family that
+    oracle-backed the minhash surface in r10 (dedup._perm_formula,
+    property-tested over the full 60-bit domain), so the DuckDB oracle
+    now computes the identical sketch cell-for-cell.  The CM bounds
+    (est ≥ exact, overcount ≤ ~N/w per row) remain asserted against
+    exact counts in tests/test_llm_pipeline.py."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.posexplode(F.expr(_CM_TOKS)).alias("pos", "token")
     )
-    depth = F.explode(F.expr(f"sequence(0, {CM_DEPTH - 1})")).alias("j")
-    cell = F.pmod(F.xxhash64("token", "j"), F.lit(CM_WIDTH)).alias("bucket")
+    occ = tok.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.expr(_cm_hashed("token", "DIV")).alias("h"),
+    ).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.expr(f"h DIV {_T31}").alias("hh1"),
+        (F.col("h") % _T31).alias("hh0"),
+    )
+    cells = occ.select(
+        F.posexplode(
+            F.array(*[F.expr(_cm_cell(j, "DIV")) for j in range(CM_DEPTH)])
+        ).alias("j", "bucket")
+    )
+    counters = cells.groupBy("j", "bucket").agg(F.count("*").alias("c"))
 
-    counters = (
-        tok.select("token", depth)
-        .select("j", cell)
-        .groupBy("j", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    gate = F.expr(_cm_hashed("concat_ws(':', doc_id, pos)", "DIV"))
     candidates = (
-        tok.where(F.pmod(F.xxhash64("doc_id", "pos"), F.lit(CM_SAMPLE_MOD)) == 0)
-        .select("token")
-        .distinct()
+        occ.where(gate % CM_SAMPLE_MOD == 0).select("token").distinct()
     )
-    probe = candidates.select("token", depth).select("token", "j", cell)
+    probe = candidates.select(
+        "token", F.expr(_cm_hashed("token", "DIV")).alias("h")
+    ).select(
+        "token",
+        F.expr(f"h DIV {_T31}").alias("hh1"),
+        (F.col("h") % _T31).alias("hh0"),
+    ).select(
+        "token",
+        F.posexplode(
+            F.array(*[F.expr(_cm_cell(j, "DIV")) for j in range(CM_DEPTH)])
+        ).alias("j", "bucket"),
+    )
     return (
         probe.join(F.broadcast(counters), ["j", "bucket"])
         .groupBy("token")
@@ -125,6 +171,58 @@ def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), "token")
         .limit(CM_TOP_K)
     )
+
+
+def _cm_oracle() -> str:
+    """DuckDB twin of sketch_cm_heavy_hitters — the same mulmod cell
+    formulas ('//' division), the same md5 occurrence gate, the same
+    min-across-depth probe."""
+    cell_case = " ".join(
+        f"WHEN {j} THEN {_cm_cell(j, '//')}" for j in range(CM_DEPTH)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_CM_TOKS_DUCK} AS ts FROM documents),
+occ0 AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS token
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ts) + 1),
+                 i -> struct_pack(pos := i - 1, tok := ts[i]))) AS u
+        FROM t)
+),
+occ AS (
+  SELECT doc_id, pos, token,
+         {_cm_hashed('token', '//')} // {_T31} AS hh1,
+         {_cm_hashed('token', '//')} % {_T31} AS hh0
+  FROM occ0
+),
+depth AS (SELECT UNNEST(range(0, {CM_DEPTH})) AS j),
+cells AS (
+  SELECT j, CASE j {cell_case} END AS bucket FROM occ CROSS JOIN depth
+),
+counters AS (SELECT j, bucket, COUNT(*) AS c FROM cells GROUP BY j, bucket),
+cand AS (
+  SELECT DISTINCT token FROM occ
+  WHERE {_cm_hashed("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)", '//')}
+        % {CM_SAMPLE_MOD} = 0
+),
+ch AS (
+  SELECT token,
+         {_cm_hashed('token', '//')} // {_T31} AS hh1,
+         {_cm_hashed('token', '//')} % {_T31} AS hh0
+  FROM cand
+),
+probe AS (
+  SELECT token, j, CASE j {cell_case} END AS bucket FROM ch CROSS JOIN depth
+),
+est AS (
+  SELECT token, MIN(c) AS est_count
+  FROM probe JOIN counters USING (j, bucket)
+  GROUP BY token
+)
+SELECT token, est_count FROM est
+ORDER BY est_count DESC, token
+LIMIT {CM_TOP_K}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -159,14 +257,170 @@ def sketch_approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Oracle-checked HyperLogLog: the same two-level partial/merge shape as
+# sketch_daily_merge_total, but over OUR register construction — top 60
+# md5 bits split into a 12-bit register index and a 48-bit tail whose
+# leading-zero rank is the register value — so both engines compute the
+# sketch bit-for-bit.  The native Datasketches queries above stay (and
+# stay rows-only: their estimate is implementation-defined); this one
+# proves the sketch algebra itself against an independent engine.
+#
+# Exactness discipline: the register sum Σ 2^(-M_j) is the one place a
+# float could diverge (addition order), so it is carried SCALED by
+# 2^49 as a BIGINT — every term 2^(49-rank) is an exact integer, the
+# sum is order-free, and the worst case (4096 empty registers ·
+# 2^49) = 2^61 sits inside signed-64.  Only the final estimate touches
+# doubles, and it is emitted as a whole-user BIGINT.
+HLL_P = 12
+HLL_M = 1 << HLL_P          # 4096 registers
+_HLL_TAIL_BITS = 60 - HLL_P  # 48-bit tail; rank ∈ [1, 49]
+#: α_m · m² for m = 4096 (Flajolet et al. 2007 bias constant) — a
+#: Python-computed literal so both engines parse the identical double.
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+
+
+def _hll_rank_case() -> str:
+    """Shared CASE text: rank = 1 + leading-zeros of the 48-bit tail
+    `tail` = 49 - bit_length(tail), via 48 explicit threshold WHENs
+    (no log2 — float-free and engine-agreed)."""
+    whens = " ".join(
+        f"WHEN tail >= {1 << (b - 1)} THEN {_HLL_TAIL_BITS + 1 - b}"
+        for b in range(_HLL_TAIL_BITS, 0, -1)
+    )
+    return f"CASE {whens} ELSE {_HLL_TAIL_BITS + 1} END"
+
+
+def sketch_hll_mulmod_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users from a hand-rolled,
+    engine-reproducible HLL, built as per-day partials and merged by
+    register-wise max — the persistable incremental-rollup shape.
+
+    Stages (all built-in ops, one corpus scan):
+      1. hash: one md5 per event row → (register, rank);
+      2. daily partials: max rank per (type, day, register) — what a
+         production pipeline would PERSIST next to each day partition;
+      3. merge: max across days per (type, register) — never re-reads
+         raw events;
+      4. estimate: scaled-BIGINT register sum → α_m·m²·2^49/S, with
+         the standard linear-counting branch when E ≤ 2.5m and empty
+         registers exist.
+    Output carries the exact sketch state (v_zero, s_scaled) alongside
+    the rounded estimate, so the oracle check covers the sketch
+    bit-for-bit, not just the final number."""
+    e = table(spark, sf_dir, "events")
+    hashed = e.select(
+        "event_type",
+        F.date_trunc("DAY", "ts").alias("day"),
+        F.expr(_cm_hashed("CAST(user_id AS STRING)", "DIV")).alias("h"),
+    ).select(
+        "event_type",
+        "day",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h DIV {HLL_M}").alias("tail"),
+    )
+    daily = (
+        hashed.withColumn("rank", F.expr(_hll_rank_case()))
+        .groupBy("event_type", "day", "reg")
+        .agg(F.max("rank").alias("r"))
+    )
+    merged = daily.groupBy("event_type", "reg").agg(F.max("r").alias("r"))
+    state = merged.groupBy("event_type").agg(
+        (F.lit(HLL_M) - F.count("*")).alias("v_zero"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_TAIL_BITS + 1} - r)"))
+        .alias("s_present"),
+    )
+    days = daily.select("event_type", "day").distinct().groupBy(
+        "event_type"
+    ).agg(F.count("*").alias("days_merged"))
+    est_raw = F.lit(_HLL_ALPHA_M2) * F.lit(float(1 << (_HLL_TAIL_BITS + 1))) / F.col("s_scaled")
+    est = F.when(
+        (est_raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
+    ).otherwise(est_raw)
+    return (
+        state.withColumn(
+            "s_scaled",
+            F.col("s_present")
+            + F.col("v_zero") * F.lit(1 << (_HLL_TAIL_BITS + 1)),
+        )
+        .join(days, "event_type")
+        .select(
+            "event_type",
+            "days_merged",
+            "v_zero",
+            "s_scaled",
+            F.floor(est + F.lit(0.5)).cast("long").alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_oracle() -> str:
+    """DuckDB twin — same md5 parse, same rank CASE, same scaled-BIGINT
+    register sum, same linear-counting branch."""
+    shift = _HLL_TAIL_BITS + 1
+    return f"""
+WITH hashed AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         {_cm_hashed("CAST(user_id AS VARCHAR)", '//')} % {HLL_M} AS reg,
+         {_cm_hashed("CAST(user_id AS VARCHAR)", '//')} // {HLL_M} AS tail
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, reg, MAX({_hll_rank_case()}) AS r
+  FROM hashed GROUP BY event_type, day, reg
+),
+merged AS (
+  SELECT event_type, reg, MAX(r) AS r FROM daily GROUP BY event_type, reg
+),
+state AS (
+  SELECT event_type,
+         {HLL_M} - COUNT(*) AS v_zero,
+         SUM((CAST(1 AS BIGINT) << ({shift} - r))) AS s_present
+  FROM merged GROUP BY event_type
+),
+days AS (
+  SELECT event_type, COUNT(*) AS days_merged
+  FROM (SELECT DISTINCT event_type, day FROM daily) GROUP BY event_type
+),
+full_state AS (
+  SELECT s.event_type, d.days_merged, s.v_zero,
+         CAST(s.s_present + s.v_zero * (CAST(1 AS BIGINT) << {shift})
+              AS BIGINT) AS s_scaled
+  FROM state s JOIN days d USING (event_type)
+)
+SELECT event_type, days_merged, v_zero, s_scaled,
+       CAST(floor(
+         CASE WHEN CAST({_HLL_ALPHA_M2!r} AS DOUBLE) * {float(1 << shift)!r}
+                     / s_scaled <= 2.5 * {HLL_M}
+                AND v_zero > 0
+              THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                   * ln(CAST({float(HLL_M)!r} AS DOUBLE) / v_zero)
+              ELSE CAST({_HLL_ALPHA_M2!r} AS DOUBLE) * {float(1 << shift)!r}
+                   / s_scaled
+         END + 0.5) AS BIGINT) AS approx_users
+FROM full_state
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "sketch_users_per_type": sketch_users_per_type,
     "sketch_daily_merge_total": sketch_daily_merge_total,
     "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
     "sketch_approx_topk_tokens": sketch_approx_topk_tokens,
+    "sketch_hll_mulmod_merge": sketch_hll_mulmod_merge,
 }
 
 ORACLE: dict[str, str] = {
-    # both rows-only: Datasketches HLL estimates are not reproducible in
-    # DuckDB's HLL; accuracy asserted vs exact counts in tests instead.
+    # sketch_users_per_type / sketch_daily_merge_total /
+    # sketch_approx_topk_tokens stay rows-only BY DESIGN: Datasketches
+    # HLL and approx_top_k estimates are implementation-defined, so no
+    # independent engine can reproduce them; accuracy is asserted vs
+    # exact counts in tests instead.  The two below are the r11 flips:
+    # deterministic md5-mulmod constructions both engines compute
+    # bit-for-bit.
+    "sketch_cm_heavy_hitters": _cm_oracle(),
+    "sketch_hll_mulmod_merge": _hll_oracle(),
 }

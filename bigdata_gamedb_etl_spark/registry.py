@@ -56,10 +56,11 @@ MODULES = [
 # integer-Lloyd machinery (5 rechecks), one new composed tier
 # (IVFPQ), and the rotation tail CLEARED: all 18 remaining r5-age
 # queries (the 19 the r10 verdict named minus sim_pq_topk, which
-# moved to RECHECK by changing) plus the alphabetically-first 14 of
-# the 44 r6-age queries fill the spare slots.  NEW + RECHECK = 6,
-# inside the 8-slot budget.  All 12 CONTROLS keep window slots, as
-# always.
+# moved to RECHECK by changing) plus the alphabetically-first 11 of
+# the 44 r6-age queries fill the spare slots.  Late-r11 additions:
+# substring spans + the two sketch flips push NEW + RECHECK to 9, so
+# the rotation keeps 29 slots (18 r5-age + 11 r6-age).  All 12
+# CONTROLS keep window slots, as always.
 ROUND11_NEW: list[str] = [
     # IVF+PQ composed (FAISS IVFPQ, no-residual flavor): coarse
     # integer-Lloyd probe × PQ-ADC scoring — the production serving
@@ -67,6 +68,16 @@ ROUND11_NEW: list[str] = [
     # 1-byte codes) compound; oracle-checked end-to-end by splicing
     # the two proven CTE chains
     "sim_ivf_pq_topk",
+    # exact-substring duplicate spans (Lee et al. 2021 cut-list
+    # flavor): duplicated width-8 gram seeds → per-doc
+    # gaps-and-islands merge into maximal cut intervals; linear, no
+    # pairwise joins, oracle-backed via SQL window functions
+    "dedup_substring_spans",
+    # hand-rolled engine-reproducible HLL (md5 registers, scaled-
+    # BIGINT register sum) with the per-day partial / register-max
+    # merge shape — the sketch family's first oracle-checked member;
+    # the native Datasketches tiers stay rows-only by design
+    "sketch_hll_mulmod_merge",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -87,6 +98,11 @@ RECHECK_CHANGED: list[str] = [
     # (joint Lloyd across all 16 subspaces, md5-ordered seeds),
     # oracle-backed end-to-end; was rows-only on 16 MLlib fits
     "sim_pq_topk",
+    # CM sketch cells rebased from xxhash64 onto the md5 mulmod
+    # permutation family (the r10 minhash play) — the sketch is now
+    # engine-reproducible cell-for-cell and carries a full DuckDB
+    # oracle; was rows-only since r5
+    "sketch_cm_heavy_hitters",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
@@ -95,10 +111,11 @@ RECONFIRM_STALE: list[str] = []
 
 #: r11: the ENTIRE remaining r5-age tail (18 — the r10 verdict's 19
 #: minus sim_pq_topk, rechecking above) plus the alphabetically-first
-#: 14 of the 44 r6-age queries.  After this round no query's newest
-#: driver green predates r6, and the r6 batch starts draining.  All
-#: unchanged since their last green and locally re-verified every run
-#: by test_oracle_parity.
+#: 11 of the 44 r6-age queries (was 14 until the late-r11 additions
+#: above took 3 window slots: the tail j3/j4/j5 slid back to the r6
+#: batch, which keeps draining in r12).  After this round no query's
+#: newest driver green predates r6.  All unchanged since their last
+#: green and locally re-verified every run by test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
     # the r5-age tail, cleared in full (r10 verdict item 2)
     "mart_incremental_refresh",
@@ -119,7 +136,7 @@ RECONFIRM_ROTATION: list[str] = [
     "w11_mom_revenue_growth",
     "w12_cumulative_distinct_users",
     "w7_ntile_quartiles",
-    # alphabetically-first 14 of the r6-age batch
+    # alphabetically-first 11 of the r6-age batch
     "dedup_containment_pairs",
     "dedup_keeper_selection",
     "dedup_simhash_signatures",
@@ -131,9 +148,6 @@ RECONFIRM_ROTATION: list[str] = [
     "events_audience_overlap",
     "graph_pagerank",
     "j2_customers_with_orders",
-    "j3_customers_without_orders",
-    "j4_customer_order_counts",
-    "j5_nations_with_both",
 ]
 
 CONTROLS = [

@@ -1362,3 +1362,92 @@ def test_ivf_int_recall_vs_exact(spark, sf):
     }
     recall = len(got & set(exact)) / len(exact)
     assert recall >= 0.5, f"integer-IVF recall {recall} < 0.5 at {sf}"
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_hll_mulmod_accuracy_and_state(spark, sf):
+    """The hand-rolled engine-reproducible HLL: estimate within 5% of
+    the exact per-type distinct-user count (with m=4096 registers and
+    n ≪ m the linear-counting branch applies and is near-exact), and
+    the emitted sketch state is internally consistent — s_scaled must
+    equal the empty-register contribution plus at least one present
+    register's term, and every type shares the corpus day span."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators.sketches import (
+        _HLL_TAIL_BITS,
+        HLL_M,
+        sketch_hll_mulmod_merge,
+    )
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    exact = {
+        r["event_type"]: r["ex"]
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ex"))
+        .collect()
+    }
+    rows = sketch_hll_mulmod_merge(spark, sf).collect()
+    assert set(r["event_type"] for r in rows) == set(exact)
+    empty_term = 1 << (_HLL_TAIL_BITS + 1)
+    for r in rows:
+        ex = exact[r["event_type"]]
+        assert abs(r["approx_users"] - ex) <= max(1, 0.05 * ex), (
+            r["event_type"],
+            r["approx_users"],
+            ex,
+        )
+        used = HLL_M - r["v_zero"]
+        assert 0 < used <= HLL_M
+        # present registers each contribute in [1, 2^48]; the state sum
+        # must sit strictly between all-empty and the trivial bounds
+        base = r["v_zero"] * empty_term
+        assert base + used <= r["s_scaled"] <= base + used * empty_term // 2
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_substring_spans_invariants(spark, sf):
+    """Exact-substring cut spans: per-doc spans are sorted, pairwise
+    separated by more than the merge gap (else they'd have merged),
+    each at least SS_W tokens wide with a consistent seed count, and
+    the seed gram opening every span genuinely occurs ≥2 times in the
+    corpus (spot-checked exhaustively — output is small at test SF)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        SS_W,
+        _ss_seeds,
+        dedup_substring_spans,
+    )
+
+    spans = dedup_substring_spans(spark, sf).collect()
+    assert spans, f"no duplicated substrings at {sf} — fixture regressed"
+    by_doc: dict = {}
+    for r in spans:
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert r["span_tokens"] >= SS_W
+        assert 1 <= r["n_seeds"] <= r["span_tokens"] - SS_W + 1
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        starts = [r["span_start"] for r in rs]
+        assert starts == sorted(starts)
+        for a, b in zip(rs, rs[1:]):
+            # a merged island ends > SS_W before the next may begin
+            assert b["span_start"] - (a["span_end"] - SS_W + 1) > SS_W, (
+                doc,
+                a,
+                b,
+            )
+    # every span's opening seed is a genuinely duplicated gram
+    seed_keys = _ss_seeds(spark, sf).groupBy("g").count()
+    dup_seed_positions = {
+        (r["doc_id"], r["pos"])
+        for r in _ss_seeds(spark, sf)
+        .join(seed_keys.where(F.col("count") >= 2).select("g"), "g")
+        .collect()
+    }
+    for r in spans:
+        assert (r["doc_id"], r["span_start"]) in dup_seed_positions

@@ -772,3 +772,48 @@ def test_lsh_recall_curve_no_cartesian_and_checkpointed_inputs(
     assert "CartesianProduct" not in phys, phys
     # the checkpointed sig/exact tables surface as RDD scans
     assert "Scan ExistingRDD" in phys, phys
+
+
+def test_substring_spans_window_is_doc_partitioned(spark, sf_dir):
+    """The islands window must be partitioned by doc_id (state bounded
+    by document length, never corpus size), the duplicated-gram
+    restriction must be an equi-join on the 8-byte gram key (never a
+    pair join of postings), and the corpus is scanned at most twice
+    (seed build + the self-referencing df filter)."""
+    plan = plans.physical(dedup.dedup_substring_spans(spark, sf_dir))
+    assert "Window" in plan
+    win = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("doc_id" in ln for ln in win)
+    assert "CartesianProduct" not in plan
+    tree = plans.explain_str(
+        dedup.dedup_substring_spans(spark, sf_dir), "formatted"
+    ).split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 2
+
+
+def test_cm_sketch_probe_join_broadcasts_counters(spark, sf_dir):
+    """The CM probe joins candidate cells against the d×w counter
+    table; the counter side is bounded (≤ CM_DEPTH·CM_WIDTH rows
+    regardless of corpus size) and must broadcast — a shuffle here
+    would re-exchange the whole candidate set for a 32k-row dim."""
+    from bigdata_gamedb_etl_spark.operators import sketches
+
+    plan = plans.physical(
+        sketches.sketch_cm_heavy_hitters(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_merge_is_two_bounded_aggregates(spark, sf_dir):
+    """The HLL rollup's shuffles are register-bounded: after the
+    per-day partial agg every exchange carries ≤ types·days·m rows —
+    the plan must be pure scan→aggregate layers with no window and no
+    join wider than the 5-row day-count attach."""
+    from bigdata_gamedb_etl_spark.operators import sketches
+
+    plan = plans.physical(
+        sketches.sketch_hll_mulmod_merge(spark, sf_dir)
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
