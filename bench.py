@@ -144,6 +144,10 @@ EXTRAS = [
     "dedup_substring_spans",
     "sketch_cm_heavy_hitters",
     "sketch_hll_mulmod_merge",
+    # the lossless exact-Jaccard join (prefix filtering) — benched
+    # alongside its df-capped inverted-index twin so the cost of
+    # exactness is a recorded number, not a guess
+    "dedup_prefix_jaccard_pairs",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -216,6 +220,12 @@ SCALE_PROBE_QUERIES = [
     # suffixing keeps cross-replica grams distinct, so dup postings
     # scale with the factor, not its square)
     "dedup_substring_spans",
+    # prefix-filter Jaccard: the claim is that df-ascending prefixes
+    # keep joined posting lists short WITHOUT a cap — the probe
+    # watches the prefix self-join under 10× replication (cross-
+    # replica shingles distinct → candidate mass should scale with
+    # the factor, like the inverted-index twin it must match)
+    "dedup_prefix_jaccard_pairs",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"

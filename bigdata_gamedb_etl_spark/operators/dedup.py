@@ -265,6 +265,94 @@ ORDER BY d1, d2
 
 
 # --------------------------------------------------------------------------
+def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.5 pairs via PREFIX FILTERING (AllPairs,
+    Bayardo et al. 2007; PPJoin, Xiao et al. 2008) — the lossless
+    alternative to both the df cap and LSH: identical output to
+    dedup_ngram_jaccard_pairs by THEOREM, not by tuning.
+
+    Prefix-filter principle: order every doc's shingles by one global
+    canonical order (df ascending — rarest first — then hash); if
+    J(x, y) ≥ t, the two docs MUST share a token within the first
+    p(x) = |x| − ceil(t·|x|) + 1 tokens of each (pigeonhole: missing
+    all of x's prefix leaves at most ceil(t·|x|) − 1 < t·|x| ≤ overlap
+    candidates).  So the self-join runs over PREFIXES only — and
+    because rare tokens sort first, the joined posting lists are the
+    SHORT ones; the viral boilerplate shingle that forces the df cap
+    in the inverted-index variant lands outside every prefix instead
+    of being dropped (no recall trade at all).
+
+    Stages: explode distinct shingle hashes → global df → per-doc
+    rank window (doc-bounded state) → prefix rows → self-join on
+    token with the t-length filter (2·min(n) ≥ max(n)) → distinct
+    candidate pairs → exact verify by array_intersect of the two
+    full shingle-hash arrays (JVM built-in, O(n1+n2) per candidate,
+    cost ∝ candidates, not corpus²).
+
+    The oracle deliberately stays the SPEC formulation (the same
+    all-shared-token exact pair join as dedup_ngram_jaccard_pairs),
+    so driver parity PROVES the prefix rewrite loses nothing — the
+    same proof-by-oracle pattern as the nested-band LSH ladder.
+    tests/test_llm_pipeline.py additionally pins prefix == inverted-
+    index output at both test SFs."""
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id",
+        F.transform("shs", lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    ex = sh.select(
+        "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("s")
+    )
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = ex.join(dfreq, "s").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")
+        ),
+    )
+    # integer prefix length for t = 1/2: n − ceil(n/2) + 1 = n DIV 2 + 1
+    prefix = ranked.where(F.expr("r <= n DIV 2 + 1")).select(
+        "doc_id", "n", "s"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # t-length filter: J ≥ 1/2 needs 2·min(n1,n2) ≥ max(n1,n2)
+            & (F.least("a.n", "b.n") * 2 >= F.greatest("a.n", "b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    h1 = sh.select(
+        F.col("doc_id").alias("d1"),
+        F.col("hs").alias("hs1"),
+        F.size("hs").alias("n1"),
+    )
+    h2 = sh.select(
+        F.col("doc_id").alias("d2"),
+        F.col("hs").alias("hs2"),
+        F.size("hs").alias("n2"),
+    )
+    verified = (
+        cand.join(h1, "d1")
+        .join(h2, "d2")
+        .withColumn(
+            "common", F.size(F.array_intersect("hs1", "hs2"))
+        )
+    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        verified.where(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", _fr4(jac).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------------------------------------------------
 # Jaccard-threshold sensitivity sweep (r9) — the third tuning table
 # (after the LSH band ladder and the IVF nprobe ladder): how many pairs
 # and how much of the corpus each candidate threshold would mark as
@@ -3234,6 +3322,7 @@ QUERIES = {
     "dedup_keeper_selection": dedup_keeper_selection,
     "dedup_survivorship_funnel": dedup_survivorship_funnel,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_prefix_jaccard_pairs": dedup_prefix_jaccard_pairs,
 }
 
 ORACLE = {
@@ -3269,4 +3358,7 @@ ORACLE = {
     "dedup_lsh_cluster_assign": DEDUP_LSH_CLUSTER_ORACLE,
     "dedup_lsh_recall_by_jaccard": DEDUP_LSH_RECALL_BY_JACCARD_ORACLE,
     "dedup_substring_spans": DEDUP_SUBSTRING_SPANS_ORACLE,
+    # spec-form oracle shared with the inverted-index variant: prefix
+    # filtering is EXACT by theorem, and the shared oracle is the proof
+    "dedup_prefix_jaccard_pairs": DEDUP_JACCARD_ORACLE,
 }

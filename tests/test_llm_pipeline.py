@@ -1451,3 +1451,20 @@ def test_substring_spans_invariants(spark, sf):
     }
     for r in spans:
         assert (r["doc_id"], r["span_start"]) in dup_seed_positions
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_prefix_filter_equals_inverted_index(spark, sf):
+    """Prefix filtering is exact by theorem — its output must equal
+    the df-capped inverted-index variant row-for-row at test SFs
+    (where the cap provably drops nothing), pinning both the prefix
+    completeness argument and the cap-harmlessness claim at once."""
+    inv = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard_pairs(spark, sf).collect()
+    }
+    pref = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.dedup_prefix_jaccard_pairs(spark, sf).collect()
+    }
+    assert inv == pref

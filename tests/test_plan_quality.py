@@ -817,3 +817,15 @@ def test_hll_merge_is_two_bounded_aggregates(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_jaccard_rank_window_is_doc_partitioned(spark, sf_dir):
+    """The canonical-order rank window must be partitioned by doc_id
+    (doc-bounded state), the candidate join must be an equi-join on
+    the token hash (no cartesian anywhere), and the verify stage must
+    use the JVM array_intersect, not a second postings self-join."""
+    plan = plans.physical(dedup.dedup_prefix_jaccard_pairs(spark, sf_dir))
+    win = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win and any("doc_id" in ln for ln in win)
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" in plan
