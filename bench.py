@@ -148,6 +148,9 @@ EXTRAS = [
     # alongside its df-capped inverted-index twin so the cost of
     # exactness is a recorded number, not a guess
     "dedup_prefix_jaccard_pairs",
+    # content-defined chunking: per-doc array pipeline + one digest
+    # hash-agg — should sit near the linear text map-agg tier
+    "dedup_cdc_chunks",
 ]
 
 HEADLINE = SHARED12 + EXTRAS

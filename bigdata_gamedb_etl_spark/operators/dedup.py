@@ -3293,6 +3293,134 @@ ORDER BY doc_id, span_start
 """
 
 
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC — the LBFS/FastCDC storage-dedup
+# primitive): cut every document into variable-size chunks at
+# content-determined boundaries, so an insertion shifts at most one
+# chunk instead of re-aligning every fixed-size block; identical
+# passages then produce identical chunks wherever they sit.  The
+# corpus-level report answers the storage question exact dedup can't:
+# how many tokens would chunk-grain dedup store vs. the raw corpus.
+#
+# Boundary rule: cut AFTER token p when the hash of the width-CDC_K
+# gram ending at p satisfies h ≡ 0 (mod CDC_MOD) — expected chunk
+# length CDC_MOD tokens.  The hash is the same top-60-bit md5 both
+# engines parse exactly, so boundaries (and therefore every chunk
+# hash) are engine-identical.  All per-doc array work; chunk rows are
+# the only explode, and the dedup shuffle carries 16-byte chunk
+# digests.  Short docs (< CDC_K tokens) have no grams, hence no cuts
+# — the whole doc is one chunk.
+CDC_K = 4
+CDC_MOD = 32
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus storage-dedup report over CDC chunks:
+    (n_chunks, n_distinct_chunks, total_tokens, stored_tokens,
+    saved_token_share, mean_chunk_tokens)."""
+    d = table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    gh = (
+        f"CAST(conv(substring(md5(concat_ws(' ',"
+        f" slice({toks}, p - {CDC_K} + 2, {CDC_K}))), 1, 15), 16, 10)"
+        f" AS BIGINT)"
+    )
+    chunks_expr = f"""
+    transform(
+      zip_with(
+        concat(array(-1),
+               filter(sequence({CDC_K} - 1, size({toks}) - 1),
+                      p -> p < size({toks}) - 1 AND {gh} % {CDC_MOD} = 0)),
+        concat(filter(sequence({CDC_K} - 1, size({toks}) - 1),
+                      p -> p < size({toks}) - 1 AND {gh} % {CDC_MOD} = 0),
+               array(size({toks}) - 1)),
+        (lo, hi) -> struct(lo + 1 AS cs, hi AS ce)),
+      c -> struct(
+        md5(concat_ws(' ', slice({toks}, c.cs + 1, c.ce - c.cs + 1)))
+          AS chunk_hash,
+        c.ce - c.cs + 1 AS chunk_len))
+    """
+    chunk_rows = (
+        d.where(F.expr(f"size({toks}) > 0"))
+        .select(F.explode(F.expr(chunks_expr)).alias("c"))
+        .select("c.chunk_hash", "c.chunk_len")
+    )
+    per_chunk = chunk_rows.groupBy("chunk_hash").agg(
+        F.count("*").alias("cnt"), F.first("chunk_len").alias("len")
+    )
+    agg = per_chunk.agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("len")).alias("total_tokens"),
+        F.sum("len").alias("stored_tokens"),
+    )
+    tot = F.col("total_tokens")
+    return agg.select(
+        "n_chunks",
+        "n_distinct_chunks",
+        "total_tokens",
+        "stored_tokens",
+        F.when(
+            tot > 0, _fr4((tot - F.col("stored_tokens")) / tot)
+        ).alias("saved_token_share"),
+        F.when(tot > 0, _fr4(tot / F.col("n_chunks"))).alias(
+            "mean_chunk_tokens"
+        ),
+    )
+
+
+def _cdc_oracle() -> str:
+    """DuckDB twin — identical boundary predicate and chunk hashing
+    over 1-based list positions (p in the lambda is the 0-based end
+    position, matching the Spark text)."""
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    gh = (
+        f"CAST('0x' || substr(md5(array_to_string("
+        f"list_slice(ts, p - {CDC_K} + 2, p + 1), ' ')), 1, 15)"
+        f" AS BIGINT)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS ts FROM documents WHERE len({toks}) > 0),
+cuts AS (
+  SELECT doc_id, ts,
+         list_filter(range({CDC_K} - 1, len(ts)),
+           p -> p < len(ts) - 1 AND {gh} % {CDC_MOD} = 0) AS cs
+  FROM t
+),
+chunks AS (
+  SELECT md5(array_to_string(
+           list_slice(ts, u.lo + 2, u.hi + 1), ' ')) AS chunk_hash,
+         u.hi - u.lo AS chunk_len
+  FROM (SELECT doc_id, ts,
+               UNNEST(list_transform(range(1, len(cs) + 2),
+                 i -> struct_pack(
+                   lo := CASE WHEN i = 1 THEN -1 ELSE cs[i - 1] END,
+                   hi := CASE WHEN i = len(cs) + 1
+                         THEN len(ts) - 1 ELSE cs[i] END))) AS u
+        FROM cuts)
+),
+per_chunk AS (
+  SELECT chunk_hash, COUNT(*) AS cnt, ANY_VALUE(chunk_len) AS len
+  FROM chunks GROUP BY chunk_hash
+),
+agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         COUNT(*) AS n_distinct_chunks,
+         CAST(SUM(cnt * len) AS BIGINT) AS total_tokens,
+         CAST(SUM(len) AS BIGINT) AS stored_tokens
+  FROM per_chunk
+)
+SELECT n_chunks, n_distinct_chunks, total_tokens, stored_tokens,
+       CASE WHEN total_tokens > 0 THEN
+         floor((total_tokens - stored_tokens) * 1.0 / total_tokens
+               * 10000.0 + 0.5) / 10000.0 END AS saved_token_share,
+       CASE WHEN total_tokens > 0 THEN
+         floor(total_tokens * 1.0 / n_chunks * 10000.0 + 0.5) / 10000.0
+       END AS mean_chunk_tokens
+FROM agg
+"""
+
+
 QUERIES = {
     "dedup_exact_keeper": dedup_exact_keeper,
     "dedup_simhash_band_pairs": dedup_simhash_band_pairs,
@@ -3323,6 +3451,7 @@ QUERIES = {
     "dedup_survivorship_funnel": dedup_survivorship_funnel,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard_pairs": dedup_prefix_jaccard_pairs,
+    "dedup_cdc_chunks": dedup_cdc_chunks,
 }
 
 ORACLE = {
@@ -3361,4 +3490,5 @@ ORACLE = {
     # spec-form oracle shared with the inverted-index variant: prefix
     # filtering is EXACT by theorem, and the shared oracle is the proof
     "dedup_prefix_jaccard_pairs": DEDUP_JACCARD_ORACLE,
+    "dedup_cdc_chunks": _cdc_oracle(),
 }

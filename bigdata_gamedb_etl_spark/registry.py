@@ -56,12 +56,12 @@ MODULES = [
 # integer-Lloyd machinery (5 rechecks), one new composed tier
 # (IVFPQ), and the rotation tail CLEARED: all 18 remaining r5-age
 # queries (the 19 the r10 verdict named minus sim_pq_topk, which
-# moved to RECHECK by changing) plus the alphabetically-first 10 of
+# moved to RECHECK by changing) plus the alphabetically-first 9 of
 # the 44 r6-age queries fill the spare slots.  Late-r11 additions:
-# substring spans, prefix-filter Jaccard, and the two sketch flips
-# push NEW + RECHECK to 10, so the rotation keeps 28 slots (18
-# r5-age + 10 r6-age).  All 12 CONTROLS keep window slots, as
-# always.
+# substring spans, prefix-filter Jaccard, CDC chunking, and the two
+# sketch flips push NEW + RECHECK to 11, so the rotation keeps 27
+# slots (18 r5-age + 9 r6-age).  All 12 CONTROLS keep window slots,
+# as always.
 ROUND11_NEW: list[str] = [
     # IVF+PQ composed (FAISS IVFPQ, no-residual flavor): coarse
     # integer-Lloyd probe × PQ-ADC scoring — the production serving
@@ -84,6 +84,10 @@ ROUND11_NEW: list[str] = [
     # only, array_intersect verify; shares the spec-form oracle with
     # the inverted-index variant, so parity proves the rewrite
     "dedup_prefix_jaccard_pairs",
+    # content-defined chunking (LBFS/FastCDC): md5-gated cut points,
+    # per-doc array work, 16-byte chunk digests in the dedup shuffle;
+    # one-row corpus storage-dedup report, oracle-backed
+    "dedup_cdc_chunks",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -117,12 +121,12 @@ RECONFIRM_STALE: list[str] = []
 
 #: r11: the ENTIRE remaining r5-age tail (18 — the r10 verdict's 19
 #: minus sim_pq_topk, rechecking above) plus the alphabetically-first
-#: 10 of the 44 r6-age queries (was 14 until the late-r11 additions
-#: above took 4 window slots: the tail j2/j3/j4/j5 slid back to the
-#: r6 batch, which keeps draining in r12).  After this round no
-#: query's newest driver green predates r6.  All unchanged since
-#: their last green and locally re-verified every run by
-#: test_oracle_parity.
+#: 9 of the 44 r6-age queries (was 14 until the late-r11 additions
+#: above took 5 window slots: the tail graph_pagerank/j2/j3/j4/j5
+#: slid back to the r6 batch, which keeps draining in r12).  After
+#: this round no query's newest driver green predates r6.  All
+#: unchanged since their last green and locally re-verified every
+#: run by test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
     # the r5-age tail, cleared in full (r10 verdict item 2)
     "mart_incremental_refresh",
@@ -143,7 +147,7 @@ RECONFIRM_ROTATION: list[str] = [
     "w11_mom_revenue_growth",
     "w12_cumulative_distinct_users",
     "w7_ntile_quartiles",
-    # alphabetically-first 10 of the r6-age batch
+    # alphabetically-first 9 of the r6-age batch
     "dedup_containment_pairs",
     "dedup_keeper_selection",
     "dedup_simhash_signatures",
@@ -153,7 +157,6 @@ RECONFIRM_ROTATION: list[str] = [
     "dq_distribution_drift",
     "dq_quarantine_mart",
     "events_audience_overlap",
-    "graph_pagerank",
 ]
 
 CONTROLS = [

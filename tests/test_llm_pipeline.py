@@ -1468,3 +1468,29 @@ def test_prefix_filter_equals_inverted_index(spark, sf):
         for r in dedup.dedup_prefix_jaccard_pairs(spark, sf).collect()
     }
     assert inv == pref
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_cdc_chunks_partition_the_corpus(spark, sf):
+    """CDC chunks must PARTITION every non-empty document: the
+    report's total_tokens equals the exact corpus token count, stored
+    is bounded by total, distinct by chunk count, and the mean sits
+    inside [1, total]."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators.dedup import dedup_cdc_chunks
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    corpus_tokens = (
+        table(spark, sf, "documents")
+        .select(F.expr(f"size({toks})").alias("n"))
+        .agg(F.sum("n").alias("t"))
+        .first()["t"]
+    )
+    r = dedup_cdc_chunks(spark, sf).first()
+    assert r["total_tokens"] == corpus_tokens
+    assert 0 < r["stored_tokens"] <= r["total_tokens"]
+    assert 0 < r["n_distinct_chunks"] <= r["n_chunks"]
+    assert 1.0 <= r["mean_chunk_tokens"] <= r["total_tokens"]
+    assert 0.0 <= r["saved_token_share"] < 1.0
