@@ -3186,13 +3186,17 @@ SS_W = 8
 def _ss_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = "filter(split(text, ' '), t -> t <> '')"
+    # ts let-binding (see dedup_cdc_chunks): referencing {toks} inside
+    # the positional lambda would re-run split(text) per gram position
     grams = (
-        f"transform(sequence(1, size({toks}) - {SS_W} + 1),"
-        f" i -> array_join(slice({toks}, i, {SS_W}), ' '))"
+        f"transform(array({toks}), ts ->"
+        f" CASE WHEN size(ts) >= {SS_W} THEN"
+        f"   transform(sequence(1, size(ts) - {SS_W} + 1),"
+        f"             i -> array_join(slice(ts, i, {SS_W}), ' '))"
+        f" ELSE array() END)[0]"
     )
     return (
-        d.where(F.expr(f"size({toks}) >= {SS_W}"))
-        .select("doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram"))
+        d.select("doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram"))
         .select(
             "doc_id",
             "pos",
@@ -3320,25 +3324,34 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     saved_token_share, mean_chunk_tokens)."""
     d = table(spark, sf_dir, "documents")
     toks = "filter(split(text, ' '), t -> t <> '')"
+    # let-binding idiom: transform(array(<expr>), v -> body) evaluates
+    # <expr> ONCE per row and binds it as the lambda variable, where
+    # referencing <expr> inside a positional lambda would re-evaluate
+    # split(text) per ELEMENT — the O(tokens²) projection-collapse
+    # hazard _SHINGLES documents.  Binding ts (the token array) and
+    # cuts (the boundary positions, themselves one md5 per position)
+    # this way measured 6.9 s → 1.1 s at sf0.1 (best of 3, local[32]).
     gh = (
         f"CAST(conv(substring(md5(concat_ws(' ',"
-        f" slice({toks}, p - {CDC_K} + 2, {CDC_K}))), 1, 15), 16, 10)"
+        f" slice(ts, p - {CDC_K} + 2, {CDC_K}))), 1, 15), 16, 10)"
         f" AS BIGINT)"
     )
     chunks_expr = f"""
-    transform(
-      zip_with(
-        concat(array(-1),
-               filter(sequence({CDC_K} - 1, size({toks}) - 1),
-                      p -> p < size({toks}) - 1 AND {gh} % {CDC_MOD} = 0)),
-        concat(filter(sequence({CDC_K} - 1, size({toks}) - 1),
-                      p -> p < size({toks}) - 1 AND {gh} % {CDC_MOD} = 0),
-               array(size({toks}) - 1)),
-        (lo, hi) -> struct(lo + 1 AS cs, hi AS ce)),
-      c -> struct(
-        md5(concat_ws(' ', slice({toks}, c.cs + 1, c.ce - c.cs + 1)))
-          AS chunk_hash,
-        c.ce - c.cs + 1 AS chunk_len))
+    flatten(transform(array({toks}), ts ->
+      flatten(transform(
+        array(CASE WHEN size(ts) >= {CDC_K} THEN
+                filter(sequence({CDC_K} - 1, size(ts) - 1),
+                       p -> p < size(ts) - 1 AND {gh} % {CDC_MOD} = 0)
+              ELSE array() END),
+        cuts ->
+          transform(
+            zip_with(concat(array(-1), cuts),
+                     concat(cuts, array(size(ts) - 1)),
+                     (lo, hi) -> struct(lo + 1 AS cs, hi AS ce)),
+            c -> struct(
+              md5(concat_ws(' ',
+                    slice(ts, c.cs + 1, c.ce - c.cs + 1))) AS chunk_hash,
+              c.ce - c.cs + 1 AS chunk_len))))))
     """
     chunk_rows = (
         d.where(F.expr(f"size({toks}) > 0"))

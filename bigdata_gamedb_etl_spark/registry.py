@@ -56,12 +56,12 @@ MODULES = [
 # integer-Lloyd machinery (5 rechecks), one new composed tier
 # (IVFPQ), and the rotation tail CLEARED: all 18 remaining r5-age
 # queries (the 19 the r10 verdict named minus sim_pq_topk, which
-# moved to RECHECK by changing) plus the alphabetically-first 9 of
+# moved to RECHECK by changing) plus the alphabetically-first 8 of
 # the 44 r6-age queries fill the spare slots.  Late-r11 additions:
-# substring spans, prefix-filter Jaccard, CDC chunking, and the two
-# sketch flips push NEW + RECHECK to 11, so the rotation keeps 27
-# slots (18 r5-age + 9 r6-age).  All 12 CONTROLS keep window slots,
-# as always.
+# substring spans, prefix-filter Jaccard, CDC chunking, the two
+# sketch flips, and the repeated-spans let-binding rewrite push
+# NEW + RECHECK to 12, so the rotation keeps 26 slots (18 r5-age +
+# 8 r6-age).  All 12 CONTROLS keep window slots, as always.
 ROUND11_NEW: list[str] = [
     # IVF+PQ composed (FAISS IVFPQ, no-residual flavor): coarse
     # integer-Lloyd probe × PQ-ADC scoring — the production serving
@@ -113,6 +113,10 @@ RECHECK_CHANGED: list[str] = [
     # engine-reproducible cell-for-cell and carries a full DuckDB
     # oracle; was rows-only since r5
     "sketch_cm_heavy_hitters",
+    # plan-only rewrite: the window expression now let-binds the token
+    # array (2.2 s → 1.0 s at sf0.1 — Catalyst was re-running
+    # split(text) per window position); same result, new plan shape
+    "text_repeated_spans",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
@@ -121,9 +125,10 @@ RECONFIRM_STALE: list[str] = []
 
 #: r11: the ENTIRE remaining r5-age tail (18 — the r10 verdict's 19
 #: minus sim_pq_topk, rechecking above) plus the alphabetically-first
-#: 9 of the 44 r6-age queries (was 14 until the late-r11 additions
-#: above took 5 window slots: the tail graph_pagerank/j2/j3/j4/j5
-#: slid back to the r6 batch, which keeps draining in r12).  After
+#: 8 of the 44 r6-age queries (was 14 until the late-r11 additions
+#: above took 6 window slots: the tail events_audience_overlap/
+#: graph_pagerank/j2/j3/j4/j5 slid back to the r6 batch, which keeps
+#: draining in r12).  After
 #: this round no query's newest driver green predates r6.  All
 #: unchanged since their last green and locally re-verified every
 #: run by test_oracle_parity.
@@ -147,7 +152,7 @@ RECONFIRM_ROTATION: list[str] = [
     "w11_mom_revenue_growth",
     "w12_cumulative_distinct_users",
     "w7_ntile_quartiles",
-    # alphabetically-first 9 of the r6-age batch
+    # alphabetically-first 8 of the r6-age batch
     "dedup_containment_pairs",
     "dedup_keeper_selection",
     "dedup_simhash_signatures",
@@ -156,7 +161,6 @@ RECONFIRM_ROTATION: list[str] = [
     "dq_contamination_scorecard",
     "dq_distribution_drift",
     "dq_quarantine_mart",
-    "events_audience_overlap",
 ]
 
 CONTROLS = [
