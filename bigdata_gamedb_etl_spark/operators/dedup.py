@@ -295,6 +295,15 @@ def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same proof-by-oracle pattern as the nested-band LSH ladder.
     tests/test_llm_pipeline.py additionally pins prefix == inverted-
     index output at both test SFs."""
+    # Shared-subtree note (r11): the initial plan prints the prefix
+    # subtree once per self-join side (6 parquet scans), but the FINAL
+    # adaptive plan carries 2 ReusedExchange nodes — Spark computes
+    # the duplicated shuffles once and reuses them at runtime.  An
+    # explicit localCheckpoint of sh+prefix (the recall-by-jaccard
+    # pattern) was measured and REJECTED: 4.2 s vs 3.8 s at sf0.1
+    # even before counting the eager materialization, and it would
+    # persist a corpus-sized array table to executor disk at 100 TB
+    # where ReusedExchange already dedups the expensive exchanges.
     sh = _shingled(spark, sf_dir).select(
         "doc_id",
         F.transform("shs", lambda s: F.xxhash64(s)).alias("hs"),
