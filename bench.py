@@ -151,6 +151,9 @@ EXTRAS = [
     # content-defined chunking: per-doc array pipeline + one digest
     # hash-agg — should sit near the linear text map-agg tier
     "dedup_cdc_chunks",
+    # the quantile histogram: one lineitem scan + bounded-bin agg —
+    # the cheapest shape in the sketch family, benched for the record
+    "sketch_logbin_quantiles",
 ]
 
 HEADLINE = SHARED12 + EXTRAS

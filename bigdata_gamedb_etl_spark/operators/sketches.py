@@ -18,10 +18,11 @@ full rescan per question.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
+from ._rounding import _fr
 from .dedup import _T31, _perm_formula
 
 HLL_LGK = 14  # 2^14 buckets → ~1% relative standard error
@@ -405,12 +406,154 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Mergeable QUANTILE sketch — completing the classic sketch trio
+# (distinct count = HLL above, frequency = count-min above, quantiles
+# = here).  The construction is a decimal-log histogram: a value's bin
+# is (digit count, leading two digits) of its exact cent amount, so
+# every bin spans a relative range of 1/lead2 ≤ 10% (lead2 ∈ 10..99)
+# and the whole sketch is a few hundred integer counters regardless
+# of data volume.  Everything
+# is integer/string arithmetic on the exact fixed-point cents — no
+# log(), no float binning — so both engines place every row in the
+# same bin and the sketch state is engine-exact (the same discipline
+# as the HLL's scaled-BIGINT register sum).
+#
+# Mergeable shape: per-month partial bin counts (what a pipeline
+# would persist per partition), merged by plain addition; quantile
+# answers read the merged cumulative curve.  Guarantee: the true
+# q-quantile lies INSIDE the reported bin (cum-count bracketing is
+# exact), so est error ≤ the bin's relative width — asserted against
+# exact percentiles in tests/test_temporal_sketches.py.
+QUANTILE_QS = (50, 90, 99)
+
+
+def sketch_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P90/P99 of lineitem extended price from a merged decimal-log
+    histogram: (q_pct, bin_lo_cents, bin_hi_cents, est_value, n_rows,
+    months_merged)."""
+    li = table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.date_trunc("MONTH", "l_shipdate").alias("month"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    ).select(
+        "month",
+        F.length(F.col("c").cast("string")).alias("d"),
+        F.substring(F.col("c").cast("string"), 1, 2)
+        .cast("long")
+        .alias("lead2"),
+    )
+    partial = binned.groupBy("month", "d", "lead2").agg(
+        F.count("*").alias("cnt")
+    )
+    merged = partial.groupBy("d", "lead2").agg(F.sum("cnt").alias("cnt"))
+    # the windows below run over the MERGED sketch (≤ ~15·90 bins), so
+    # the single-partition global window is bounded — the w12 pattern
+    w = Window.orderBy("d", "lead2").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_rows", F.sum("cnt").over(Window.partitionBy())
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in QUANTILE_QS])).alias("q_pct")
+    )
+    # smallest bin whose cumulative count reaches q·n — exact integers
+    hit = cum.crossJoin(F.broadcast(qs)).where(
+        F.col("cum") * 100 >= F.col("q_pct") * F.col("n_rows")
+    )
+    best = hit.groupBy("q_pct").agg(
+        F.min(F.struct("d", "lead2")).alias("b"),
+        F.first("n_rows").alias("n_rows"),
+    )
+    pow10 = F.expr(
+        "CAST(pow(10, greatest(b.d - 2, 0)) AS BIGINT)"
+    )  # exact: d ≤ 15 digits of cents
+    lo = F.col("b.lead2") * pow10
+    hi = (F.col("b.lead2") + 1) * pow10 - 1
+    months_df = partial.select("month").distinct().agg(
+        F.count("*").alias("months_merged")
+    )
+    return (
+        best.crossJoin(F.broadcast(months_df))
+        .select(
+            "q_pct",
+            lo.alias("bin_lo_cents"),
+            hi.alias("bin_hi_cents"),
+            _fr((lo + hi + 1) / F.lit(2.0) / F.lit(100.0), 4).alias(
+                "est_value"
+            ),
+            "n_rows",
+            "months_merged",
+        )
+        .orderBy("q_pct")
+    )
+
+
+SKETCH_LOGBIN_ORACLE = f"""
+WITH binned AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+keyed AS (
+  SELECT month, length(CAST(c AS VARCHAR)) AS d,
+         CAST(substr(CAST(c AS VARCHAR), 1, 2) AS BIGINT) AS lead2
+  FROM binned
+),
+partial AS (
+  SELECT month, d, lead2, COUNT(*) AS cnt FROM keyed GROUP BY month, d, lead2
+),
+merged AS (
+  SELECT d, lead2, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM partial GROUP BY d, lead2
+),
+cum AS (
+  SELECT d, lead2, cnt,
+         SUM(cnt) OVER (ORDER BY d, lead2 ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n_rows
+  FROM merged
+),
+qs AS (SELECT UNNEST([{", ".join(str(q) for q in QUANTILE_QS)}]) AS q_pct),
+hit AS (
+  SELECT q_pct, d, lead2, n_rows FROM cum CROSS JOIN qs
+  WHERE cum * 100 >= q_pct * n_rows
+),
+best AS (
+  SELECT q_pct,
+         MIN(struct_pack(d := d, lead2 := lead2)) AS b,
+         CAST(ANY_VALUE(n_rows) AS BIGINT) AS n_rows
+  FROM hit GROUP BY q_pct
+),
+months AS (
+  SELECT COUNT(*) AS months_merged
+  FROM (SELECT DISTINCT month FROM partial)
+),
+shaped AS (
+  SELECT q_pct,
+         b.lead2 * CAST(pow(10, greatest(b.d - 2, 0)) AS BIGINT)
+           AS bin_lo_cents,
+         (b.lead2 + 1) * CAST(pow(10, greatest(b.d - 2, 0)) AS BIGINT) - 1
+           AS bin_hi_cents,
+         n_rows
+  FROM best
+)
+SELECT q_pct, bin_lo_cents, bin_hi_cents,
+       floor((bin_lo_cents + bin_hi_cents + 1) / 2.0 / 100.0
+             * 10000.0 + 0.5) / 10000.0 AS est_value,
+       n_rows, months_merged
+FROM shaped CROSS JOIN months
+ORDER BY q_pct
+"""
+
+
 QUERIES = {
     "sketch_users_per_type": sketch_users_per_type,
     "sketch_daily_merge_total": sketch_daily_merge_total,
     "sketch_cm_heavy_hitters": sketch_cm_heavy_hitters,
     "sketch_approx_topk_tokens": sketch_approx_topk_tokens,
     "sketch_hll_mulmod_merge": sketch_hll_mulmod_merge,
+    "sketch_logbin_quantiles": sketch_logbin_quantiles,
 }
 
 ORACLE: dict[str, str] = {
@@ -423,4 +566,5 @@ ORACLE: dict[str, str] = {
     # bit-for-bit.
     "sketch_cm_heavy_hitters": _cm_oracle(),
     "sketch_hll_mulmod_merge": _hll_oracle(),
+    "sketch_logbin_quantiles": SKETCH_LOGBIN_ORACLE,
 }

@@ -176,3 +176,38 @@ def test_watermark_lateness_buckets_on_disordered_fixture(spark):
         "4_lt_30m": (1, 400.0),   # user1 third event
         "5_gte_30m": (1, 2000.0),
     }
+
+
+def test_logbin_quantile_brackets_exact(spark, sf_dir):
+    """The decimal-log quantile sketch's guarantee: the exact
+    q-quantile of the column lies INSIDE the reported bin for every
+    q, and the estimate (bin midpoint) is within the bin's ≤10%
+    relative width of the truth."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators.sketches import (
+        QUANTILE_QS,
+        sketch_logbin_quantiles,
+    )
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    exact = (
+        table(spark, sf_dir, "lineitem")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile(l_extendedprice, {q / 100.0})"
+                ).alias(f"p{q}")
+                for q in QUANTILE_QS
+            ]
+        )
+        .first()
+    )
+    rows = {r["q_pct"]: r for r in sketch_logbin_quantiles(spark, sf_dir).collect()}
+    assert set(rows) == set(QUANTILE_QS)
+    for q in QUANTILE_QS:
+        r = rows[q]
+        cents = exact[f"p{q}"] * 100.0
+        assert r["bin_lo_cents"] <= cents <= r["bin_hi_cents"] + 1, (q, cents, r)
+        rel = abs(r["est_value"] - exact[f"p{q}"]) / exact[f"p{q}"]
+        assert rel <= 0.10, (q, rel)
