@@ -1,17 +1,22 @@
-"""Mergeable sketch aggregates — the approximate-distinct machinery a
-100 TB pipeline uses instead of exact COUNT(DISTINCT) re-shuffles.
+"""Mergeable sketch aggregates — the approximate-query machinery a
+100 TB pipeline uses instead of exact re-shuffles, covering the
+classic trio: distinct count (HLL), frequency / heavy hitters
+(count-min + approx_top_k), and quantiles (decimal-log histogram).
 
-Two shapes, both rows-only checked (sketch estimates are
-implementation-defined; DuckDB's approx_count_distinct uses a
-different HLL construction, so a value-hash oracle is impossible by
-design).  Accuracy is asserted against exact distinct counts with the
-sketch's error bound in tests/test_llm_pipeline.py.
+Two check tiers.  The NATIVE tiers (`hll_sketch_agg` per-type +
+two-level union rollup, `approx_top_k`) are rows-only by design —
+Datasketches estimates are implementation-defined, so no independent
+engine can reproduce them; accuracy is asserted against exact counts
+with each sketch's error bound in tests.  The HAND-ROLLED tiers
+(count-min on the md5 mulmod permutation family since r11, the
+scaled-BIGINT-register HLL, and the integer-binned quantile
+histogram) are deterministic constructions both engines compute
+bit-for-bit and carry full DuckDB oracles.
 
-Why sketches and not approx_count_distinct: the Datasketches HLL
-column (`hll_sketch_agg`) is a MERGEABLE binary — partials built per
-partition / per day / per source can be stored, shipped, and
-`hll_union_agg`-ed later without touching raw data again.  That
-two-level shape (sketch once, merge many) is the hypertable /
+Why sketches and not approx_count_distinct: the sketch column is a
+MERGEABLE partial — built per partition / per day / per source, then
+stored, shipped, and merged later without touching raw data again.
+That two-level shape (sketch once, merge many) is the hypertable /
 incremental-rollup pattern; a plain approx_count_distinct forces a
 full rescan per question.
 """
