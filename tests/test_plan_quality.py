@@ -829,3 +829,24 @@ def test_prefix_jaccard_rank_window_is_doc_partitioned(spark, sf_dir):
     assert win and any("doc_id" in ln for ln in win)
     assert "CartesianProduct" not in plan
     assert "array_intersect" in plan
+
+
+def test_logbin_quantile_window_runs_over_merged_bins(spark, sf_dir):
+    """The quantile sketch's cumulative window is global ONLY because
+    it runs over the merged bin table (≤ ~15·90 rows): every Window in
+    the plan must sit above at least one HashAggregate (the w12
+    structural check), and nothing in the plan may be a cartesian
+    product other than the two broadcast scalar attaches."""
+    from bigdata_gamedb_etl_spark.operators import sketches
+
+    plan = plans.explain_str(
+        sketches.sketch_logbin_quantiles(spark, sf_dir), "formatted"
+    )
+    tree = plan.split("\n\n")[0].splitlines()
+    win_rows = [i for i, ln in enumerate(tree) if "Window" in ln]
+    agg_rows = [i for i, ln in enumerate(tree) if "HashAggregate" in ln]
+    assert win_rows and agg_rows
+    assert any(a > win_rows[-1] for a in agg_rows), (
+        "cumulative curve is not over the merged bin aggregate"
+    )
+    assert "CartesianProduct" not in plan
