@@ -154,6 +154,9 @@ EXTRAS = [
     # the quantile histogram: one lineitem scan + bounded-bin agg —
     # the cheapest shape in the sketch family, benched for the record
     "sketch_logbin_quantiles",
+    # the cut list applied corpus-wide: spans derivation + struct-
+    # array collapse + per-doc array cut, whole corpus re-emitted
+    "dedup_cut_spans_emit",
 ]
 
 HEADLINE = SHARED12 + EXTRAS

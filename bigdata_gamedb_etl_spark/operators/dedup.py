@@ -3260,8 +3260,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SUBSTRING_SPANS_ORACLE = f"""
-WITH t AS (
+#: shared DuckDB CTE body ending in `sp` (doc_id, island, span_start,
+#: span_end, n_seeds) — the oracle twin of the span derivation, used
+#: by both the span listing and the cut-applied corpus emit.
+_SS_SPANS_CTE = f"""t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
   FROM documents
 ),
@@ -3295,7 +3297,10 @@ sp AS (
          MAX(pos) + {SS_W} - 1 AS span_end,
          CAST(COUNT(*) AS BIGINT) AS n_seeds
   FROM isl GROUP BY doc_id, island
-)
+)"""
+
+DEDUP_SUBSTRING_SPANS_ORACLE = f"""
+WITH {_SS_SPANS_CTE}
 SELECT doc_id,
        CAST(span_start AS INT) AS span_start,
        CAST(span_end AS INT) AS span_end,
@@ -3303,6 +3308,97 @@ SELECT doc_id,
        n_seeds
 FROM sp
 ORDER BY doc_id, span_start
+"""
+
+
+def dedup_cut_spans_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the exact-substring cut list: re-emit EVERY document with
+    its duplicated spans removed — (doc_id, orig_tokens, kept_tokens,
+    removed_tokens, clean_text).  The actionable consumer of
+    dedup_substring_spans (Lee et al. 2021 cut semantics: delete the
+    bytes that occur elsewhere, keep the document).
+
+    Shape: the span table collapses to one small struct-array row per
+    affected doc (spans per doc are bounded by doc length / W), LEFT
+    joins back to the corpus on doc_id, and the cut itself is pure
+    per-doc array work under the ts let-binding — positions surviving
+    every span interval, re-joined to text.  No token-grain explode,
+    no window over the corpus."""
+    spans = dedup_substring_spans(spark, sf_dir)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sps")
+    )
+    d = table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    out = f"""
+    transform(array({toks}), ts -> CASE WHEN size(ts) = 0 THEN
+      struct(0 AS orig_tokens, 0 AS kept_tokens, CAST('' AS STRING) AS clean_text)
+    ELSE
+      struct(
+        size(ts) AS orig_tokens,
+        size(filter(sequence(0, size(ts) - 1),
+             p -> NOT exists(sps, s -> p >= s.span_start AND p <= s.span_end)))
+          AS kept_tokens,
+        concat_ws(' ',
+          transform(filter(sequence(0, size(ts) - 1),
+               p -> NOT exists(sps, s -> p >= s.span_start AND p <= s.span_end)),
+            p -> element_at(ts, p + 1))) AS clean_text)
+    END)[0]
+    """
+    joined = d.join(sp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.col("sps"),
+            F.expr("CAST(array() AS array<struct<span_start:int,span_end:int>>)"),
+        ).alias("sps"),
+        "text",
+    )
+    return (
+        joined.select("doc_id", F.expr(out).alias("o"))
+        .select(
+            "doc_id",
+            "o.orig_tokens",
+            "o.kept_tokens",
+            (F.col("o.orig_tokens") - F.col("o.kept_tokens")).alias(
+                "removed_tokens"
+            ),
+            "o.clean_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CUT_SPANS_EMIT_ORACLE = f"""
+WITH {_SS_SPANS_CTE},
+spl AS (
+  SELECT doc_id,
+         list(struct_pack(span_start := span_start,
+                          span_end := span_end)) AS sps
+  FROM sp GROUP BY doc_id
+),
+corpus AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+j AS (
+  SELECT corpus.doc_id, ts, COALESCE(sps, []) AS sps
+  FROM corpus LEFT JOIN spl USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, ts, sps,
+         list_filter(range(0, len(ts)),
+           p -> len(list_filter(sps,
+                  s -> p >= s.span_start AND p <= s.span_end)) = 0) AS ks
+  FROM j
+)
+SELECT doc_id,
+       CAST(len(ts) AS INT) AS orig_tokens,
+       CAST(len(ks) AS INT) AS kept_tokens,
+       CAST(len(ts) - len(ks) AS INT) AS removed_tokens,
+       COALESCE(array_to_string(list_transform(ks, p -> ts[p + 1]), ' '), '')
+         AS clean_text
+FROM kept
+ORDER BY doc_id
 """
 
 
@@ -3474,6 +3570,7 @@ QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_prefix_jaccard_pairs": dedup_prefix_jaccard_pairs,
     "dedup_cdc_chunks": dedup_cdc_chunks,
+    "dedup_cut_spans_emit": dedup_cut_spans_emit,
 }
 
 ORACLE = {
@@ -3513,4 +3610,5 @@ ORACLE = {
     # filtering is EXACT by theorem, and the shared oracle is the proof
     "dedup_prefix_jaccard_pairs": DEDUP_JACCARD_ORACLE,
     "dedup_cdc_chunks": _cdc_oracle(),
+    "dedup_cut_spans_emit": DEDUP_CUT_SPANS_EMIT_ORACLE,
 }

@@ -1494,3 +1494,34 @@ def test_cdc_chunks_partition_the_corpus(spark, sf):
     assert 0 < r["n_distinct_chunks"] <= r["n_chunks"]
     assert 1.0 <= r["mean_chunk_tokens"] <= r["total_tokens"]
     assert 0.0 <= r["saved_token_share"] < 1.0
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_cut_spans_emit_conserves_tokens(spark, sf):
+    """The cut-applied emit must agree with the span listing exactly:
+    every document appears once, kept + removed == original, and each
+    doc's removed count equals the sum of its span widths (spans are
+    disjoint by construction, so the identity is exact)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        dedup_cut_spans_emit,
+        dedup_substring_spans,
+    )
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    n_docs = table(spark, sf, "documents").count()
+    emit = dedup_cut_spans_emit(spark, sf).collect()
+    assert len(emit) == n_docs
+    removed_by_doc = {
+        r["doc_id"]: r["span_sum"]
+        for r in dedup_substring_spans(spark, sf)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("span_sum"))
+        .collect()
+    }
+    for r in emit:
+        assert r["kept_tokens"] + r["removed_tokens"] == r["orig_tokens"]
+        assert r["removed_tokens"] == removed_by_doc.get(r["doc_id"], 0)
+        n_text = len([t for t in r["clean_text"].split(" ") if t]) if r["clean_text"] else 0
+        assert n_text == r["kept_tokens"]
