@@ -157,6 +157,9 @@ EXTRAS = [
     # the cut list applied corpus-wide: spans derivation + struct-
     # array collapse + per-doc array cut, whole corpus re-emitted
     "dedup_cut_spans_emit",
+    # k-core: 6 fixed peel rounds over the pair graph — the second
+    # bounded-round iterative join family member after LPA
+    "graph_kcore_membership",
 ]
 
 HEADLINE = SHARED12 + EXTRAS

@@ -722,6 +722,95 @@ ORDER BY doc_id
 GRAPH_LPA_ORACLE = _lpa_oracle()
 
 
+# --------------------------------------------------------------------------
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the near-dup pair graph (k = KCORE_K): the maximal
+    induced subgraph where every node keeps ≥ k neighbors — the
+    standard split between tree-/chain-shaped duplicate families
+    (peeled away) and the cyclically-entangled cores a reviewer must
+    treat as one unit.  Output: (doc_id, core_degree) for surviving
+    nodes.
+
+    Synchronous peeling, KCORE_ROUNDS fixed rounds (the LPA
+    discipline): each round drops every node whose degree among the
+    CURRENT survivors is < k.  Fixed rounds keep the computation
+    deterministic and the oracle expressible as unrolled CTE layers;
+    convergence at test SF is PROVEN by the output itself —
+    min(core_degree) ≥ k holds only at the fixed point, and
+    tests/test_llm_pipeline.py asserts it.
+
+    Scale: per round one survivor-restricted edge join (two hash
+    joins on node ids) + one degree agg, all degree-bounded; the
+    survivor table shrinks monotonically and materializes per round
+    with the CC/PageRank checkpoint discipline."""
+    reliable = (
+        spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
+    )
+    e = _materialize_iter(_sym_edges(spark, sf_dir), reliable)
+    surv = _materialize_iter(e.select("src").distinct(), reliable)
+    prev_ckpt: str | None = None
+    for _ in range(KCORE_ROUNDS):
+        alive = e.join(surv, "src").join(
+            surv.select(F.col("src").alias("dst")), "dst"
+        )
+        surv = _materialize_iter(
+            alive.groupBy("src")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= KCORE_K)
+            .select("src"),
+            reliable,
+        )
+        if reliable:
+            _drop_ckpt(prev_ckpt)
+            prev_ckpt = _ckpt_file(surv)
+    final = (
+        e.join(surv, "src")
+        .join(surv.select(F.col("src").alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+    )
+    return final.select(
+        F.col("src").alias("doc_id"), "core_degree"
+    ).orderBy("doc_id")
+
+
+def _kcore_oracle() -> str:
+    """DuckDB twin: KCORE_ROUNDS unrolled peel layers over the same
+    symmetric edge list."""
+    ctes = [
+        f"base_pairs AS ({DEDUP_JACCARD_ORACLE})",
+        (
+            "sym AS (SELECT d1 AS src, d2 AS dst FROM base_pairs\n"
+            "  UNION ALL SELECT d2, d1 FROM base_pairs)"
+        ),
+        "s0 AS (SELECT DISTINCT src FROM sym)",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"s{i} AS (SELECT sym.src FROM sym\n"
+            f"  JOIN s{i - 1} a ON sym.src = a.src\n"
+            f"  JOIN s{i - 1} b ON sym.dst = b.src\n"
+            f"  GROUP BY sym.src HAVING COUNT(*) >= {KCORE_K})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT sym.src AS doc_id, COUNT(*) AS core_degree
+FROM sym
+JOIN s{KCORE_ROUNDS} a ON sym.src = a.src
+JOIN s{KCORE_ROUNDS} b ON sym.dst = b.src
+GROUP BY sym.src
+ORDER BY doc_id
+"""
+    )
+
+
+GRAPH_KCORE_ORACLE = _kcore_oracle()
+
+
 QUERIES = {
     "graph_2hop_reach": graph_2hop_reach,
     "graph_lpa_communities": graph_lpa_communities,
@@ -731,6 +820,7 @@ QUERIES = {
     "graph_degree_distribution": graph_degree_distribution,
     "graph_component_sizes": graph_component_sizes,
     "graph_clustering_coeff": graph_clustering_coeff,
+    "graph_kcore_membership": graph_kcore_membership,
 }
 
 ORACLE = {
@@ -742,4 +832,5 @@ ORACLE = {
     "graph_degree_distribution": GRAPH_DEGREE_ORACLE,
     "graph_component_sizes": GRAPH_COMPONENT_SIZES_ORACLE,
     "graph_clustering_coeff": GRAPH_CLUSTERING_ORACLE,
+    "graph_kcore_membership": GRAPH_KCORE_ORACLE,
 }

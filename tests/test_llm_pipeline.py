@@ -1525,3 +1525,32 @@ def test_cut_spans_emit_conserves_tokens(spark, sf):
         assert r["removed_tokens"] == removed_by_doc.get(r["doc_id"], 0)
         n_text = len([t for t in r["clean_text"].split(" ") if t]) if r["clean_text"] else 0
         assert n_text == r["kept_tokens"]
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_kcore_converged_and_nested_in_components(spark, sf):
+    """k-core invariants: the fixed peel-round count REACHED the fixed
+    point (every survivor keeps ≥ k neighbors inside the core — false
+    at any non-converged round), and the core is a subset of nodes
+    whose raw degree was already ≥ k (peeling only removes)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators.graph import (
+        KCORE_K,
+        _sym_edges,
+        graph_kcore_membership,
+    )
+
+    core = graph_kcore_membership(spark, sf).collect()
+    assert core, f"empty {KCORE_K}-core at {sf} — fixture regressed"
+    assert min(r["core_degree"] for r in core) >= KCORE_K
+    raw_deg = {
+        r["src"]: r["deg"]
+        for r in _sym_edges(spark, sf)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .collect()
+    }
+    for r in core:
+        assert raw_deg[r["doc_id"]] >= KCORE_K
+        assert r["core_degree"] <= raw_deg[r["doc_id"]]
