@@ -160,6 +160,8 @@ EXTRAS = [
     # k-core: 6 fixed peel rounds over the pair graph — the second
     # bounded-round iterative join family member after LPA
     "graph_kcore_membership",
+    # SNM blocking: one sharded sort window + lead() offsets
+    "dedup_sorted_neighborhood_pairs",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -238,6 +240,11 @@ SCALE_PROBE_QUERIES = [
     # replica shingles distinct → candidate mass should scale with
     # the factor, like the inverted-index twin it must match)
     "dedup_prefix_jaccard_pairs",
+    # k-core: fixed peel rounds of survivor-restricted joins — the
+    # per-round cost is claimed linear in surviving edges, and
+    # replication grows edges with the factor (cross-replica edges
+    # don't exist), so the ratio should track LPA's
+    "graph_kcore_membership",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"

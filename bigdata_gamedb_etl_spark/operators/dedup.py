@@ -2268,6 +2268,97 @@ ORDER BY name_a, name_b
 
 
 # --------------------------------------------------------------------------
+# Sorted-neighborhood method (SNM, Hernández & Stolfo 1995) — the
+# third classic candidate-generation strategy in the dedup battery
+# next to LSH banding and key blocking: sort the entity keys once and
+# compare each with only its SNM_W successors in sort order.  Its
+# recall profile COMPLEMENTS dedup_editdist_names' first-word
+# blocking: SNM pairs names whose shared sort-prefix keeps them
+# adjacent even when an exact blocking key differs, and misses pairs
+# that sort far apart — the two-method union is the standard
+# multi-pass recipe.
+#
+# Scale shape: the window is partitioned by the first character of
+# the name (alphabetic shards), so per-shard sort state is bounded —
+# the spec-pure single global sort would be one executor's problem at
+# catalog scale.  Shard-boundary pairs are out of scope BY DESIGN
+# (multi-pass SNM with a second sort key is the standard fix);
+# candidates come from lead() offsets, so generation is one window
+# pass with zero self-joins.
+SNM_W = 3
+
+
+def dedup_sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(name_a, name_b, dist, gap): distinct part-name pairs within
+    SNM_W positions in per-shard sort order at Levenshtein distance
+    ≤ EDITDIST_MAX; gap = positions apart in the sorted list."""
+    names = (
+        table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("shard", F.substring("name", 1, 1))
+    )
+    w = Window.partitionBy("shard").orderBy("name")
+    with_leads = names.select(
+        "name",
+        *[
+            F.lead("name", j).over(w).alias(f"nb{j}")
+            for j in range(1, SNM_W + 1)
+        ],
+    )
+    pairs = with_leads.select(
+        "name",
+        F.posexplode(
+            F.array(*[F.col(f"nb{j}") for j in range(1, SNM_W + 1)])
+        ).alias("g", "name_b"),
+    ).where(F.col("name_b").isNotNull())
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein("name", "name_b").cast("bigint")
+        )
+        .where(F.col("dist") <= EDITDIST_MAX)
+        .select(
+            F.col("name").alias("name_a"),
+            "name_b",
+            "dist",
+            (F.col("g") + 1).cast("int").alias("gap"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+DEDUP_SNM_ORACLE = f"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name, substr(p_name, 1, 1) AS shard FROM part
+),
+leads AS (
+  SELECT name,
+         {", ".join(
+             f"lead(name, {j}) OVER (PARTITION BY shard ORDER BY name) AS nb{j}"
+             for j in range(1, SNM_W + 1)
+         )}
+  FROM names
+),
+pairs AS (
+  SELECT name, g, nb AS name_b
+  FROM (SELECT name,
+               UNNEST([{", ".join(f"nb{j}" for j in range(1, SNM_W + 1))}]) AS nb,
+               UNNEST([{", ".join(str(j - 1) for j in range(1, SNM_W + 1))}]) AS g
+        FROM leads)
+  WHERE nb IS NOT NULL
+)
+SELECT name AS name_a, name_b,
+       CAST(levenshtein(name, name_b) AS BIGINT) AS dist,
+       CAST(g + 1 AS INT) AS gap
+FROM pairs
+WHERE levenshtein(name, name_b) <= {EDITDIST_MAX}
+ORDER BY name_a, name_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Cross-document repeated-n-gram share: for each doc, the fraction of
 # its distinct 3-gram shingles that appear in at least one OTHER
 # document.  The per-doc contamination signal behind substring-level
@@ -3571,6 +3662,7 @@ QUERIES = {
     "dedup_prefix_jaccard_pairs": dedup_prefix_jaccard_pairs,
     "dedup_cdc_chunks": dedup_cdc_chunks,
     "dedup_cut_spans_emit": dedup_cut_spans_emit,
+    "dedup_sorted_neighborhood_pairs": dedup_sorted_neighborhood_pairs,
 }
 
 ORACLE = {
@@ -3611,4 +3703,5 @@ ORACLE = {
     "dedup_prefix_jaccard_pairs": DEDUP_JACCARD_ORACLE,
     "dedup_cdc_chunks": _cdc_oracle(),
     "dedup_cut_spans_emit": DEDUP_CUT_SPANS_EMIT_ORACLE,
+    "dedup_sorted_neighborhood_pairs": DEDUP_SNM_ORACLE,
 }

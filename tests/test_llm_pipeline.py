@@ -1554,3 +1554,32 @@ def test_kcore_converged_and_nested_in_components(spark, sf):
     for r in core:
         assert raw_deg[r["doc_id"]] >= KCORE_K
         assert r["core_degree"] <= raw_deg[r["doc_id"]]
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_snm_complements_first_word_blocking(spark, sf):
+    """SNM invariants: every emitted pair is within EDITDIST_MAX and
+    within SNM_W positions of per-shard sort order (gap bound), pairs
+    are sort-ordered (name_a < name_b), and the method genuinely
+    complements first-word blocking — any SNM pair sharing a first
+    word must also be found by dedup_editdist_names (consistency),
+    while pairs with different first words are SNM-only recall."""
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        EDITDIST_MAX,
+        SNM_W,
+        dedup_editdist_names,
+        dedup_sorted_neighborhood_pairs,
+    )
+
+    snm = dedup_sorted_neighborhood_pairs(spark, sf).collect()
+    assert snm, f"no SNM pairs at {sf} — fixture regressed"
+    block = {
+        tuple(sorted((r["name_a"], r["name_b"])))
+        for r in dedup_editdist_names(spark, sf).collect()
+    }
+    for r in snm:
+        assert r["name_a"] < r["name_b"]
+        assert r["dist"] <= EDITDIST_MAX
+        assert 1 <= r["gap"] <= SNM_W
+        if r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]:
+            assert (r["name_a"], r["name_b"]) in block
