@@ -3514,25 +3514,19 @@ CDC_K = 4
 CDC_MOD = 32
 
 
-def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row corpus storage-dedup report over CDC chunks:
-    (n_chunks, n_distinct_chunks, total_tokens, stored_tokens,
-    saved_token_share, mean_chunk_tokens)."""
-    d = table(spark, sf_dir, "documents")
+def _cdc_chunks_expr() -> str:
+    """The per-row chunk derivation over a `text` column — array of
+    struct(chunk_hash, chunk_len).  Module-level so the
+    shift-robustness property test (tests/test_properties.py) can
+    apply the IDENTICAL expression to synthetic documents; the text
+    is byte-for-byte what dedup_cdc_chunks explodes."""
     toks = "filter(split(text, ' '), t -> t <> '')"
-    # let-binding idiom: transform(array(<expr>), v -> body) evaluates
-    # <expr> ONCE per row and binds it as the lambda variable, where
-    # referencing <expr> inside a positional lambda would re-evaluate
-    # split(text) per ELEMENT — the O(tokens²) projection-collapse
-    # hazard _SHINGLES documents.  Binding ts (the token array) and
-    # cuts (the boundary positions, themselves one md5 per position)
-    # this way measured 6.9 s → 1.1 s at sf0.1 (best of 3, local[32]).
     gh = (
         f"CAST(conv(substring(md5(concat_ws(' ',"
         f" slice(ts, p - {CDC_K} + 2, {CDC_K}))), 1, 15), 16, 10)"
         f" AS BIGINT)"
     )
-    chunks_expr = f"""
+    return f"""
     flatten(transform(array({toks}), ts ->
       flatten(transform(
         array(CASE WHEN size(ts) >= {CDC_K} THEN
@@ -3549,9 +3543,24 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     slice(ts, c.cs + 1, c.ce - c.cs + 1))) AS chunk_hash,
               c.ce - c.cs + 1 AS chunk_len))))))
     """
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus storage-dedup report over CDC chunks:
+    (n_chunks, n_distinct_chunks, total_tokens, stored_tokens,
+    saved_token_share, mean_chunk_tokens)."""
+    d = table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    # let-binding idiom: transform(array(<expr>), v -> body) evaluates
+    # <expr> ONCE per row and binds it as the lambda variable, where
+    # referencing <expr> inside a positional lambda would re-evaluate
+    # split(text) per ELEMENT — the O(tokens²) projection-collapse
+    # hazard _SHINGLES documents.  Binding ts (the token array) and
+    # cuts (the boundary positions, themselves one md5 per position)
+    # this way measured 6.9 s → 1.1 s at sf0.1 (best of 3, local[32]).
     chunk_rows = (
         d.where(F.expr(f"size({toks}) > 0"))
-        .select(F.explode(F.expr(chunks_expr)).alias("c"))
+        .select(F.explode(F.expr(_cdc_chunks_expr())).alias("c"))
         .select("c.chunk_hash", "c.chunk_len")
     )
     per_chunk = chunk_rows.groupBy("chunk_hash").agg(

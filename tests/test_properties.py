@@ -605,3 +605,54 @@ def test_perm_formula_matches_spark_and_duckdb_on_boundaries(spark):
             want = _py_perm(k, h)
             assert r[f"p{k}"] == want, (k, h)
             assert duck[i] == want, (k, h)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(
+        st.sampled_from("alpha beta gamma delta echo fox golf hotel".split()),
+        min_size=24,
+        max_size=64,
+    ),
+    prefix=st.lists(
+        st.sampled_from("zulu yankee xray".split()), min_size=1, max_size=5
+    ),
+)
+def test_cdc_chunks_are_shift_robust(spark, toks, prefix):
+    """THE content-defined-chunking property (the reason CDC exists):
+    prepending tokens to a document leaves every chunk after the first
+    content-determined cut byte-identical — a localized edit disturbs
+    O(1) chunks, where fixed-size blocking would re-align everything.
+
+    Proof obligation matches the construction exactly: a cut at
+    original token position q (end of the width-K gram) survives any
+    prefix insertion because its gram lies fully inside the original
+    content, so the original's chunks AFTER its first cut must appear
+    verbatim as the tail of the modified document's chunk sequence."""
+    from hypothesis import assume
+
+    from bigdata_gamedb_etl_spark.operators.dedup import _cdc_chunks_expr
+
+    orig = " ".join(toks)
+    mod = " ".join(prefix + toks)
+    df = spark.createDataFrame(
+        [(1, orig), (2, mod)], "doc_id long, text string"
+    )
+    rows = (
+        df.select(
+            "doc_id", F.posexplode(F.expr(_cdc_chunks_expr())).alias("i", "c")
+        )
+        .orderBy("doc_id", "i")
+        .collect()
+    )
+    chunks = {1: [], 2: []}
+    for r in rows:
+        chunks[r["doc_id"]].append(r["c"]["chunk_hash"])
+    assume(len(chunks[1]) >= 2)  # original must actually have a cut
+    tail = chunks[1][1:]
+    assert chunks[2][-len(tail):] == tail, (chunks[1], chunks[2])
+    # and chunk lengths partition both documents
+    lens = {1: 0, 2: 0}
+    for r in rows:
+        lens[r["doc_id"]] += r["c"]["chunk_len"]
+    assert lens[1] == len(toks) and lens[2] == len(prefix) + len(toks)
