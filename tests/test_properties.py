@@ -656,3 +656,33 @@ def test_cdc_chunks_are_shift_robust(spark, toks, prefix):
     for r in rows:
         lens[r["doc_id"]] += r["c"]["chunk_len"]
     assert lens[1] == len(toks) and lens[2] == len(prefix) + len(toks)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tails=st.lists(
+        st.integers(min_value=0, max_value=(1 << 48) - 1),
+        min_size=16,
+        max_size=64,
+    )
+)
+def test_hll_rank_case_matches_bit_length(spark, tails):
+    """The HLL register rank CASE (48 threshold WHENs, float-free)
+    must equal the spec 49 − bit_length(tail) — bit_length(0) = 0 so
+    an all-zero tail ranks 49 — over arbitrary 48-bit tails.  This is
+    the only arithmetic in the hand-rolled HLL that is not a plain
+    sum/max, so it carries the whole correctness argument."""
+    from bigdata_gamedb_etl_spark.operators.sketches import (
+        _HLL_TAIL_BITS,
+        _hll_rank_case,
+    )
+
+    # boundary values stress the threshold chain exactly
+    tails = tails + [0, 1, (1 << 47), (1 << 48) - 1, (1 << 23) - 1, 1 << 23]
+    df = spark.createDataFrame([(t,) for t in tails], "tail long")
+    got = [
+        r["rank"]
+        for r in df.select(F.expr(_hll_rank_case()).alias("rank")).collect()
+    ]
+    want = [_HLL_TAIL_BITS + 1 - t.bit_length() for t in tails]
+    assert got == want
