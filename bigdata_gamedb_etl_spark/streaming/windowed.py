@@ -234,6 +234,32 @@ def daily_rollup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def logbin_value_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming PARTIAL stage of the decimal-log quantile sketch
+    (operators.sketches.sketch_logbin_quantiles): per-day watermarked
+    (digits, lead-two) bin counts over positive event values.  The
+    partial is what a pipeline PERSISTS next to each day's partition —
+    bin counts merge by plain addition, so the stream's output feeds
+    the same merge/read stage the batch sketch runs on lineitem.
+    State per window is bounded by the bin universe (≤ ~15·90), the
+    same reason the batch window is safe."""
+    c = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.where(F.col("value") > 0)
+        .withWatermark("ts", "1 day")
+        .select(
+            "ts",
+            F.length(c.cast("string")).alias("d"),
+            F.substring(c.cast("string"), 1, 2).cast("long").alias("lead2"),
+        )
+        .groupBy(F.window("ts", "1 day").alias("win"), "d", "lead2")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.to_date(F.col("win.start")).alias("day"), "d", "lead2", "cnt"
+        )
+    )
+
+
 def ohlc_hourly_stream(events: DataFrame) -> DataFrame:
     """Watermarked hourly OHLC bars — the streaming twin of
     operators.temporal.ts_ohlc_hourly.  min_by/max_by over the

@@ -784,3 +784,44 @@ def test_watermark_drop_split_matches_batch_lateness_histogram(
     assert ts(600) not in kept and ts(-1000) not in kept
     # and the kept ones are exactly the in-order + 30 s-late events
     assert kept == {ts(1000): 1, ts(970): 1}
+
+
+def test_streaming_logbin_partials_match_batch_and_merge(spark, sf_dir, events_dir):
+    """The streaming quantile-sketch partial must equal the identical
+    batch binning per (day, bin), and — the mergeable-sketch point —
+    summing the streamed partials must equal the batch whole-corpus
+    bin counts (partials merge by plain addition)."""
+    events = streaming.read_events_stream(spark, events_dir)
+    part = streaming.logbin_value_sketch_stream(events)
+    streaming.run_stream_to_memory(part, "logbin_partials_t", "complete")
+
+    got = {
+        (r["day"], r["d"], r["lead2"]): r["cnt"]
+        for r in spark.table("logbin_partials_t").collect()
+    }
+    e = table(spark, sf_dir, "events").where(
+        F.col("value") > 0
+    ).where(F.col("ts").isNotNull())
+    c = F.round(F.col("value") * 100).cast("long")
+    batch = e.select(
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+        F.length(c.cast("string")).alias("d"),
+        F.substring(c.cast("string"), 1, 2).cast("long").alias("lead2"),
+    ).groupBy("day", "d", "lead2").agg(F.count("*").alias("cnt"))
+    want = {
+        (r["day"], r["d"], r["lead2"]): r["cnt"] for r in batch.collect()
+    }
+    assert got == want
+
+    merged_from_stream: dict = {}
+    for (day, d, lead2), cnt in got.items():
+        merged_from_stream[(d, lead2)] = (
+            merged_from_stream.get((d, lead2), 0) + cnt
+        )
+    whole = {
+        (r["d"], r["lead2"]): r["cnt"]
+        for r in batch.groupBy("d", "lead2")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged_from_stream == whole
