@@ -162,6 +162,8 @@ EXTRAS = [
     "graph_kcore_membership",
     # SNM blocking: one sharded sort window + lead() offsets
     "dedup_sorted_neighborhood_pairs",
+    # temperature mixture: two tiny aggregates + one broadcast gate
+    "pipeline_temperature_mixture",
 ]
 
 HEADLINE = SHARED12 + EXTRAS

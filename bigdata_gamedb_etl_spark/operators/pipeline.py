@@ -1901,6 +1901,95 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Temperature-based mixture resampling (the multilingual-LM recipe:
+# sample language i with probability ∝ n_i^α, α < 1 up-weighting the
+# tail — XLM-R/mC4 use α ≈ 0.3).  α is pinned to 1/2 here because
+# sqrt is CORRECTLY ROUNDED under IEEE-754 on both engines, so
+# floor(sqrt(n)) is bit-identical cross-engine where a pow(n, 0.3)
+# rate could flip an integer floor by one ulp; everything downstream
+# is exact integer arithmetic (scaled DIV allocations, md5 gate).
+TEMP_MIX_SEED = 11
+
+
+def pipeline_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language α=0.5 temperature mixture: raw count, the sqrt
+    weight, the integer target allocation (total · w_i DIV Σw), the
+    derived keep rate, and the docs actually kept by the md5 gate."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    weights = counts.select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)").alias(
+            "w"
+        ),
+    )
+    totals = weights.agg(
+        F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w")
+    )
+    rates = weights.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "w",
+        F.expr("(total * w) DIV sum_w").alias("target_docs"),
+        F.least(
+            F.lit(100).cast("long"),
+            F.expr("(((total * w) DIV sum_w) * 100) DIV n_docs"),
+        )
+        .cast("int")
+        .alias("rate_pct"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(TEMP_MIX_SEED), "doc_id")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        d.select("lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("bucket") < F.col("rate_pct"))
+        .groupBy("lang", "n_docs", "w", "target_docs", "rate_pct")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIXTURE_ORACLE = f"""
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+w AS (SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+      FROM c),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(SUM(w) AS BIGINT) AS sum_w FROM w),
+r AS (
+  SELECT lang, n_docs, w,
+         (total * w) // sum_w AS target_docs,
+         CAST(LEAST(100, (((total * w) // sum_w) * 100) // n_docs)
+              AS INTEGER) AS rate_pct
+  FROM w, t
+),
+s AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN r USING (lang)
+  WHERE CAST(concat('0x', substring(md5({TEMP_MIX_SEED} || '_' || d.doc_id), 1, 4))
+             AS INTEGER) % 100 < r.rate_pct
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, r.w, r.target_docs, r.rate_pct, s.n_kept
+FROM r JOIN s USING (lang)
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_mixture_reweight": pipeline_mixture_reweight,
@@ -1924,6 +2013,7 @@ QUERIES = {
     "pipeline_length_buckets": pipeline_length_buckets,
     "pipeline_curriculum_order": pipeline_curriculum_order,
     "pipeline_weighted_sample": pipeline_weighted_sample,
+    "pipeline_temperature_mixture": pipeline_temperature_mixture,
 }
 ORACLE = {
     "pipeline_clean_corpus": PIPELINE_ORACLE,
@@ -1948,4 +2038,5 @@ ORACLE = {
     "pipeline_length_buckets": LENGTH_BUCKETS_ORACLE,
     "pipeline_curriculum_order": CURRICULUM_ORACLE,
     "pipeline_weighted_sample": WEIGHTED_SAMPLE_ORACLE,
+    "pipeline_temperature_mixture": TEMPERATURE_MIXTURE_ORACLE,
 }

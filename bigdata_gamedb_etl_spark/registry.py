@@ -56,13 +56,14 @@ MODULES = [
 # integer-Lloyd machinery (5 rechecks), one new composed tier
 # (IVFPQ), and the rotation tail CLEARED: all 18 remaining r5-age
 # queries (the 19 the r10 verdict named minus sim_pq_topk, which
-# moved to RECHECK by changing) plus the alphabetically-first 4 of
+# moved to RECHECK by changing) plus the alphabetically-first 3 of
 # the 44 r6-age queries fill the spare slots.  Late-r11 additions:
 # substring spans + their cut-applied emit, prefix-filter Jaccard,
 # SNM blocking, CDC chunking, the quantile histogram, k-core, the
-# two sketch flips, and the repeated-spans let-binding rewrite push
-# NEW + RECHECK to 16, so the rotation keeps 22 slots (18 r5-age +
-# 4 r6-age).  All 12 CONTROLS keep window slots, as always.
+# temperature mixture, the two sketch flips, and the repeated-spans
+# let-binding rewrite push NEW + RECHECK to 17, so the rotation
+# keeps 21 slots (18 r5-age + 3 r6-age).  All 12 CONTROLS keep
+# window slots, as always.
 ROUND11_NEW: list[str] = [
     # IVF+PQ composed (FAISS IVFPQ, no-residual flavor): coarse
     # integer-Lloyd probe × PQ-ADC scoring — the production serving
@@ -106,6 +107,10 @@ ROUND11_NEW: list[str] = [
     # classic blocking strategy next to LSH bands and key blocking:
     # per-shard sort + lead() offsets, zero self-joins
     "dedup_sorted_neighborhood_pairs",
+    # α=1/2 temperature mixture (the multilingual-LM resampling
+    # recipe) — sqrt is IEEE-correctly-rounded so the whole rate
+    # pipeline is engine-exact integers; md5 keep gate
+    "pipeline_temperature_mixture",
 ]
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -143,12 +148,12 @@ RECONFIRM_STALE: list[str] = []
 
 #: r11: the ENTIRE remaining r5-age tail (18 — the r10 verdict's 19
 #: minus sim_pq_topk, rechecking above) plus the alphabetically-first
-#: 4 of the 44 r6-age queries (was 14 until the late-r11 additions
-#: above took 10 window slots: the tail dq_completeness_profile/
-#: dq_contamination_scorecard/dq_distribution_drift/
-#: dq_quarantine_mart/events_audience_overlap/graph_pagerank/
-#: j2/j3/j4/j5 slid back to the r6 batch, which keeps draining in
-#: r12).  After
+#: 3 of the 44 r6-age queries (was 14 until the late-r11 additions
+#: above took 11 window slots: the tail dedup_survivorship_funnel/
+#: dq_completeness_profile/dq_contamination_scorecard/
+#: dq_distribution_drift/dq_quarantine_mart/events_audience_overlap/
+#: graph_pagerank/j2/j3/j4/j5 slid back to the r6 batch, which keeps
+#: draining in r12).  After
 #: this round no query's newest driver green predates r6.  All
 #: unchanged since their last green and locally re-verified every
 #: run by test_oracle_parity.
@@ -172,11 +177,10 @@ RECONFIRM_ROTATION: list[str] = [
     "w11_mom_revenue_growth",
     "w12_cumulative_distinct_users",
     "w7_ntile_quartiles",
-    # alphabetically-first 4 of the r6-age batch
+    # alphabetically-first 3 of the r6-age batch
     "dedup_containment_pairs",
     "dedup_keeper_selection",
     "dedup_simhash_signatures",
-    "dedup_survivorship_funnel",
 ]
 
 CONTROLS = [

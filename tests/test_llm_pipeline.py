@@ -1583,3 +1583,29 @@ def test_snm_complements_first_word_blocking(spark, sf):
         assert 1 <= r["gap"] <= SNM_W
         if r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]:
             assert (r["name_a"], r["name_b"]) in block
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_temperature_mixture_flattens_the_head(spark, sf):
+    """α=0.5 temperature invariants: kept ≤ raw per language, the
+    target allocation never exceeds the corpus (Σ target ≤ total with
+    at most one doc of floor loss per language), and the defining
+    flattening property — the largest language's keep rate is the
+    MINIMUM rate while every language clearly below the mean share
+    keeps (essentially) everything — the strict ==100 bound holds up
+    to integer-floor shaving, so the assertion leaves that margin."""
+    from bigdata_gamedb_etl_spark.operators.pipeline import (
+        pipeline_temperature_mixture,
+    )
+
+    rows = pipeline_temperature_mixture(spark, sf).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    assert sum(r["target_docs"] for r in rows) <= total
+    assert sum(r["target_docs"] for r in rows) >= total - len(rows)
+    biggest = max(rows, key=lambda r: r["n_docs"])
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert biggest["rate_pct"] <= r["rate_pct"]
+        if r["n_docs"] * len(rows) * 5 <= total * 4:  # ≤ 80% of mean
+            assert r["rate_pct"] >= 90, (r, total)
