@@ -308,6 +308,15 @@ def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform("shs", lambda s: F.xxhash64(s)).alias("hs"),
     )
+    return _prefix_jaccard_from(sh)
+
+
+def _prefix_jaccard_from(sh: DataFrame) -> DataFrame:
+    """The prefix-filter machinery over any (doc_id, hs: array<long>)
+    table of DISTINCT per-doc set elements — factored out so the
+    completeness theorem can be Hypothesis-tested on arbitrary
+    synthetic sets (tests/test_properties.py), not just the two fixed
+    corpora."""
     ex = sh.select(
         "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("s")
     )

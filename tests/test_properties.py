@@ -686,3 +686,42 @@ def test_hll_rank_case_matches_bit_length(spark, tails):
     ]
     want = [_HLL_TAIL_BITS + 1 - t.bit_length() for t in tails]
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=4,
+        max_size=10,
+    )
+)
+def test_prefix_filter_is_complete_on_arbitrary_sets(spark, sets):
+    """The AllPairs prefix-filter THEOREM on random set families: the
+    prefix machinery (df-ascending canonical order, n DIV 2 + 1
+    prefixes, t-length filter, array_intersect verify) must return
+    EXACTLY the brute-force Jaccard ≥ 0.5 pairs — no pair missed by
+    prefix pruning, none invented.  A tiny dense universe (31 values)
+    forces heavy element sharing, the regime where pruning does real
+    work and a completeness bug would show."""
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _prefix_jaccard_from,
+    )
+
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(sets)],
+        "doc_id long, hs array<long>",
+    )
+    got = {
+        (r["d1"], r["d2"])
+        for r in _prefix_jaccard_from(df).collect()
+    }
+    want = set()
+    for i, si in enumerate(sets):
+        for j in range(i + 1, len(sets)):
+            sj = sets[j]
+            jac = len(si & sj) / len(si | sj)
+            if jac >= JACCARD_THRESHOLD:
+                want.add((i, j))
+    assert got == want, (got, want, sets)
