@@ -317,6 +317,17 @@ def _prefix_jaccard_from(sh: DataFrame) -> DataFrame:
     completeness theorem can be Hypothesis-tested on arbitrary
     synthetic sets (tests/test_properties.py), not just the two fixed
     corpora."""
+    # r12 (ADVICE): the prefix length (n DIV 2 + 1) and the t-length
+    # filter (2·min ≥ max) below are DERIVED for t = 1/2 — they are
+    # not parametric in JACCARD_THRESHOLD, which only the verify stage
+    # reads.  Changing the constant without re-deriving both formulas
+    # would silently lose pairs BEFORE verification (prefix
+    # completeness breaks); fail loudly instead.
+    assert JACCARD_THRESHOLD == 0.5, (
+        "prefix length and t-length filter are hardcoded for t=1/2; "
+        "re-derive p(x) = n - ceil(t*n) + 1 and the length filter "
+        "before changing JACCARD_THRESHOLD"
+    )
     ex = sh.select(
         "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("s")
     )
@@ -3265,14 +3276,14 @@ ORDER BY source
 # training-data-pipeline battery.
 #
 # Shape (all built-in ops, linear, no pairwise joins):
-#   1. seeds: every width-SS_W token window, keyed by the top 60 md5
-#      bits of the window text (the shuffle carries an 8-byte key, not
-#      the window string);
+#   1. seeds: every width-SS_W token window, keyed by the window
+#      text's md5 as two 60-bit BIGINTs (the shuffle carries a 16-byte
+#      key, not the window string);
 #   2. duplicated grams: groupBy(gram) HAVING count >= 2 — within-doc
 #      repeats count, matching the suffix-array semantics where ANY
 #      second occurrence makes the bytes redundant;
 #   3. flag occurrences of duplicated grams (one equi-join on the
-#      8-byte key — postings are never paired with each other, so a
+#      16-byte key — postings are never paired with each other, so a
 #      boilerplate gram with a million occurrences costs a million
 #      FLAG rows, not a trillion pairs);
 #   4. gaps-and-islands per doc: a seed at pos covers [pos, pos+W-1];
@@ -3284,11 +3295,16 @@ ORDER BY source
 # below the resolution floor by design (same argument as
 # text_repeated_spans' window width).
 #
-# 64-bit gram-key collisions: P(any collision) ≈ n²/2^61 — at 10^9
-# grams that is ~0.5, so a 100 TB run would widen the key to the full
-# md5 (two BIGINT columns, same plan); at test scale (≤10^6 grams,
-# P ≈ 10^-6) the 60-bit key keeps the oracle text identical to the
-# minhash family's.
+# Gram-key width (r12, ADVICE): the key is the md5 carried as TWO
+# 60-bit BIGINTs (hex chars 1-15 and 17-31 — 15 chars each keeps conv()
+# inside signed-long range, the established mulmod-family idiom).  At
+# 120 bits, P(any collision) ≈ n²/2^121 ≈ 7·10^-10 even at 10^9 grams,
+# so the 100 TB run needs no further widening; the r11 single-60-bit
+# key had acknowledged ~0.5 collision probability at that scale, and a
+# collision here MANUFACTURES a false duplicated span whose bytes
+# dedup_cut_spans_emit then cuts — silent data loss, hence the width.
+# The shuffle cost is 16 bytes/gram instead of 8; the plan is
+# unchanged (same groupBy/join, now on the composite key).
 SS_W = 8
 
 
@@ -3306,12 +3322,16 @@ def _ss_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id", F.posexplode(F.expr(grams)).alias("pos", "gram"))
+        .withColumn("h", F.md5("gram"))
         .select(
             "doc_id",
             "pos",
-            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            F.conv(F.substring("h", 1, 15), 16, 10)
             .cast("long")
-            .alias("g"),
+            .alias("g1"),
+            F.conv(F.substring("h", 17, 15), 16, 10)
+            .cast("long")
+            .alias("g2"),
         )
     )
 
@@ -3322,12 +3342,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison.  span_* are 0-based token positions, end-inclusive."""
     occ = _ss_seeds(spark, sf_dir)
     dupg = (
-        occ.groupBy("g")
+        occ.groupBy("g1", "g2")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= 2)
-        .select("g")
+        .select("g1", "g2")
     )
-    seeds = occ.join(dupg, "g").select("doc_id", "pos")
+    seeds = occ.join(dupg, ["g1", "g2"]).select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = seeds.withColumn(
         "f",
@@ -3369,7 +3389,8 @@ _SS_SPANS_CTE = f"""t AS (
 ),
 g AS (
   SELECT doc_id, u.pos AS pos,
-         CAST('0x' || substr(md5(u.gr), 1, 15) AS BIGINT) AS gg
+         CAST('0x' || substr(md5(u.gr), 1, 15) AS BIGINT) AS gg1,
+         CAST('0x' || substr(md5(u.gr), 17, 15) AS BIGINT) AS gg2
   FROM (SELECT doc_id,
                UNNEST(list_transform(range(1, len(ts) - {SS_W} + 2),
                  i -> struct_pack(pos := i - 1,
@@ -3377,8 +3398,8 @@ g AS (
                                     list_slice(ts, i, i + {SS_W} - 1), ' ')))) AS u
         FROM t WHERE len(ts) >= {SS_W})
 ),
-dup AS (SELECT gg FROM g GROUP BY gg HAVING COUNT(*) >= 2),
-seeds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gg)),
+dup AS (SELECT gg1, gg2 FROM g GROUP BY gg1, gg2 HAVING COUNT(*) >= 2),
+seeds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gg1, gg2)),
 fl AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER w IS NULL

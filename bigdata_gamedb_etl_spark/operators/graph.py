@@ -767,11 +767,18 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         if reliable:
             _drop_ckpt(prev_ckpt)
             prev_ckpt = _ckpt_file(surv)
+    # r12 (ADVICE): the final aggregate re-applies the degree >= k
+    # gate.  At test SFs peeling has converged by KCORE_ROUNDS (the
+    # invariant test proves it), but at a scale where it has NOT, a
+    # bare emit would silently violate min(core_degree) >= k — this
+    # filter makes a non-converged run drop the not-yet-peeled nodes
+    # instead of reporting them as core members.
     final = (
         e.join(surv, "src")
         .join(surv.select(F.col("src").alias("dst")), "dst")
         .groupBy("src")
         .agg(F.count("*").alias("core_degree"))
+        .where(F.col("core_degree") >= KCORE_K)
     )
     return final.select(
         F.col("src").alias("doc_id"), "core_degree"
@@ -802,7 +809,7 @@ SELECT sym.src AS doc_id, COUNT(*) AS core_degree
 FROM sym
 JOIN s{KCORE_ROUNDS} a ON sym.src = a.src
 JOIN s{KCORE_ROUNDS} b ON sym.dst = b.src
-GROUP BY sym.src
+GROUP BY sym.src HAVING COUNT(*) >= {KCORE_K}
 ORDER BY doc_id
 """
     )

@@ -1952,12 +1952,28 @@ def pipeline_temperature_mixture(
         ).cast("long")
         % 100
     )
-    return (
+    # r12 (ADVICE): LEFT join the kept counts back onto the rates
+    # table so a language whose md5 gate kept zero docs still reports
+    # n_kept=0 — an inner join here made "all kept 0" indistinguishable
+    # from "language missing", and downstream totals silently dropped
+    # the row.
+    kept = (
         d.select("lang", bucket.alias("bucket"))
-        .join(F.broadcast(rates), "lang")
+        .join(F.broadcast(rates.select("lang", "rate_pct")), "lang")
         .where(F.col("bucket") < F.col("rate_pct"))
-        .groupBy("lang", "n_docs", "w", "target_docs", "rate_pct")
+        .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "w",
+            "target_docs",
+            "rate_pct",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
         .orderBy("lang")
     )
 
@@ -1984,8 +2000,9 @@ s AS (
              AS INTEGER) % 100 < r.rate_pct
   GROUP BY d.lang
 )
-SELECT r.lang, r.n_docs, r.w, r.target_docs, r.rate_pct, s.n_kept
-FROM r JOIN s USING (lang)
+SELECT r.lang, r.n_docs, r.w, r.target_docs, r.rate_pct,
+       CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN s USING (lang)
 ORDER BY lang
 """
 

@@ -23,6 +23,8 @@ full rescan per question.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -285,6 +287,22 @@ _HLL_TAIL_BITS = 60 - HLL_P  # 48-bit tail; rank ∈ [1, 49]
 #: Python-computed literal so both engines parse the identical double.
 _HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
 
+#: Linear-counting estimates floor(m·ln(m/v) + 0.5) precomputed in
+#: Python for every possible v_zero ∈ [1, m] (r12, ADVICE): the LC
+#: branch was the ONE non-integer-exact computation in the
+#: oracle-checked surface — Spark's Math.log and DuckDB's ln() are not
+#: guaranteed correctly rounded, so a 1-ulp divergence could flip the
+#: rounded estimate.  The estimate is a pure function of v_zero, so
+#: both engines now read the SAME integer literals (Spark via a
+#: broadcast lookup join, DuckDB via a list_extract over the literal
+#: array) and no engine libm ever runs.  The remaining double
+#: arithmetic (the raw branch's mul/div and its <= 2.5m gate) is
+#: IEEE-mandated correctly rounded, hence engine-exact.
+_HLL_LC_USERS = [
+    int(math.floor(HLL_M * math.log(HLL_M / v) + 0.5))
+    for v in range(1, HLL_M + 1)
+]
+
 
 def _hll_rank_case() -> str:
     """Shared CASE text: rank = 1 + leading-zeros of the 48-bit tail
@@ -340,10 +358,18 @@ def sketch_hll_mulmod_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type"
     ).agg(F.count("*").alias("days_merged"))
     est_raw = F.lit(_HLL_ALPHA_M2) * F.lit(float(1 << (_HLL_TAIL_BITS + 1))) / F.col("s_scaled")
-    est = F.when(
+    # linear counting via the shared Python-literal lookup (see
+    # _HLL_LC_USERS) — broadcast join on v_zero, no engine log()
+    lc = F.broadcast(
+        spark.createDataFrame(
+            [(v + 1, u) for v, u in enumerate(_HLL_LC_USERS)],
+            "v_zero BIGINT, lc_users BIGINT",
+        )
+    )
+    users = F.when(
         (est_raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
-    ).otherwise(est_raw)
+        F.col("lc_users"),
+    ).otherwise(F.floor(est_raw + F.lit(0.5)).cast("long"))
     return (
         state.withColumn(
             "s_scaled",
@@ -351,12 +377,13 @@ def sketch_hll_mulmod_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("v_zero") * F.lit(1 << (_HLL_TAIL_BITS + 1)),
         )
         .join(days, "event_type")
+        .join(lc, "v_zero", "left")
         .select(
             "event_type",
             "days_merged",
             "v_zero",
             "s_scaled",
-            F.floor(est + F.lit(0.5)).cast("long").alias("approx_users"),
+            users.alias("approx_users"),
         )
         .orderBy("event_type")
     )
@@ -397,15 +424,15 @@ full_state AS (
   FROM state s JOIN days d USING (event_type)
 )
 SELECT event_type, days_merged, v_zero, s_scaled,
-       CAST(floor(
-         CASE WHEN CAST({_HLL_ALPHA_M2!r} AS DOUBLE) * {float(1 << shift)!r}
-                     / s_scaled <= 2.5 * {HLL_M}
-                AND v_zero > 0
-              THEN CAST({float(HLL_M)!r} AS DOUBLE)
-                   * ln(CAST({float(HLL_M)!r} AS DOUBLE) / v_zero)
-              ELSE CAST({_HLL_ALPHA_M2!r} AS DOUBLE) * {float(1 << shift)!r}
-                   / s_scaled
-         END + 0.5) AS BIGINT) AS approx_users
+       CASE WHEN CAST({_HLL_ALPHA_M2!r} AS DOUBLE) * {float(1 << shift)!r}
+                   / s_scaled <= 2.5 * {HLL_M}
+              AND v_zero > 0
+            THEN list_extract([{", ".join(map(str, _HLL_LC_USERS))}],
+                              CAST(v_zero AS INTEGER))
+            ELSE CAST(floor(CAST({_HLL_ALPHA_M2!r} AS DOUBLE)
+                            * {float(1 << shift)!r} / s_scaled + 0.5)
+                      AS BIGINT)
+       END AS approx_users
 FROM full_state
 ORDER BY event_type
 """

@@ -51,136 +51,80 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-11 head (r10 verdict items 1/2/5): the consolidation round —
-# the whole MLlib ANN family flipped onto the oracle-checked
-# integer-Lloyd machinery (5 rechecks), one new composed tier
-# (IVFPQ), and the rotation tail CLEARED: all 18 remaining r5-age
-# queries (the 19 the r10 verdict named minus sim_pq_topk, which
-# moved to RECHECK by changing) plus the alphabetically-first 3 of
-# the 44 r6-age queries fill the spare slots.  Late-r11 additions:
-# substring spans + their cut-applied emit, prefix-filter Jaccard,
-# SNM blocking, CDC chunking, the quantile histogram, k-core, the
-# temperature mixture, the two sketch flips, and the repeated-spans
-# let-binding rewrite push NEW + RECHECK to 17, so the rotation
-# keeps 21 slots (18 r5-age + 3 r6-age).  All 12 CONTROLS keep
-# window slots, as always.
-ROUND11_NEW: list[str] = [
-    # IVF+PQ composed (FAISS IVFPQ, no-residual flavor): coarse
-    # integer-Lloyd probe × PQ-ADC scoring — the production serving
-    # shape where both cost multipliers (nprobe/k corpus fraction,
-    # 1-byte codes) compound; oracle-checked end-to-end by splicing
-    # the two proven CTE chains
-    "sim_ivf_pq_topk",
-    # exact-substring duplicate spans (Lee et al. 2021 cut-list
-    # flavor): duplicated width-8 gram seeds → per-doc
-    # gaps-and-islands merge into maximal cut intervals; linear, no
-    # pairwise joins, oracle-backed via SQL window functions
-    "dedup_substring_spans",
-    # hand-rolled engine-reproducible HLL (md5 registers, scaled-
-    # BIGINT register sum) with the per-day partial / register-max
-    # merge shape — the sketch family's first oracle-checked member;
-    # the native Datasketches tiers stay rows-only by design
-    "sketch_hll_mulmod_merge",
-    # AllPairs/PPJoin prefix filtering: exact Jaccard join with NO df
-    # cap and no recall trade — self-join over df-ordered prefixes
-    # only, array_intersect verify; shares the spec-form oracle with
-    # the inverted-index variant, so parity proves the rewrite
-    "dedup_prefix_jaccard_pairs",
-    # content-defined chunking (LBFS/FastCDC): md5-gated cut points,
-    # per-doc array work, 16-byte chunk digests in the dedup shuffle;
-    # one-row corpus storage-dedup report, oracle-backed
-    "dedup_cdc_chunks",
-    # decimal-log quantile histogram — completes the mergeable sketch
-    # trio (distinct=HLL, frequency=CM, quantiles=here); pure integer
-    # binning so the sketch state is engine-exact, oracle-backed, with
-    # the true quantile guaranteed inside the reported bin
-    "sketch_logbin_quantiles",
-    # the cut list APPLIED: corpus re-emitted with duplicated spans
-    # removed (Lee et al. cut semantics) — span structs collapse to
-    # one row per affected doc, LEFT join back, per-doc array cut
-    "dedup_cut_spans_emit",
-    # k-core of the near-dup graph: fixed synchronous peel rounds
-    # (LPA discipline), unrolled-CTE oracle; convergence proven by
-    # the output's own min(core_degree) >= k invariant
-    "graph_kcore_membership",
-    # sorted-neighborhood (SNM) candidate generation — the third
-    # classic blocking strategy next to LSH bands and key blocking:
-    # per-shard sort + lead() offsets, zero self-joins
-    "dedup_sorted_neighborhood_pairs",
-    # α=1/2 temperature mixture (the multilingual-LM resampling
-    # recipe) — sqrt is IEEE-correctly-rounded so the whole rate
-    # pipeline is engine-exact integers; md5 keep gate
-    "pipeline_temperature_mixture",
-]
+# Round-12 head (r11 verdict items 2/4 + the five ADVICE fixes): one
+# new ANN tier (residual IVFPQ — the full Jégou IVFADC shape, the
+# documented next knob), five RECHECKs from the ADVICE robustness
+# fixes (all semantics-visible: the temperature mixture now LEFT-joins
+# so zero-kept languages surface as n_kept=0; k-core re-applies the
+# degree>=k gate on emit; the HLL linear-counting branch reads a
+# shared Python-literal integer lookup instead of engine log(); the
+# substring-span gram key widened to the full md5 as two BIGINTs —
+# spans + the cut emit both re-queued), and the rotation drains 32 of
+# the 41 r6-age queries, leaving 9 in the tail (goal was ≤20).  All
+# 12 CONTROLS keep window slots, as always.
+ROUND12_NEW: list[str] = []
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the
 #: head of the window.
 RECHECK_CHANGED: list[str] = [
-    # r10 verdict item 1 — the MLlib float-Lloyd fits (the last
-    # rows-only ANN surface) retired: base/multiprobe tiers and the
-    # recall curve rebased onto the integer-Lloyd codebook, all three
-    # now oracle-backed
-    "sim_ivf_topk",
-    "sim_ivf_multiprobe_topk",
-    "sim_ivf_recall_curve",
-    # repurposed from the r10 proving query into the full-train-axis
-    # variant (so no two registry entries compute the same result)
-    "sim_ivf_int_topk",
-    # r10 verdict item 5 — PQ sub-codebooks on the integer recipe
-    # (joint Lloyd across all 16 subspaces, md5-ordered seeds),
-    # oracle-backed end-to-end; was rows-only on 16 MLlib fits
-    "sim_pq_topk",
-    # CM sketch cells rebased from xxhash64 onto the md5 mulmod
-    # permutation family (the r10 minhash play) — the sketch is now
-    # engine-reproducible cell-for-cell and carries a full DuckDB
-    # oracle; was rows-only since r5
-    "sketch_cm_heavy_hitters",
-    # plan-only rewrite: the window expression now let-binds the token
-    # array (2.2 s → 1.0 s at sf0.1 — Catalyst was re-running
-    # split(text) per window position); same result, new plan shape
-    "text_repeated_spans",
+    # ADVICE r12: zero-kept languages now emitted with n_kept=0
+    # (LEFT join + coalesce in both engines)
+    "pipeline_temperature_mixture",
+    # ADVICE r12: final aggregate re-applies degree >= k so a
+    # non-converged peel drops rather than mis-reports
+    "graph_kcore_membership",
+    # ADVICE r12: linear-counting branch flipped onto the
+    # _HLL_LC_USERS Python-literal lookup — no engine libm
+    "sketch_hll_mulmod_merge",
+    # ADVICE r12: gram key widened to the full md5 as two 60-bit
+    # BIGINTs (collision-safe at 10^9+ grams); both the span listing
+    # and its cut-applied consumer re-queued
+    "dedup_substring_spans",
+    "dedup_cut_spans_emit",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
 #: (the staleness guard goes red and names land here).
 RECONFIRM_STALE: list[str] = []
 
-#: r11: the ENTIRE remaining r5-age tail (18 — the r10 verdict's 19
-#: minus sim_pq_topk, rechecking above) plus the alphabetically-first
-#: 3 of the 44 r6-age queries (was 14 until the late-r11 additions
-#: above took 11 window slots: the tail dedup_survivorship_funnel/
-#: dq_completeness_profile/dq_contamination_scorecard/
-#: dq_distribution_drift/dq_quarantine_mart/events_audience_overlap/
-#: graph_pagerank/j2/j3/j4/j5 slid back to the r6 batch, which keeps
-#: draining in r12).  After
-#: this round no query's newest driver green predates r6.  All
-#: unchanged since their last green and locally re-verified every
-#: run by test_oracle_parity.
+#: r12 (r11 verdict item 2): 32 of the 41 queries whose newest driver
+#: green is r6 — alphabetical order; the remaining 9 (tpch_q16 through
+#: w2, alphabetically last) drain in r13.  All unchanged since their
+#: last green and locally re-verified every run by test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
-    # the r5-age tail, cleared in full (r10 verdict item 2)
-    "mart_incremental_refresh",
-    "mart_nation_customer_index",
-    "o6_seeded_sample",
-    "p1_pivot_event_counts",
-    "p2_unpivot_charges",
-    "pipeline_feature_hash_profile",
-    "pipeline_length_buckets",
-    "pipeline_per_group_sample",
-    "sql_json_props_stats",
-    "stat_corr_matrix",
-    "text_pmi_collocations",
-    "text_tfidf_top_terms",
-    "ts_gapfill_locf",
-    "ts_ohlc_hourly",
-    "w10_ewma_monthly_revenue",
-    "w11_mom_revenue_growth",
-    "w12_cumulative_distinct_users",
-    "w7_ntile_quartiles",
-    # alphabetically-first 3 of the r6-age batch
-    "dedup_containment_pairs",
-    "dedup_keeper_selection",
-    "dedup_simhash_signatures",
+    "dedup_survivorship_funnel",
+    "dq_completeness_profile",
+    "dq_contamination_scorecard",
+    "dq_distribution_drift",
+    "dq_quarantine_mart",
+    "events_audience_overlap",
+    "graph_pagerank",
+    "j2_customers_with_orders",
+    "j3_customers_without_orders",
+    "j4_customer_order_counts",
+    "j5_nations_with_both",
+    "j6_nations_customers_only",
+    "j7_union_acctbal_ledger",
+    "j8_brand_supplier_revenue",
+    "mart_scd2_user_state",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "pipeline_curriculum_order",
+    "pipeline_weighted_sample",
+    "text_bigram_logprob",
+    "text_bigram_topk",
+    "text_char_entropy",
+    "text_fingerprint",
+    "text_langid",
+    "text_langid_confusion",
+    "text_quality",
+    "text_regex_token_stats",
+    "text_stats",
+    "tpch_q10_returned_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
 ]
 
 CONTROLS = [
@@ -193,7 +137,7 @@ CONTROLS = [
 ]
 
 PRIORITY = (
-    ROUND11_NEW + RECHECK_CHANGED + RECONFIRM_STALE
+    ROUND12_NEW + RECHECK_CHANGED + RECONFIRM_STALE
     + RECONFIRM_ROTATION + CONTROLS
 )
 

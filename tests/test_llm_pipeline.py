@@ -1442,11 +1442,15 @@ def test_substring_spans_invariants(spark, sf):
                 b,
             )
     # every span's opening seed is a genuinely duplicated gram
-    seed_keys = _ss_seeds(spark, sf).groupBy("g").count()
+    # (composite 120-bit md5 key since r12 — see _ss_seeds)
+    seed_keys = _ss_seeds(spark, sf).groupBy("g1", "g2").count()
     dup_seed_positions = {
         (r["doc_id"], r["pos"])
         for r in _ss_seeds(spark, sf)
-        .join(seed_keys.where(F.col("count") >= 2).select("g"), "g")
+        .join(
+            seed_keys.where(F.col("count") >= 2).select("g1", "g2"),
+            ["g1", "g2"],
+        )
         .collect()
     }
     for r in spans:
@@ -1600,6 +1604,16 @@ def test_temperature_mixture_flattens_the_head(spark, sf):
 
     rows = pipeline_temperature_mixture(spark, sf).collect()
     assert rows
+    # r12: the LEFT-join fix guarantees EVERY corpus language appears
+    # exactly once (n_kept = 0 rather than a missing row), which is
+    # what makes the Σ n_docs totals below well-defined.
+    from bigdata_gamedb_etl_spark.sources.catalog import table
+
+    all_langs = {
+        r["lang"]
+        for r in table(spark, sf, "documents").select("lang").distinct().collect()
+    }
+    assert {r["lang"] for r in rows} == all_langs
     total = sum(r["n_docs"] for r in rows)
     assert sum(r["target_docs"] for r in rows) <= total
     assert sum(r["target_docs"] for r in rows) >= total - len(rows)
