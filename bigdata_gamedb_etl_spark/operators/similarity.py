@@ -26,7 +26,7 @@ the corpus); LSH/IVF cut the scan to a bucket subset.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
@@ -1669,6 +1669,435 @@ SIM_IVF_PQ_ORACLE = _ivf_pq_oracle()
 
 
 # --------------------------------------------------------------------------
+# Residual-encoding IVF+PQ (r12 — the knob the r11 IVFPQ docstring
+# documented as next): the full Jégou et al. 2011 IVFADC shape.  The
+# no-residual tier above quantizes the unit vectors themselves, so all
+# PQ_K sub-codes per subspace must cover the WHOLE sphere; here each
+# vector is decomposed as u = cunit(cell) + r, the per-cell
+# sub-codebooks quantize only the residual r — a far smaller, roughly
+# centered domain — and the ADC score adds a per-cell offset
+# dot(q, cunit) to the residual lookup-adds.  Cost: k× the model
+# (IVF_CELLS × PQ_M × PQ_K sub-centroids ≈ 16·16·16·4 ints — still
+# model-sized) for recall the shared codebook can't reach once cells
+# are tight.
+#
+# Exactness: cunit is the coarse centroid unit-quantized by the SAME
+# floor(x·1e6/sqrt(n2) + 0.5) recipe as the vectors (each step a
+# single correctly-rounded IEEE op both engines repeat verbatim), so
+# residuals, codebooks, lookup tables, and the final scaled score are
+# all exact integers until the one final ROUND.
+
+
+def _unit_centroids(cents: dict[int, list[int]]) -> dict[int, list[int]]:
+    """Unit-quantize the coarse codebook into the residual basis —
+    driver math on k·dim ints; a zero-norm centroid (possible only on
+    degenerate corpora) maps to the zero vector so its residuals are
+    the unit vectors themselves, exactly as the oracle's CASE does."""
+    import math
+
+    out: dict[int, list[int]] = {}
+    for cell, c in cents.items():
+        n2 = sum(x * x for x in c)
+        if n2 == 0:
+            out[cell] = [0] * len(c)
+        else:
+            s = math.sqrt(float(n2))
+            out[cell] = [
+                int(math.floor(x * 1000000.0 / s + 0.5)) for x in c
+            ]
+    return out
+
+
+def _rpq_residuals(
+    uq: DataFrame, assigned: DataFrame, cunit: dict[int, list[int]]
+) -> DataFrame:
+    """(vec_id, cell, r bigint[64]) — unit vector minus its cell's
+    unit-quantized centroid.  The centroid table is model-sized and
+    broadcast; the subtraction is one zip_with per row."""
+    spark = uq.sparkSession
+    cu_df = spark.createDataFrame(
+        [(cell, v) for cell, v in sorted(cunit.items())],
+        "cell int, cu array<bigint>",
+    )
+    return (
+        uq.join(assigned.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(cu_df), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("u", "cu", lambda a, b: a - b).alias("r"),
+        )
+    )
+
+
+def _rpq_subspaces(res: DataFrame) -> DataFrame:
+    """(vec_id, cell, j, sub bigint[PQ_SUBDIM]) — the residual analog
+    of _pq_subspaces, carrying the cell through."""
+    return res.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice("r", j * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "sub"
+                        ),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "cell", "x.j", "x.sub")
+
+
+def _rpq_assign(
+    subs: DataFrame, cents: dict[tuple[int, int, int], list[int]]
+) -> DataFrame:
+    """Nearest residual sub-centroid per (vec, subspace) under that
+    vec's CELL codebook — one Arrow-batched integer GEMM pass, batch
+    grouped by (cell, j) inside the UDF.  Callers must pre-filter to
+    cells that HAVE a codebook (cells with ≥1 train member keep one
+    for every j — each train vector stays in its cell, so the per-
+    (cell, j) GROUP BY never empties while the cell has members)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    books: dict[tuple[int, int], tuple] = {}
+    for cell, j in sorted({(c, j) for c, j, _ in cents}):
+        codes = sorted(k for cc, jj, k in cents if cc == cell and jj == j)
+        books[(cell, j)] = (
+            np.asarray(codes, dtype=np.int64),
+            np.asarray(
+                [cents[(cell, j, k)] for k in codes], dtype=np.int64
+            ),
+        )
+
+    @pandas_udf(IntegerType())
+    def codeof(cells, js, sub):
+        if not len(js):
+            return pd.Series([], dtype="int32")
+        out = np.zeros(len(js), dtype=np.int64)
+        key = cells.to_numpy().astype(np.int64) * PQ_M + js.to_numpy()
+        for kk in np.unique(key):
+            idx = np.where(key == kk)[0]
+            ids, C = books[(int(kk) // PQ_M, int(kk) % PQ_M)]
+            E = np.vstack(sub.iloc[idx].to_numpy()).astype(np.int64)
+            # argmin of dist² == argmin of (−2·e·c + |c|²); all int64,
+            # no overflow: residual coords ≤ ~2.2e6, PQ_SUBDIM=4 dims
+            score = -2 * (E @ C.T) + (C * C).sum(axis=1)[None, :]
+            out[idx] = ids[np.argmin(score, axis=1)]
+        return pd.Series(out.astype("int32"))
+
+    return subs.withColumn("code", codeof("cell", "j", "sub"))
+
+
+def _rpq_int_fit(
+    res_train: DataFrame,
+) -> dict[tuple[int, int, int], list[int]]:
+    """PQ_INT_ITERS rounds of joint integer Lloyd over PER-CELL
+    sub-codebooks — _pq_int_fit with every key widened by the cell.
+    Seeds: within each cell, the residual subvectors of the PQ_K train
+    vec_ids sorting first by md5(vec_id) (ROW_NUMBER PARTITION BY cell
+    — the oracle repeats it verbatim); the same vectors seed every
+    subspace of their cell.  Driver traffic per round is the
+    IVF_CELLS·PQ_M·PQ_K·PQ_SUBDIM-int codebook — model-sized."""
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string"))
+    )
+    seed = (
+        res_train.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PQ_K)
+        .select("cell", (F.col("rn") - 1).alias("code"), "r")
+        .take(IVF_CELLS * PQ_K)
+    )
+    cents: dict[tuple[int, int, int], list[int]] = {}
+    for row in seed:
+        r = [int(v) for v in row["r"]]
+        for j in range(PQ_M):
+            cents[(int(row["cell"]), j, int(row["code"]))] = r[
+                j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM
+            ]
+    if not cents:
+        return {}
+    subs_train = _rpq_subspaces(res_train)
+    for _ in range(PQ_INT_ITERS):
+        rows = (
+            _rpq_assign(subs_train, cents)
+            .select(
+                "cell", "j", "code", F.posexplode("sub").alias("dim", "v")
+            )
+            .groupBy("cell", "j", "code", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select("cell", "j", "code", "dim", F.expr(_TRUNC_DIV).alias("c"))
+            .groupBy("cell", "j", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias(
+                    "dc"
+                )
+            )
+            .take(IVF_CELLS * PQ_M * PQ_K)
+        )
+        cents = {
+            (int(r["cell"]), int(r["j"]), int(r["code"])): [
+                int(x["c"]) for x in r["dc"]
+            ]
+            for r in rows
+        }
+    return cents
+
+
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC serving: coarse probe → per-cell residual PQ
+    codes → ADC score = per-cell offset dot(q, cunit) + PQ_M residual
+    lookup-adds.  Measured recall@20 vs exact at sf0.001/0.01/0.1:
+    0.50 / 0.75 / 0.45 vs the no-residual tier's 0.40 / 0.70 / 0.45 —
+    residual encoding wins at the two smaller SFs and ties at sf0.1
+    (recorded per r11 verdict item 4; the tie is the probe filter
+    binding, not the quantizer — both tiers share the coarse stage
+    and at sf0.1 its misses dominate).
+
+    Scale: identical serving shape to sim_ivf_pq_topk (nprobe/k corpus
+    fraction × 1-byte codes) plus one broadcast model-sized centroid
+    table for the residual subtraction; the fit adds a cell dimension
+    to every aggregation key but no new shuffle.  Production persists
+    the code table; the encode here runs only over the probed slice
+    (per-vector encoding is independent, so the result is identical)."""
+    assigned, cents, qrow = _ivf_int_build(spark, sf_dir)
+    empty = "vec_id bigint, cell int, approx_cosine double"
+    if not cents or qrow is None:
+        return spark.createDataFrame([], empty)
+    cunit = _unit_centroids(cents)
+    uq = _pq_unit_quantized(spark, sf_dir)
+    res_train = _rpq_residuals(
+        uq.where(_int_train_gate()), assigned, cunit
+    )
+    rcents = _rpq_int_fit(res_train)
+    if not rcents:
+        return spark.createDataFrame([], empty)
+    q = uq.where(F.col("vec_id") == QUERY_VEC_ID).first()
+    if q is None:
+        return spark.createDataFrame([], empty)
+    qu = [int(v) for v in q["u"]]
+    # query-side model math: per-(cell, j, code) residual partial dots
+    # plus the per-cell centroid offset — both exact integers
+    lut = [
+        (
+            cell,
+            j,
+            code,
+            sum(
+                a * b
+                for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
+            ),
+        )
+        for (cell, j, code), c in sorted(rcents.items())
+    ]
+    lut_df = spark.createDataFrame(
+        lut, "cell int, j int, code int, pdot bigint"
+    )
+    off = [
+        (cell, sum(a * b for a, b in zip(qu, cu)))
+        for cell, cu in sorted(cunit.items())
+    ]
+    off_df = spark.createDataFrame(off, "cell int, odot bigint")
+    probe = _int_probe_order([int(v) for v in qrow["e"]], cents)[
+        :IVF_NPROBE
+    ]
+    covered = {cell for cell, _, _ in rcents}
+    cand = (
+        assigned.where(
+            F.col("cell").isin([c for c in probe if c in covered])
+        )
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    enc = _rpq_assign(
+        _rpq_subspaces(
+            _rpq_residuals(uq.join(cand.select("vec_id"), "vec_id"),
+                           assigned, cunit)
+        ),
+        rcents,
+    )
+    return (
+        enc.join(F.broadcast(lut_df), ["cell", "j", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("pdot").alias("s"))
+        .join(F.broadcast(off_df), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                (F.col("odot") + F.col("s")).cast("double")
+                / F.lit(1000000000000.0),
+                4,
+            ).alias("approx_cosine"),
+        )
+        .orderBy(F.col("approx_cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _rpq_chain_ctes() -> list[str]:
+    """The residual-PQ oracle chain, spliced AFTER _ivf_chain_ctes
+    (which owns qe0/tr/c*/afin/qx/qn/pk): unit vectors, unit-quantized
+    centroids, residuals, per-cell seeds, PQ_INT_ITERS per-cell Lloyd
+    rounds, full encoding, and the query-side lookup + offset tables —
+    every key carries the cell, otherwise the sim_pq_topk chain
+    verbatim."""
+    cn = f"c{IVF_INT_ITERS}"
+    dist2 = (
+        "CAST(list_sum(list_transform(range(1, len(v.sub) + 1),"
+        " d -> (v.sub[d] - c.c[d]) * (v.sub[d] - c.c[d]))) AS BIGINT)"
+    )
+    trunc_div = _TRUNC_DIV.replace(" DIV ", " // ")
+    ctes = [
+        """run AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(
+             CAST(x AS DOUBLE) * 1000000.0 / sqrt(CAST(n2 AS DOUBLE))
+             + 0.5) AS BIGINT)) AS u
+  FROM (
+    SELECT vec_id, e,
+           CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS n2
+    FROM qe0
+  )
+  WHERE n2 > 0
+)""",
+        f"""cu AS MATERIALIZED (
+  SELECT cell,
+         CASE WHEN n2 > 0 THEN
+           list_transform(c, x -> CAST(floor(
+               CAST(x AS DOUBLE) * 1000000.0 / sqrt(CAST(n2 AS DOUBLE))
+               + 0.5) AS BIGINT))
+         ELSE list_transform(c, x -> CAST(0 AS BIGINT)) END AS cu
+  FROM (
+    SELECT cell, c,
+           CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS n2
+    FROM {cn}
+  )
+)""",
+        """res AS MATERIALIZED (
+  SELECT u.vec_id, a.cell,
+         list_transform(range(1, len(u.u) + 1),
+                        d -> u.u[d] - cu.cu[d]) AS r
+  FROM run u
+  JOIN afin a ON u.vec_id = a.vec_id
+  JOIN cu ON a.cell = cu.cell
+)""",
+        f"""rsub AS MATERIALIZED (
+  SELECT vec_id, cell, j,
+         r[j * {PQ_SUBDIM} + 1 : (j + 1) * {PQ_SUBDIM}] AS sub
+  FROM res, (SELECT UNNEST(range(0, {PQ_M})) AS j)
+)""",
+        "rtr AS MATERIALIZED (SELECT vec_id, cell, j, sub FROM rsub WHERE "
+        + _INT_TRAIN_GATE_DUCK
+        + ")",
+        f"""rc0 AS (
+  SELECT cell, j, CAST(rn - 1 AS INTEGER) AS code, sub AS c
+  FROM (
+    SELECT cell, j, sub,
+           ROW_NUMBER() OVER (
+             PARTITION BY cell, j ORDER BY md5(CAST(vec_id AS VARCHAR))
+           ) AS rn
+    FROM rtr
+  ) WHERE rn <= {PQ_K}
+)""",
+    ]
+    for i in range(1, PQ_INT_ITERS + 1):
+        ctes.append(
+            f"""ra{i} AS MATERIALIZED (
+  SELECT vec_id, cell, j, FIRST(code ORDER BY dist2, code) AS code
+  FROM (
+    SELECT v.vec_id, v.cell, v.j, c.code, {dist2} AS dist2
+    FROM rtr v JOIN rc{i - 1} c ON v.cell = c.cell AND v.j = c.j
+  ) GROUP BY vec_id, cell, j
+)"""
+        )
+        ctes.append(
+            f"""rc{i} AS MATERIALIZED (
+  SELECT cell, j, code,
+         list(CAST({trunc_div} AS BIGINT) ORDER BY dim) AS c
+  FROM (
+    SELECT a.cell, a.j, a.code, x.dim, SUM(x.v) AS s, COUNT(*) AS n
+    FROM (SELECT vec_id, j, UNNEST(sub) AS v,
+                 UNNEST(range(1, len(sub) + 1)) AS dim FROM rtr) x
+    JOIN ra{i} a ON x.vec_id = a.vec_id AND x.j = a.j
+    GROUP BY a.cell, a.j, a.code, x.dim
+  ) GROUP BY cell, j, code
+)"""
+        )
+    rcn = f"rc{PQ_INT_ITERS}"
+    ctes.append(
+        f"""rafin AS MATERIALIZED (
+  SELECT vec_id, cell, j, FIRST(code ORDER BY dist2, code) AS code
+  FROM (
+    SELECT v.vec_id, v.cell, v.j, c.code, {dist2} AS dist2
+    FROM rsub v JOIN {rcn} c ON v.cell = c.cell AND v.j = c.j
+  ) GROUP BY vec_id, cell, j
+)"""
+    )
+    ctes.append(
+        f"rqu AS (SELECT u AS qu FROM run WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    ctes.append(
+        f"""rlut AS (
+  SELECT c.cell, c.j, c.code,
+         CAST(list_sum(list_transform(range(1, len(c.c) + 1),
+             d -> q.qu[c.j * {PQ_SUBDIM} + d] * c.c[d])) AS BIGINT) AS pdot
+  FROM {rcn} c CROSS JOIN rqu q
+)"""
+    )
+    ctes.append(
+        """roff AS (
+  SELECT cu.cell,
+         CAST(list_sum(list_transform(range(1, len(cu.cu) + 1),
+             d -> q.qu[d] * cu.cu[d])) AS BIGINT) AS odot
+  FROM cu CROSS JOIN rqu q
+)"""
+    )
+    return ctes
+
+
+def _ivfpq_residual_oracle() -> str:
+    """DuckDB twin of sim_ivfpq_residual_topk: the IVF chain supplies
+    cells + probe order, the residual chain supplies per-cell codes,
+    lookups and offsets; the final select scores probed candidates as
+    offset + Σ pdot.  rafin encodes the WHOLE corpus where the Spark
+    op encodes only the probed slice — identical output because
+    per-vector encoding is independent of the probe filter."""
+    ctes = _ivf_chain_ctes(full_train=False)
+    ctes.append(
+        f"""probe AS (
+  SELECT cell FROM pk
+  ORDER BY {_PROBE_KEY_SQL} DESC, cell
+  LIMIT {IVF_NPROBE}
+)"""
+    )
+    ctes += _rpq_chain_ctes()
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a.vec_id, a.cell,
+       ROUND(CAST(o.odot + SUM(l.pdot) AS DOUBLE) / 1000000000000.0, 4)
+         AS approx_cosine
+FROM rafin a
+JOIN rlut l ON a.cell = l.cell AND a.j = l.j AND a.code = l.code
+JOIN roff o ON a.cell = o.cell
+WHERE a.cell IN (SELECT cell FROM probe)
+GROUP BY a.vec_id, a.cell, o.odot
+ORDER BY approx_cosine DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+    )
+
+
+SIM_IVFPQ_RESIDUAL_ORACLE = _ivfpq_residual_oracle()
+
+
+# --------------------------------------------------------------------------
 # Two-signal near-dup verdict: LEXICAL (word-3-gram Jaccard over
 # documents.text) fused with SEMANTIC (embedding cosine) similarity —
 # the cross-check large-corpus dedup pipelines run before dropping a
@@ -2536,6 +2965,7 @@ QUERIES = {
     "sim_sq8_topk": sim_sq8_topk,
     "sim_pq_topk": sim_pq_topk,
     "sim_ivf_pq_topk": sim_ivf_pq_topk,
+    "sim_ivfpq_residual_topk": sim_ivfpq_residual_topk,
     "sim_kmeans_lloyd_step": sim_kmeans_lloyd_step,
     "sim_centroid_outliers": sim_centroid_outliers,
     "sim_dim_variance_profile": sim_dim_variance_profile,
@@ -2572,4 +3002,5 @@ ORACLE = {
     "sim_ivf_recall_curve": SIM_IVF_CURVE_ORACLE,
     "sim_pq_topk": SIM_PQ_ORACLE,
     "sim_ivf_pq_topk": SIM_IVF_PQ_ORACLE,
+    "sim_ivfpq_residual_topk": SIM_IVFPQ_RESIDUAL_ORACLE,
 }

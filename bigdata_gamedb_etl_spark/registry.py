@@ -62,7 +62,14 @@ MODULES = [
 # spans + the cut emit both re-queued), and the rotation drains 32 of
 # the 41 r6-age queries, leaving 9 in the tail (goal was ≤20).  All
 # 12 CONTROLS keep window slots, as always.
-ROUND12_NEW: list[str] = []
+ROUND12_NEW: list[str] = [
+    # residual-encoding IVF+PQ (the full Jégou IVFADC shape, r11
+    # verdict item 4): per-cell sub-codebooks quantize u − cunit(cell)
+    # and the ADC score adds a per-cell offset — oracle-checked
+    # end-to-end by widening every key of the proven PQ chain with the
+    # cell; recall vs the no-residual tier recorded in the docstring
+    "sim_ivfpq_residual_topk",
+]
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the

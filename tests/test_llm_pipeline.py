@@ -352,6 +352,34 @@ def test_ivf_pq_composed_recall_and_probe_discipline(spark, sf):
 
 
 @pytest.mark.parametrize("sf", SF_DIRS)
+def test_ivfpq_residual_recall_and_probe_discipline(spark, sf):
+    """Residual IVFADC (r12): recall@20 vs exact must be ≥ the
+    composed no-residual tier's at the same SF (measured 0.50/0.75 vs
+    0.40/0.70 at the two small SFs, tied 0.45 at sf0.1 — the per-cell
+    residual codebooks can only refine the fine quantizer; the shared
+    coarse stage bounds both).  Probe discipline: ≤ IVF_NPROBE
+    distinct cells in the output.  Determinism at the cheap SF."""
+    exact = {
+        r["vec_id"] for r in similarity.sim_cosine_topk(spark, sf).collect()
+    }
+    rows = similarity.sim_ivfpq_residual_topk(spark, sf).collect()
+    got = {r["vec_id"] for r in rows}
+    recall = len(got & exact) / len(exact)
+    nores = {
+        r["vec_id"] for r in similarity.sim_ivf_pq_topk(spark, sf).collect()
+    }
+    recall_nores = len(nores & exact) / len(exact)
+    assert recall >= recall_nores, (
+        f"residual recall {recall} < no-residual {recall_nores} at {sf}"
+    )
+    assert len(rows) <= similarity.TOP_K
+    assert len({r["cell"] for r in rows}) <= similarity.IVF_NPROBE
+    if sf.endswith("0.001"):
+        again = similarity.sim_ivfpq_residual_topk(spark, sf).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
 def test_pq_recall_vs_exact(spark, sf):
     """PQ-ADC top-k must overlap the exact cosine top-k: 16 subspaces ×
     16 codes on quantized-unit 64-dim vectors — recall@20 well above

@@ -518,6 +518,21 @@ def test_ivf_pq_composed_serving_plan(spark, sf_dir):
     assert plans.uses_broadcast_join(df)
 
 
+def test_ivfpq_residual_serving_plan(spark, sf_dir):
+    """The residual IVFADC serve keeps the composed tier's contracts
+    — broadcast ADC lookup + offset tables (both model-sized, now at
+    (cell, j, code) / cell grain), TakeOrderedAndProject final
+    ranking, no cartesian product — plus the residual subtraction's
+    centroid table joins broadcast too."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    df = similarity.sim_ivfpq_residual_topk(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plans.uses_broadcast_join(df)
+
+
 def test_lloyd_assignment_is_broadcast(spark, sf_dir):
     """KMeans assignment must probe BROADCAST centroids (k×d grain):
     no sort-merge join and no shuffle of the vector table keyed on
