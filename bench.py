@@ -164,6 +164,10 @@ EXTRAS = [
     "dedup_sorted_neighborhood_pairs",
     # temperature mixture: two tiny aggregates + one broadcast gate
     "pipeline_temperature_mixture",
+    # round-12: the residual IVFADC tier — the composed IVFPQ cost
+    # shape plus the per-cell residual fit (every PQ aggregation key
+    # widened by the cell) and the broadcast centroid subtraction
+    "sim_ivfpq_residual_topk",
 ]
 
 HEADLINE = SHARED12 + EXTRAS
@@ -247,6 +251,20 @@ SCALE_PROBE_QUERIES = [
     # replication grows edges with the factor (cross-replica edges
     # don't exist), so the ratio should track LPA's
     "graph_kcore_membership",
+    # round-12 (r11 verdict item 1): the three remaining >4.5 s benched
+    # queries with linearity claims but no probe datapoint —
+    # the composed IVFPQ (docstring claims the encode stage is
+    # probed-slice-bounded: candidates scale with the corpus but the
+    # per-vector encode cost is constant), the emit mart (broadcast-
+    # anti-join over per-doc maps — every stage one corpus scan), and
+    # PageRank (fixed rounds over the once-materialized edge list,
+    # same claim family as LPA/k-core)
+    "sim_ivf_pq_topk",
+    "pipeline_corpus_emit",
+    "graph_pagerank",
+    # and the r12 residual tier — same serving claim as the composed
+    # IVFPQ plus the per-cell fit's extra aggregation key
+    "sim_ivfpq_residual_topk",
 ]
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
@@ -563,6 +581,22 @@ def main() -> None:
                     spark, probe_dir
                 ),
             },
+            # r11 verdict item 3: the two ratios that sat above 3 for
+            # two rounds get the simhash treatment — index build vs
+            # pair emit (with the intrinsic C(df,2) pair mass) for the
+            # inverted-index Jaccard, and edge generation vs the
+            # min-label loop (with the converged round count) for the
+            # O(diameter) cluster assignment.
+            "jaccard_stages": {
+                "base": _jaccard_stage_breakdown(spark, SF_DIR),
+                "scaled": _jaccard_stage_breakdown(spark, probe_dir),
+            },
+            "cluster_assign_stages": {
+                "base": _cluster_assign_stage_breakdown(spark, SF_DIR),
+                "scaled": _cluster_assign_stage_breakdown(
+                    spark, probe_dir
+                ),
+            },
         }
 
     # per-query deltas vs the newest prior bench of the SAME testdata
@@ -756,6 +790,97 @@ def _simhash_stage_breakdown(spark, sf_dir: str) -> dict:
         "full_sec": full_sec,
         "candidate_verify_sec": round(max(0.0, full_sec - sig_sec), 3),
         "n_pairs": full.count(),
+    }
+
+
+def _jaccard_stage_breakdown(spark, sf_dir: str) -> dict:
+    """Per-stage cost of dedup_ngram_jaccard_pairs (r11 verdict item
+    3: the 3.2× probe ratio needed data, not a declaration).  Stages:
+
+      index_sec  — the inverted-index build alone (shingle explode,
+                   df count, df-capped posting collect): the part
+                   claimed LINEAR in corpus size
+      full_sec   — the whole query
+      emit_sec   — their difference: C(df,2) pair emit + per-pair agg,
+                   the part whose cost is the POSTING PAIR MASS
+      pair_mass  — Σ C(df,2) over surviving posting lists: the
+                   intrinsic pair count the emit stage must touch
+      n_pairs    — surviving (≥ threshold) output pairs
+
+    Verdict key: if scaled/base pair_mass grows like emit_sec, the
+    superlinear ratio is pair-mass inflation — a property of the
+    replica data (each replica's shingles collide only within itself,
+    but df within a replica is unchanged, so mass scales ~linearly
+    while the index's constant factors don't) — not a plan defect."""
+    from pyspark.sql import functions as F
+
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    t0 = time.perf_counter()
+    postings = dedup._jaccard_postings(spark, sf_dir)
+    _force(postings)
+    index_sec = round(time.perf_counter() - t0, 3)
+    pair_mass = postings.select(
+        F.size("docs").cast("long").alias("df")
+    ).agg(
+        F.sum(F.expr("df * (df - 1) DIV 2")).alias("m")
+    ).first()["m"]
+    t0 = time.perf_counter()
+    full = dedup.dedup_ngram_jaccard_pairs(spark, sf_dir)
+    _force(full)
+    full_sec = round(time.perf_counter() - t0, 3)
+    return {
+        "index_sec": index_sec,
+        "full_sec": full_sec,
+        "emit_sec": round(max(0.0, full_sec - index_sec), 3),
+        "pair_mass": int(pair_mass or 0),
+        "n_pairs": full.count(),
+    }
+
+
+def _cluster_assign_stage_breakdown(spark, sf_dir: str) -> dict:
+    """Per-stage cost of dedup_cluster_assign (r11 verdict item 3).
+    Stages:
+
+      edges_sec — the Jaccard pair generation (the input: everything
+                  _jaccard_stage_breakdown decomposes, charged once)
+      full_sec  — the whole query (pair generation + min-label loop)
+      loop_sec  — their difference: the O(diameter) iteration
+      rounds    — converged round count (replication preserves
+                  component shape, so rounds should NOT grow with the
+                  factor; a growing loop_sec/rounds per-round cost
+                  would implicate the loop itself)
+      n_edges   — undirected input pairs
+
+    Verdict key: if edges_sec carries the growth and loop_sec/rounds
+    stays ~linear in n_edges, the >3 ratio is inherited from the pair
+    generator (see jaccard_stages), not the iteration."""
+    from bigdata_gamedb_etl_spark.operators import dedup
+
+    # checkpoint the pairs so the loop timing below cannot lazily
+    # re-run the pair generation — the decomposition must not double-
+    # count the generator inside loop_sec
+    t0 = time.perf_counter()
+    pairs = (
+        dedup.dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    edges_sec = round(time.perf_counter() - t0, 3)
+    n_edges = pairs.count()
+    stats: dict = {}
+    t0 = time.perf_counter()
+    _force(dedup._min_label_components(pairs, False, stats))
+    loop_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _force(dedup.dedup_cluster_assign(spark, sf_dir))
+    full_sec = round(time.perf_counter() - t0, 3)
+    return {
+        "edges_sec": edges_sec,
+        "loop_sec": loop_sec,
+        "full_sec": full_sec,
+        "rounds": stats.get("rounds"),
+        "n_edges": n_edges,
     }
 
 

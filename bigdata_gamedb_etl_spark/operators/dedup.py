@@ -139,6 +139,32 @@ ORDER BY keeper_id
 
 
 # --------------------------------------------------------------------------
+def _jaccard_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index build alone — (s, docs: array<struct>) per
+    surviving shingle — factored out of _posting_pair_counts so the
+    bench scale probe can time index-build vs pair-emit separately
+    (r11 verdict item 3: the 3.2× probe ratio needed a stage
+    decomposition, not a declared guess)."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select(
+        "doc_id",
+        F.size("shs").alias("n"),
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    ex = ex.repartition(F.col("s"))
+    df_ok = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("s")
+    )
+    return (
+        ex.join(df_ok, "s")
+        .groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("docs"))
+    )
+
+
 def _posting_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared pair generator for the Jaccard and containment tiers:
     (d1, d2, common, n1, n2) per unordered doc pair sharing ≥1
@@ -149,37 +175,22 @@ def _posting_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30-byte strings and hashing after (string explode allocates a
     row copy per shingle).  The shuffle then moves longs; collision
     odds at 2^64 are ~1e-7 for millions of shingles — below oracle
-    noise."""
-    sh = _shingled(spark, sf_dir)
-    ex = sh.select(
-        "doc_id",
-        F.size("shs").alias("n"),
-        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("s"),
-    )
-    # df-filter BEFORE collecting the posting list: a size filter
-    # AFTER collect_list would still gather a viral shingle's entire
-    # posting list into one aggregation-buffer row (multi-GB on a
-    # boilerplate shingle at 100 TB — executor OOM before the filter
-    # runs).  The explicit repartition(s) gives the df-count branch
-    # and the join probe branch one IDENTICAL exchange subtree to
-    # share at runtime: with a bare groupBy, partial aggregation sits
-    # below that branch's exchange, the subtrees differ, and the
-    # corpus explode executes twice (measured +30% at sf0.1; with the
-    # repartition the wall clock matches the old unsafe one-shuffle
-    # form within noise).  Net cost: the tiny df_ok side, and the
-    # collect buffer is bounded by SHINGLE_DF_CAP structs.
-    ex = ex.repartition(F.col("s"))
-    df_ok = (
-        ex.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_CAP))
-        .select("s")
-    )
-    postings = (
-        ex.join(df_ok, "s")
-        .groupBy("s")
-        .agg(F.collect_list(F.struct("doc_id", "n")).alias("docs"))
-    )
+    noise.
+
+    The df-filter runs BEFORE collecting the posting list (inside
+    _jaccard_postings): a size filter AFTER collect_list would still
+    gather a viral shingle's entire posting list into one
+    aggregation-buffer row (multi-GB on a boilerplate shingle at
+    100 TB — executor OOM before the filter runs).  The explicit
+    repartition(s) there gives the df-count branch and the join probe
+    branch one IDENTICAL exchange subtree to share at runtime: with a
+    bare groupBy, partial aggregation sits below that branch's
+    exchange, the subtrees differ, and the corpus explode executes
+    twice (measured +30% at sf0.1; with the repartition the wall
+    clock matches the old unsafe one-shuffle form within noise).  Net
+    cost: the tiny df_ok side, and the collect buffer is bounded by
+    SHINGLE_DF_CAP structs."""
+    postings = _jaccard_postings(spark, sf_dir)
     # C(df,2) index pairs per posting list, ordered per-pair with a
     # CASE instead of sorting the list: `docs` is an aggregate OUTPUT
     # attribute, so referencing it repeatedly is free, whereas a
