@@ -214,6 +214,107 @@ def test_zero_norm_query_vector_yields_empty_topk(
         sim.sim_pq_topk,
         sim.sim_ivf_topk,
         sim.sim_ivf_multiprobe_topk,
+        sim.sim_ivfpq_residual_topk,
     ):
         rows = q(spark, zero_query_sf_dir).collect()
         assert rows == [], f"{q.__name__} returned rows for a zero query"
+
+
+# ---------------------------------------------------------------------------
+# r12 (r11 verdict item 5): pinned degenerate-OUTPUT invariants for the
+# r11 newcomers — the sweep above only bans crashes; these pin the
+# correct degenerate semantics.
+
+
+def test_cut_spans_emit_returns_short_docs_uncut(
+    spark, degenerate_sf_dir
+):
+    """Every degenerate doc is shorter than the SS_W=8 gram window, so
+    the cut list is EMPTY for all of them — and an empty cut list must
+    mean 'returned uncut', never 'dropped': the emit query's contract
+    is one output row per corpus document with kept == orig and
+    clean_text == the token-joined original."""
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        SS_W,
+        dedup_cut_spans_emit,
+        dedup_substring_spans,
+    )
+
+    # fixture contract: docs 1-5 carry 0/1/3/4/4 tokens, all < SS_W
+    assert SS_W > 4
+    spans = dedup_substring_spans(spark, degenerate_sf_dir).collect()
+    short_docs = {1, 2, 3, 4, 5}
+    assert all(r["doc_id"] not in short_docs for r in spans)
+    emit = {
+        r["doc_id"]: r
+        for r in dedup_cut_spans_emit(spark, degenerate_sf_dir).collect()
+    }
+    assert set(emit) == {1, 2, 3, 4, 5, 6}, "emit must cover every doc"
+    spanned = {r["doc_id"] for r in spans}
+    for doc_id, r in emit.items():
+        if doc_id not in spanned:
+            assert r["kept_tokens"] == r["orig_tokens"], r
+            assert r["removed_tokens"] == 0, r
+    # the empty doc specifically: zero tokens in, zero out, empty text
+    assert emit[1]["orig_tokens"] == 0
+    assert emit[1]["clean_text"] == ""
+    # doc 2 ("solo"): single token survives verbatim
+    assert emit[2]["clean_text"] == "solo"
+
+
+def test_kcore_with_no_kcore_in_graph_is_empty(spark, degenerate_sf_dir):
+    """The degenerate corpus's near-dup graph is exactly ONE edge (the
+    duplicated one-liner pair, docs 4/5) — a graph with no 2-core at
+    all: both endpoints have degree 1 < k and must peel, so k-core
+    must return an EMPTY frame with its normal schema rather than
+    throw on the empty survivor aggregations (every groupBy/join in
+    the peel loop runs over zero rows by round 2)."""
+    from bigdata_gamedb_etl_spark.operators.dedup import (
+        dedup_ngram_jaccard_pairs,
+    )
+    from bigdata_gamedb_etl_spark.operators.graph import (
+        graph_kcore_membership,
+    )
+
+    pairs = {
+        (r["d1"], r["d2"])
+        for r in dedup_ngram_jaccard_pairs(spark, degenerate_sf_dir).collect()
+    }
+    assert pairs == {(4, 5)}, "fixture drifted: expected the dup pair only"
+    df = graph_kcore_membership(spark, degenerate_sf_dir)
+    assert df.columns == ["doc_id", "core_degree"]
+    assert df.collect() == []
+
+
+def test_temperature_mixture_single_language_keeps_everything(
+    spark, tmp_path_factory
+):
+    """A one-language corpus is the rate_pct = 100 boundary: w = sum_w
+    so target == total (up to floor), the keep rate clamps at 100, and
+    EVERY doc passes the md5 gate — n_kept == n_docs exactly."""
+    import shutil as _sh
+
+    from bigdata_gamedb_etl_spark.operators.pipeline import (
+        pipeline_temperature_mixture,
+    )
+
+    d = tmp_path_factory.mktemp("single_lang_sf")
+    for name in TABLE_SCHEMAS:
+        if name == "documents":
+            continue
+        _sh.copy(f"{SRC_SF_DIR}/{name}.parquet", str(d / f"{name}.parquet"))
+    docs = [
+        (i, f"doc number {i} with some text", "zz", "mono", 25)
+        for i in range(1, 41)
+    ]
+    spark.createDataFrame(
+        docs, TABLE_SCHEMAS["documents"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    rows = pipeline_temperature_mixture(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lang"] == "zz"
+    assert r["rate_pct"] == 100
+    assert r["n_kept"] == r["n_docs"] == 40
