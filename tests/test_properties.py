@@ -690,6 +690,79 @@ def test_hll_rank_case_matches_bit_length(spark, tails):
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
+    data=st.lists(  # per-row: (cell, j, 4-dim residual subvector)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=2),
+            st.lists(
+                st.integers(min_value=-2_200_000, max_value=2_200_000),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    books=st.lists(  # per-entry: (cell, j, code, 4-dim sub-centroid)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=3),
+            st.lists(
+                st.integers(min_value=-2_200_000, max_value=2_200_000),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_rpq_assign_gemm_matches_spec_argmin(spark, data, books):
+    """The per-cell residual PQ assignment's integer-GEMM trick
+    (argmin of −2·e·c + |c|² over the row's OWN cell codebook, ties to
+    the smallest code) must equal the spec nearest-centroid: plain
+    Python min over dist² with the (dist², code) tie-break — on
+    arbitrary residual-range int vectors and arbitrary (possibly
+    gap-coded) per-cell codebooks.  The oracle checks this only on the
+    two fixed corpora; this pins the UDF itself, overflow headroom
+    and tie policy included."""
+    from bigdata_gamedb_etl_spark.operators.similarity import _rpq_assign
+
+    cents = {}
+    for cell, j, code, c in books:
+        cents[(cell, j, code)] = list(c)
+    covered = {(cell, j) for cell, j, _ in cents}
+    rows = [
+        (i, cell, j, list(sub))
+        for i, (cell, j, sub) in enumerate(data)
+        if (cell, j) in covered  # the documented caller contract
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, j int, sub array<long>"
+    )
+    got = {
+        r["vec_id"]: r["code"]
+        for r in _rpq_assign(df, cents).collect()
+    }
+    for vec_id, cell, j, sub in rows:
+        want = min(
+            (
+                (
+                    sum((a - b) * (a - b) for a, b in zip(sub, c)),
+                    code,
+                )
+                for (cc, jj, code), c in cents.items()
+                if cc == cell and jj == j
+            )
+        )[1]
+        assert got[vec_id] == want, (vec_id, cell, j, got[vec_id], want)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
     sets=st.lists(
         st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
         min_size=4,
