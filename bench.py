@@ -531,6 +531,19 @@ def main() -> None:
         ))
         return
 
+    # r12: the quiet verdict is scoped to the HEADLINE window (env
+    # captured here, right after the timing loop), not the whole
+    # process.  Rationale: the verdict adjudicates per-query DELTAS,
+    # which are headline timings; the scale probe that follows roughly
+    # doubles wall time, and a steal burst during it flipped three
+    # otherwise-clean r12 runs to quiet-false even though probe RATIOS
+    # are intra-run comparisons whose numerator and denominator a
+    # steady steal inflates together.  The probe window gets its OWN
+    # env capture + verdict inside scale_probe (probe_quiet), so a
+    # steal burst confined to one side of the 10× step is still
+    # visible and a probe-window-loaded run can be re-read honestly.
+    env_headline_end = _env_capture()
+
     scale_probe = None
     if SCALE_PROBE_ENABLED:
         probe_dir = _ensure_scale_slice(
@@ -598,6 +611,18 @@ def main() -> None:
                 ),
             },
         }
+        # the probe window's own contention verdict (see the
+        # env_headline_end note above)
+        pq = _quiet_verdict(env_headline_end, _env_capture())
+        # steal is the only meaningful check for a MID-RUN window:
+        # the "before" load1/psi here reflect the bench's own
+        # 32-thread headline load, not ambient contention
+        pq["checks"] = {
+            k: v for k, v in pq["checks"].items() if k.startswith("steal")
+        }
+        pq["verdict"] = pq["checks"].get("steal_run_ok")
+        pq["window"] = "scale_probe only (steal check only — see note)"
+        scale_probe["probe_quiet"] = pq
 
     # per-query deltas vs the newest prior bench of the SAME testdata
     # (r5 verdict item 7): sub-second wobbles like the r5 text_stats
@@ -607,7 +632,14 @@ def main() -> None:
     # fallback (SHARED12 coverage only, post-r6 format).
     deltas = _deltas_vs_prior(timings, fingerprint["hash"])
     env_after = _env_capture()
-    quiet = _quiet_verdict(env_before or {}, env_after or {})
+    # headline-scoped (see env_headline_end above): the verdict that
+    # gates delta adjudication covers exactly the window the deltas
+    # were measured in
+    quiet = _quiet_verdict(env_before or {}, env_headline_end or {})
+    quiet["window"] = (
+        "headline timings only (r12); the probe window self-labels in "
+        "scale_probe.probe_quiet"
+    )
     if deltas is not None and quiet["verdict"] is False:
         # a loaded run's ratios are recorded for completeness but must
         # not be read as regressions — the committed quiet adjudication
