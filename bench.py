@@ -269,14 +269,78 @@ SCALE_PROBE_QUERIES = [
 SCALE_PROBE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
 
-#: Diagnostic subset mode (r8): SPARK_GRAFT_BENCH_SET=shared12 times
-#: ONLY the pinned SHARED12 series in a fresh JVM, skips the probe,
-#: and does NOT touch BENCH_DETAIL.json.  Purpose: decide whether a
-#: SHARED12 drift on unchanged code is JVM-session aging (the full
-#: headline session runs 40+ queries' worth of codegen/GC before the
-#: second pass) — a small-session number materially below the full-
-#: session number for the same query is evidence of aging, not plans.
+#: Bench-set modes (r8 + r13):
+#:   all      (default) — the ADJUDICATING run: SHARED12 + EXTRAS_WATCH
+#:            every time, plus the stable EXTRAS tail on a 2-round
+#:            cadence (see the rotation note below); writes
+#:            BENCH_DETAIL.json with carryover for the untimed tail.
+#:   full     — every HEADLINE query + every probe family (the pre-r13
+#:            behavior; ~28-45 min wall, too long for a quiet window
+#:            on this steal-prone VM but available for a full table).
+#:   shared12 — fresh-JVM SHARED12-only diagnostic (r8): no probe, no
+#:            detail write; decides JVM-session-aging questions.
+#:   flagged  — fresh-JVM best-of-3 over EXTRAS_WATCH only (r12
+#:            verdict item 1): the minimal quiet-window adjudication
+#:            of the weak-flagged movers; prints timings + the quiet
+#:            verdict, does NOT touch BENCH_DETAIL.json.
 BENCH_SET = os.environ.get("SPARK_GRAFT_BENCH_SET", "all")
+
+#: r13 (r12 verdict items 1+5): the full 62-query best-of-3 headline
+#: plus the 26-family two-scale probe outgrew any realistic quiet
+#: window on this VM (r12 never landed a steal<1% full run in ~10
+#: attempts; the window needed is ~30-45 min and steal bursts arrive
+#: minute-to-minute).  The adjudicating run now times SHARED12 (the
+#: pinned round-over-round comparable) and EXTRAS_WATCH (every query
+#: changed this round or weak-flagged by the last verdict) EVERY run,
+#: and splits the stable EXTRAS tail into two deterministic
+#: index-parity cohorts timed on alternating rounds (_bench_rotor).
+#: Untimed queries carry their newest timing forward in
+#: BENCH_DETAIL.queries_carryover with an age counter, so no
+#: per-query series is lost and a changed query is never carried —
+#: by the registry's RECHECK rule it must be in EXTRAS_WATCH.
+EXTRAS_WATCH = [
+    # r12 verdict item 1: the three >2× movers vs the r11 quiet run
+    # whose deltas were unadjudicated (steal-tainted), plus the
+    # consumer that inherits dedup_substring_spans' cost
+    "sketch_hll_mulmod_merge",
+    "sketch_cm_heavy_hitters",
+    "dedup_substring_spans",
+    "dedup_cut_spans_emit",
+]
+
+#: Stable-tail rotation cadence: every stable EXTRAS query is timed at
+#: least every ROTATION_CADENCE rounds.
+ROTATION_CADENCE = 2
+
+
+def _bench_rotor() -> int:
+    """The rotation selector — the round number being benched, derived
+    from the newest committed BENCH_r*.json (+1), so a mid-round local
+    run and the driver's end-of-round run pick the SAME cohort.
+    Overridable via SPARK_GRAFT_BENCH_ROTOR for forced cohorts."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROTOR")
+    if env is not None:
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(re.search(r"BENCH_r(\d+)", f).group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def _cohort(names: list[str], rotor: int) -> list[str]:
+    """The deterministic index-parity slice of a stable rotation list
+    for this rotor (ordering is the list's declared order, so cohort
+    membership only changes when the list itself is edited)."""
+    return [
+        n
+        for i, n in enumerate(names)
+        if i % ROTATION_CADENCE == rotor % ROTATION_CADENCE
+    ]
 
 
 def _ensure_scale_slice(sf_dir: str, factor: int, fp_hash: str) -> str:
@@ -500,7 +564,16 @@ def main() -> None:
     # steady-state runs (2nd, 3rd) also yield a PER-QUERY variance
     # floor, recorded in the detail file — a same-data delta below a
     # query's own steady-state spread is noise by construction.
-    headline = SHARED12 if BENCH_SET == "shared12" else HEADLINE
+    rotor = _bench_rotor()
+    if BENCH_SET == "shared12":
+        headline = SHARED12
+    elif BENCH_SET == "flagged":
+        headline = list(EXTRAS_WATCH)
+    elif BENCH_SET == "full":
+        headline = HEADLINE
+    else:  # "all" — the adjudicating rotation (see EXTRAS_WATCH note)
+        stable = [n for n in EXTRAS if n not in EXTRAS_WATCH]
+        headline = SHARED12 + EXTRAS_WATCH + _cohort(stable, rotor)
     timings: dict[str, float] = {}
     per_query_runs: dict[str, list[float]] = {}
     for name in headline:
@@ -531,6 +604,23 @@ def main() -> None:
         ))
         return
 
+    if BENCH_SET == "flagged":
+        # adjudication mode (r12 verdict item 1): the weak-flagged
+        # movers, best-of-3 in a fresh JVM, self-labeled for
+        # quietness — the minimal run that fits a quiet window when
+        # the full bench can't.  Prints everything (no detail write:
+        # this run must never clobber the committed round record).
+        env_after = _env_capture()
+        print(json.dumps({
+            "bench_set": "flagged",
+            "queries": timings,
+            "per_query_runs": per_query_runs,
+            "quiet": _quiet_verdict(env_before, env_after),
+            "sf": sf_val,
+            "testdata": fingerprint["hash"],
+        }))
+        return
+
     # r12: the quiet verdict is scoped to the HEADLINE window (env
     # captured here, right after the timing loop), not the whole
     # process.  Rationale: the verdict adjudicates per-query DELTAS,
@@ -545,7 +635,21 @@ def main() -> None:
     env_headline_end = _env_capture()
 
     scale_probe = None
-    if SCALE_PROBE_ENABLED:
+    # r13 (r12 verdict item 5): the probe tier rotates on the same
+    # 2-round cadence as the stable EXTRAS tail — ratios are intra-run
+    # comparisons, so a family's recorded ratio stays meaningful while
+    # it sits out a round (carried in ratio_carryover below).  A
+    # family whose CODE changes must be re-probed the same round: the
+    # registry's RECHECK rule puts it in EXTRAS_WATCH, and the cohort
+    # union below forces its probe slot.
+    probe_names = (
+        list(SCALE_PROBE_QUERIES)
+        if BENCH_SET == "full"
+        else _cohort(SCALE_PROBE_QUERIES, rotor)
+        + [n for n in EXTRAS_WATCH if n in SCALE_PROBE_QUERIES
+           and n not in _cohort(SCALE_PROBE_QUERIES, rotor)]
+    )
+    if SCALE_PROBE_ENABLED and probe_names:
         probe_dir = _ensure_scale_slice(
             SF_DIR, SCALE_PROBE_FACTOR, fingerprint["hash"]
         )
@@ -562,55 +666,66 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return round(best, 3)
 
-        base_sec = {n: _probe_best(n, SF_DIR) for n in SCALE_PROBE_QUERIES}
+        base_sec = {n: _probe_best(n, SF_DIR) for n in probe_names}
         scaled_sec = {
-            n: _probe_best(n, probe_dir) for n in SCALE_PROBE_QUERIES
+            n: _probe_best(n, probe_dir) for n in probe_names
         }
         scale_probe = {
             "factor": SCALE_PROBE_FACTOR,
+            "probed": probe_names,
             "base_sec": base_sec,
             "scaled_sec": scaled_sec,
             "ratio": {
                 n: round(scaled_sec[n] / base_sec[n], 2) if base_sec[n] else None
-                for n in SCALE_PROBE_QUERIES
-            },
-            # r7 verdict item 7: simhash ran the worst probe ratio
-            # (7.43 at factor 10) — decompose signature vs
-            # candidate+verify vs output size at both scales so
-            # "output-driven, not shape-driven" is a recorded fact,
-            # not an in-code claim.
-            "simhash_stages": {
-                "base": _simhash_stage_breakdown(spark, SF_DIR),
-                "scaled": _simhash_stage_breakdown(spark, probe_dir),
-            },
-            # r9 verdict item 2: the incremental-CC batch-fraction
-            # axis — merge_sec should order by batch fraction and
-            # track batch_edges across the 10x scale step, while
-            # prior_cc_sec is the corpus-bound term production
-            # persists instead of re-paying
-            "incremental_cc_stages": {
-                "base": _incremental_cc_stage_breakdown(spark, SF_DIR),
-                "scaled": _incremental_cc_stage_breakdown(
-                    spark, probe_dir
-                ),
-            },
-            # r11 verdict item 3: the two ratios that sat above 3 for
-            # two rounds get the simhash treatment — index build vs
-            # pair emit (with the intrinsic C(df,2) pair mass) for the
-            # inverted-index Jaccard, and edge generation vs the
-            # min-label loop (with the converged round count) for the
-            # O(diameter) cluster assignment.
-            "jaccard_stages": {
-                "base": _jaccard_stage_breakdown(spark, SF_DIR),
-                "scaled": _jaccard_stage_breakdown(spark, probe_dir),
-            },
-            "cluster_assign_stages": {
-                "base": _cluster_assign_stage_breakdown(spark, SF_DIR),
-                "scaled": _cluster_assign_stage_breakdown(
-                    spark, probe_dir
-                ),
+                for n in probe_names
             },
         }
+        # Stage decompositions run only when their anchor family is in
+        # this run's probe cohort (they re-run the family's heaviest
+        # stages and dominate probe wall time):
+        #   simhash_stages        (r7 item 7)  — signature vs
+        #     candidate+verify vs output pair count
+        #   incremental_cc_stages (r9 item 2)  — merge cost vs batch
+        #     fraction vs the corpus-bound prior-CC term
+        #   jaccard_stages / cluster_assign_stages (r11 item 3) —
+        #     index vs pair-mass emit; edge gen vs min-label loop
+        stage_breakdowns = {
+            "simhash_stages": (
+                "dedup_simhash_band_pairs", _simhash_stage_breakdown
+            ),
+            "incremental_cc_stages": (
+                "dedup_cluster_assign", _incremental_cc_stage_breakdown
+            ),
+            "jaccard_stages": (
+                "dedup_ngram_jaccard_pairs", _jaccard_stage_breakdown
+            ),
+            "cluster_assign_stages": (
+                "dedup_cluster_assign", _cluster_assign_stage_breakdown
+            ),
+        }
+        for key, (anchor, fn) in stage_breakdowns.items():
+            if anchor in probe_names:
+                scale_probe[key] = {
+                    "base": fn(spark, SF_DIR),
+                    "scaled": fn(spark, probe_dir),
+                }
+        # r12 verdict item 3 — the standing declaration for the one
+        # ratio above the >4 escalation threshold:
+        scale_probe["simhash_probe_note"] = (
+            "declared 2026-08-16 (r13): dedup_simhash_band_pairs' "
+            "probe ratio (4.08 committed r12 / 2.87 r12 driver run) "
+            "is INTRINSIC pair mass, not a plan defect — the recorded "
+            "simhash_stages show output pairs 506k->8.7M (17x) at "
+            "factor 10 because replica token-suffixing preserves "
+            "word-frequency structure, so replicas of distinct docs "
+            "still collide in Hamming bands and ARE true near-dups "
+            "under the simhash metric; candidate_verify_sec grew only "
+            "3.4x against 17x pairs (sublinear per pair), and the "
+            "signature stage stayed flat.  The linear-output scale "
+            "path is the cluster-emit twin dedup_simhash_clusters "
+            "(ratio ~2.6); the pair listing exists for parity with "
+            "pair-granular consumers."
+        )
         # the probe window's own contention verdict (see the
         # env_headline_end note above)
         pq = _quiet_verdict(env_headline_end, _env_capture())
@@ -621,16 +736,91 @@ def main() -> None:
             k: v for k, v in pq["checks"].items() if k.startswith("steal")
         }
         pq["verdict"] = pq["checks"].get("steal_run_ok")
+        if "steal_run_ok" not in pq["checks"]:
+            # r13 (ADVICE): distinguish 'quiet-unknown because /proc
+            # stat ticks were unavailable' from a silently dropped
+            # field — readers must not mistake None for quiet.
+            pq["note"] = (
+                "no stat_ticks in one or both env captures — steal "
+                "unmeasurable, probe-window quietness unknown"
+            )
         pq["window"] = "scale_probe only (steal check only — see note)"
         scale_probe["probe_quiet"] = pq
+
+    # Carry forward the untimed stable tail from the prior committed
+    # detail (same testdata only) so every query keeps a series across
+    # the rotation: {"sec": newest timing, "age": details since it was
+    # last timed}.  Same for probe ratios and stage decompositions.
+    prior = _prior_detail(fingerprint["hash"])
+    prior_q = dict((prior or {}).get("queries") or {})
+    prior_carry = dict((prior or {}).get("queries_carryover") or {})
+    carryover: dict[str, dict] = {}
+    prior_quiet = ((prior or {}).get("quiet") or {}).get("verdict")
+    for n in HEADLINE:
+        if n in timings:
+            continue
+        if n in prior_q and prior_q[n] is not None:
+            # carried numbers keep the quiet label of the run that
+            # MEASURED them — a steal-tainted prior stays visibly
+            # tainted no matter how quiet this run is
+            carryover[n] = {
+                "sec": prior_q[n], "age": 1, "quiet": prior_quiet
+            }
+        elif n in prior_carry:
+            e = prior_carry[n]
+            carryover[n] = {
+                "sec": e["sec"],
+                "age": int(e.get("age", 1)) + 1,
+                "quiet": e.get("quiet"),
+            }
+    if scale_probe is not None:
+        p_sp = (prior or {}).get("scale_probe") or {}
+        p_ratio = p_sp.get("ratio") or {}
+        p_rcarry = p_sp.get("ratio_carryover") or {}
+        ratio_carry: dict[str, dict] = {}
+        for n in SCALE_PROBE_QUERIES:
+            if n in scale_probe["ratio"]:
+                continue
+            if n in p_ratio and p_ratio[n] is not None:
+                ratio_carry[n] = {"ratio": p_ratio[n], "age": 1}
+            elif n in p_rcarry:
+                e = p_rcarry[n]
+                ratio_carry[n] = {
+                    "ratio": e["ratio"], "age": int(e.get("age", 1)) + 1
+                }
+        scale_probe["ratio_carryover"] = ratio_carry
+        p_scarry = p_sp.get("stages_carryover") or {}
+        stages_carry: dict[str, dict] = {}
+        for key in (
+            "simhash_stages", "incremental_cc_stages",
+            "jaccard_stages", "cluster_assign_stages",
+        ):
+            if key in scale_probe:
+                continue
+            if key in p_sp:
+                stages_carry[key] = {"stages": p_sp[key], "age": 1}
+            elif key in p_scarry:
+                e = p_scarry[key]
+                stages_carry[key] = {
+                    "stages": e["stages"],
+                    "age": int(e.get("age", 1)) + 1,
+                }
+        scale_probe["stages_carryover"] = stages_carry
 
     # per-query deltas vs the newest prior bench of the SAME testdata
     # (r5 verdict item 7): sub-second wobbles like the r5 text_stats
     # 0.43→0.51 get adjudicated by recorded ratios instead of judge
     # archaeology.  Primary source is the committed BENCH_DETAIL.json
-    # (full per-query coverage); BENCH_r*.json parsed summaries are the
-    # fallback (SHARED12 coverage only, post-r6 format).
-    deltas = _deltas_vs_prior(timings, fingerprint["hash"])
+    # (timed + carried series, so rotation never breaks a comparison);
+    # BENCH_r*.json parsed summaries are the fallback (SHARED12
+    # coverage only, post-r6 format).
+    prior_series = {
+        **{n: e["sec"] for n, e in prior_carry.items()},
+        **{n: v for n, v in prior_q.items() if v is not None},
+    }
+    deltas = _deltas_vs_prior(
+        timings, fingerprint["hash"], prior_series or None
+    )
     env_after = _env_capture()
     # headline-scoped (see env_headline_end above): the verdict that
     # gates delta adjudication covers exactly the window the deltas
@@ -651,13 +841,30 @@ def main() -> None:
         "quiet": quiet,
         "metric": (
             "headline-query wall clock (noop sink, best of 3 runs), "
-            f"sum of {len(HEADLINE)} queries"
+            f"sum of {len(timings)} timed queries "
+            f"(bench_set={BENCH_SET}, rotor={rotor}; untimed stable "
+            "EXTRAS carried in queries_carryover)"
         ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "bench_set": BENCH_SET,
+        "rotor": rotor,
+        "rotation_note": (
+            "r13 (r12 verdict item 5): SHARED12 + EXTRAS_WATCH every "
+            "run; the stable EXTRAS tail alternates 2 index-parity "
+            "cohorts by rotor so a full adjudicating run fits a quiet "
+            "window.  'value' sums only this run's timed queries — "
+            "compare round-over-round PER QUERY (same-name series), "
+            "or via shared12_sec (membership pinned since r1)."
+        ),
         "queries": timings,
-        "shared12_sec": round(sum(timings[n] for n in SHARED12), 3),
-        "extras_sec": round(sum(timings[n] for n in EXTRAS), 3),
+        "queries_carryover": carryover,
+        "shared12_sec": round(
+            sum(timings[n] for n in SHARED12 if n in timings), 3
+        ),
+        "extras_sec": round(
+            sum(v for n, v in timings.items() if n not in SHARED12), 3
+        ),
         "sf": sf_val,
         "testdata": fingerprint,
         "delta_vs_prior_same_data": deltas,
@@ -901,8 +1108,16 @@ def _cluster_assign_stage_breakdown(spark, sf_dir: str) -> dict:
     edges_sec = round(time.perf_counter() - t0, 3)
     n_edges = pairs.count()
     stats: dict = {}
+    # r13 (ADVICE): the loop timing must run under the SAME checkpoint
+    # policy as dedup_cluster_assign's full_sec (which reads
+    # RELIABLE_CKPT_CONF), or edges/loop can't be expected to sum to
+    # full under a non-default policy.
+    reliable = (
+        spark.conf.get(dedup.RELIABLE_CKPT_CONF, "false").lower()
+        == "true"
+    )
     t0 = time.perf_counter()
-    _force(dedup._min_label_components(pairs, False, stats))
+    _force(dedup._min_label_components(pairs, reliable, stats))
     loop_sec = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     _force(dedup.dedup_cluster_assign(spark, sf_dir))
@@ -1014,13 +1229,15 @@ def summary_payload(
     return {
         "metric": (
             "headline-query wall clock (noop sink, best of 3 runs), "
-            f"sum of {len(HEADLINE)} queries (SHARED12 shown; full "
-            "per-query detail in BENCH_DETAIL.json)"
+            f"sum of {len(timings)} timed queries (SHARED12 shown; "
+            "rotation + per-query detail in BENCH_DETAIL.json)"
         ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {n: timings[n] for n in SHARED12},
-        "shared12_sec": round(sum(timings[n] for n in SHARED12), 3),
+        "queries": {n: timings[n] for n in SHARED12 if n in timings},
+        "shared12_sec": round(
+            sum(timings[n] for n in SHARED12 if n in timings), 3
+        ),
         "extras_sec": round(
             sum(timings[n] for n in EXTRAS if n in timings), 3
         ),
@@ -1031,21 +1248,33 @@ def summary_payload(
     }
 
 
-def _deltas_vs_prior(timings: dict, live_hash: str) -> dict | None:
+def _prior_detail(live_hash: str) -> dict | None:
+    """The committed prior BENCH_DETAIL.json, or None when absent,
+    unparseable, or recorded against different testdata (carryover
+    and deltas are only meaningful on byte-identical inputs)."""
+    if not os.path.exists(DETAIL_FILE):
+        return None
+    try:
+        prior = json.load(open(DETAIL_FILE))
+    except Exception:
+        return None
+    if (prior.get("testdata") or {}).get("hash") != live_hash:
+        return None
+    return prior
+
+
+def _deltas_vs_prior(
+    timings: dict, live_hash: str, prior_series: dict | None = None
+) -> dict | None:
     """Ratio of this run's timings to the newest prior run on
-    byte-identical testdata, or None if no comparable prior exists."""
+    byte-identical testdata, or None if no comparable prior exists.
+    prior_series (timed ∪ carried, r13) is the primary source; the
+    BENCH_r*.json parsed summaries are the fallback."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_q: dict | None = None
-    if os.path.exists(DETAIL_FILE):
-        try:
-            prior = json.load(open(DETAIL_FILE))
-            if (prior.get("testdata") or {}).get("hash") == live_hash:
-                prior_q = prior.get("queries") or {}
-        except Exception:
-            prior_q = None
+    prior_q: dict | None = dict(prior_series) if prior_series else None
     if prior_q is None:
         prior_rounds = []
         for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -1063,7 +1292,7 @@ def _deltas_vs_prior(timings: dict, live_hash: str) -> dict | None:
         return None
     return {
         n: round(timings[n] / prior_q[n], 2)
-        for n in HEADLINE
+        for n in timings
         if n in prior_q and prior_q[n]
     }
 

@@ -333,12 +333,15 @@ def _prefix_jaccard_from(sh: DataFrame) -> DataFrame:
     # not parametric in JACCARD_THRESHOLD, which only the verify stage
     # reads.  Changing the constant without re-deriving both formulas
     # would silently lose pairs BEFORE verification (prefix
-    # completeness breaks); fail loudly instead.
-    assert JACCARD_THRESHOLD == 0.5, (
-        "prefix length and t-length filter are hardcoded for t=1/2; "
-        "re-derive p(x) = n - ceil(t*n) + 1 and the length filter "
-        "before changing JACCARD_THRESHOLD"
-    )
+    # completeness breaks); fail loudly instead.  r13 (ADVICE): a
+    # ValueError, not an `assert` — asserts vanish under `python -O`
+    # and this guard must survive optimized runs.
+    if JACCARD_THRESHOLD != 0.5:
+        raise ValueError(
+            "prefix length and t-length filter are hardcoded for t=1/2; "
+            "re-derive p(x) = n - ceil(t*n) + 1 and the length filter "
+            "before changing JACCARD_THRESHOLD"
+        )
     ex = sh.select(
         "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("s")
     )
@@ -2923,7 +2926,20 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as candidate-verify cost becomes pure output materialization —
     the genuinely quadratic replica pair-mass.  The cluster-emit
     variant (dedup_simhash_clusters) is the scale path when pair mass
-    itself is the problem."""
+    itself is the problem.
+
+    Probe-ratio declaration (2026-08-16, r13 — r12 verdict item 3):
+    the 10× scale-probe ratio crossed 4 (4.08 committed r12) and is
+    declared INTRINSIC: the recorded simhash_stages decomposition
+    shows output pairs growing 506k→8.7M (17×) under replication —
+    replica token-suffixing preserves word-frequency structure, so
+    replicas of distinct docs still collide in Hamming bands and are
+    true near-dups under the simhash metric — while the signature
+    stage stayed flat (1.28→1.73 s) and candidate+verify grew only
+    3.4× against 17× pairs (sublinear per pair).  The ratio measures
+    the replica corpus genuinely containing ~17× the near-dup pairs,
+    not a plan defect; at real corpus growth (new content, not
+    replicas) pair mass tracks true duplication."""
     reliable = (
         spark.conf.get(RELIABLE_CKPT_CONF, "false").lower() == "true"
     )

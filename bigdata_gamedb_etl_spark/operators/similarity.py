@@ -1562,7 +1562,9 @@ SIM_PQ_ORACLE = _pq_int_oracle()
 
 
 # --------------------------------------------------------------------------
-def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF+PQ composed — the production ANN index shape (FAISS IVFPQ,
     Jégou et al. 2011; the no-residual flavor: codes quantize the unit
     vectors themselves, not per-cell residuals): the integer-Lloyd
@@ -1576,7 +1578,11 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end too.  Measured recall@20 vs exact: 0.40 / 0.70 / 0.45
     at sf0.001/0.01/0.1 — at or below the weaker of the pure-IVF and
     pure-PQ tiers, as expected when both approximations stack (the
-    misses are near-disjoint at the small SFs).
+    misses are near-disjoint at the small SFs).  The r13 nprobe
+    ladder (full table + analysis in sim_ivfpq_residual_topk's
+    docstring) measured this tier at sf0.1 climbing 0.45→0.50→0.55
+    over nprobe 4/8/16 — probe-bound, unlike the residual tier,
+    whose sf0.1 curve is flat at 0.45 (quantizer-bound).
 
     Scale: production builds persist the full code table once; this
     query's encode stage runs only over the probed slice (same result
@@ -1588,7 +1594,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = "vec_id bigint, cell int, approx_cosine double"
     if not cents or qrow is None:
         return spark.createDataFrame([], empty)
-    probe = _int_probe_order([int(v) for v in qrow["e"]], cents)[:IVF_NPROBE]
+    probe = _int_probe_order([int(v) for v in qrow["e"]], cents)[:nprobe]
     cand = (
         assigned.where(F.col("cell").isin(probe))
         .select("vec_id", "cell")
@@ -1850,15 +1856,43 @@ def _rpq_int_fit(
     return cents
 
 
-def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """Residual IVFADC serving: coarse probe → per-cell residual PQ
     codes → ADC score = per-cell offset dot(q, cunit) + PQ_M residual
     lookup-adds.  Measured recall@20 vs exact at sf0.001/0.01/0.1:
     0.50 / 0.75 / 0.45 vs the no-residual tier's 0.40 / 0.70 / 0.45 —
-    residual encoding wins at the two smaller SFs and ties at sf0.1
-    (recorded per r11 verdict item 4; the tie is the probe filter
-    binding, not the quantizer — both tiers share the coarse stage
-    and at sf0.1 its misses dominate).
+    residual encoding wins at the two smaller SFs and ties at sf0.1.
+
+    nprobe ladder (measured 2026-08-16, r13 — r12 verdict item 4;
+    recall values are deterministic integer math, latency was a
+    loaded-machine single shot and is recorded only as shape):
+
+        recall@20        nprobe=4   nprobe=8   nprobe=16 (=IVF_CELLS)
+        sf0.001 residual   0.50       0.70       0.75
+        sf0.001 ivfpq      0.40       0.60       0.65
+        sf0.01  residual   0.75       0.75       0.75
+        sf0.01  ivfpq      0.70       0.70       0.70
+        sf0.1   residual   0.45       0.45       0.45
+        sf0.1   ivfpq      0.45       0.50       0.55
+
+    This CORRECTS the r12 hypothesis that the sf0.1 tie was the
+    coarse probe binding: at nprobe=16 the probe covers every cell
+    (the candidate set is the whole corpus) and the residual tier
+    still reads 0.45, so at sf0.1 the binding constraint is the
+    residual QUANTIZER — per-cell sub-codebooks spread the fixed
+    PQ_INT_ITERS=4 Lloyd budget over 16 independent codebooks whose
+    per-cell train mass grows with the corpus, and the md5-seeded
+    per-cell fits converge worse than the single shared codebook the
+    no-residual tier trains on the same budget (which, probe-
+    unbound, climbs to 0.55).  Residual wins where cells are small
+    (sf0.001/0.01, every nprobe); at sf0.1 the shared-codebook tier
+    dominates at every nprobe.  IVF_NPROBE stays 4: the benched
+    serving claim is the nprobe/k corpus-fraction shape, nprobe is a
+    serving-time dial deployments read off this table, and bumping
+    the default would not move sf0.1 residual recall at all (flat
+    curve) while growing every probed-slice encode ~nprobe-fold.
 
     Scale: identical serving shape to sim_ivf_pq_topk (nprobe/k corpus
     fraction × 1-byte codes) plus one broadcast model-sized centroid
@@ -1905,7 +1939,7 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     off_df = spark.createDataFrame(off, "cell int, odot bigint")
     probe = _int_probe_order([int(v) for v in qrow["e"]], cents)[
-        :IVF_NPROBE
+        :nprobe
     ]
     covered = {cell for cell, _, _ in rcents}
     cand = (

@@ -51,87 +51,73 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-12 head (r11 verdict items 2/4 + the five ADVICE fixes): one
-# new ANN tier (residual IVFPQ — the full Jégou IVFADC shape, the
-# documented next knob), five RECHECKs from the ADVICE robustness
-# fixes (all semantics-visible: the temperature mixture now LEFT-joins
-# so zero-kept languages surface as n_kept=0; k-core re-applies the
-# degree>=k gate on emit; the HLL linear-counting branch reads a
-# shared Python-literal integer lookup instead of engine log(); the
-# substring-span gram key widened to the full md5 as two BIGINTs —
-# spans + the cut emit both re-queued), and the rotation drains 32 of
-# the 41 r6-age queries, leaving 9 in the tail (goal was ≤20).  All
-# 12 CONTROLS keep window slots, as always.
-ROUND12_NEW: list[str] = [
-    # residual-encoding IVF+PQ (the full Jégou IVFADC shape, r11
-    # verdict item 4): per-cell sub-codebooks quantize u − cunit(cell)
-    # and the ADC score adds a per-cell offset — oracle-checked
-    # end-to-end by widening every key of the proven PQ chain with the
-    # cell; recall vs the no-residual tier recorded in the docstring
-    "sim_ivfpq_residual_topk",
-]
+# Round-13 head (r12 verdict item 2): no new queries this round — the
+# §2 surface has been complete since r11 and round 13's mandate is
+# perf evidence (the quiet bench) — so the whole window goes to
+# draining the evidence-age tail: the last 9 r6-age queries (the r12
+# rotation's declared remainder) plus all 29 r7-age queries, which
+# exactly fills the 50-slot window alongside the 12 CONTROLS and
+# brings every registered query's newest driver evidence to r8+.
+ROUND13_NEW: list[str] = []
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the
-#: head of the window.
-RECHECK_CHANGED: list[str] = [
-    # ADVICE r12: zero-kept languages now emitted with n_kept=0
-    # (LEFT join + coalesce in both engines)
-    "pipeline_temperature_mixture",
-    # ADVICE r12: final aggregate re-applies degree >= k so a
-    # non-converged peel drops rather than mis-reports
-    "graph_kcore_membership",
-    # ADVICE r12: linear-counting branch flipped onto the
-    # _HLL_LC_USERS Python-literal lookup — no engine libm
-    "sketch_hll_mulmod_merge",
-    # ADVICE r12: gram key widened to the full md5 as two 60-bit
-    # BIGINTs (collision-safe at 10^9+ grams); both the span listing
-    # and its cut-applied consumer re-queued
-    "dedup_substring_spans",
-    "dedup_cut_spans_emit",
-]
+#: head of the window.  Empty so far: the r13 ADVICE fixes (assert →
+#: ValueError; two bench-harness fixes) change no query plan or dtype.
+#: If the IVF nprobe ladder (r12 verdict item 4) bumps a default, the
+#: affected sim_* queries land here and the alphabetically-last
+#: rotation entries below move out to r14 to keep the window at 50.
+RECHECK_CHANGED: list[str] = []
 
 #: Drained in r7; refills only after a real testdata regeneration
 #: (the staleness guard goes red and names land here).
 RECONFIRM_STALE: list[str] = []
 
-#: r12 (r11 verdict item 2): 32 of the 41 queries whose newest driver
-#: green is r6 — alphabetical order; the remaining 9 (tpch_q16 through
-#: w2, alphabetically last) drain in r13.  All unchanged since their
-#: last green and locally re-verified every run by test_oracle_parity.
+#: r13: the 9 remaining r6-age queries (newest driver green r6),
+#: then all 29 r7-age queries — alphabetical within each age band so
+#: the drain order is auditable.  All unchanged since their last green
+#: and locally re-verified every run by test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
-    "dedup_survivorship_funnel",
-    "dq_completeness_profile",
-    "dq_contamination_scorecard",
-    "dq_distribution_drift",
-    "dq_quarantine_mart",
-    "events_audience_overlap",
-    "graph_pagerank",
-    "j2_customers_with_orders",
-    "j3_customers_without_orders",
-    "j4_customer_order_counts",
-    "j5_nations_with_both",
-    "j6_nations_customers_only",
-    "j7_union_acctbal_ledger",
-    "j8_brand_supplier_revenue",
-    "mart_scd2_user_state",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "pipeline_curriculum_order",
-    "pipeline_weighted_sample",
-    "text_bigram_logprob",
-    "text_bigram_topk",
-    "text_char_entropy",
-    "text_fingerprint",
-    "text_langid",
-    "text_langid_confusion",
-    "text_quality",
-    "text_regex_token_stats",
-    "text_stats",
-    "tpch_q10_returned_revenue",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
+    # r6-age (the r12 verdict's named tail)
+    "tpch_q16_supplier_cardinality",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q21_sole_returned",
+    "tpch_q22_dormant_rich",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "w2_top_customers_per_nation",
+    # r7-age
+    "asof_purchase_click",
+    "behavior_conversion_lag",
+    "dedup_bloom_prefilter",
+    "dedup_cluster_assign",
+    "dedup_exact_keeper",
+    "dedup_exact_md5",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_semantic_decontaminate",
+    "dedup_shingle_docfreq_hist",
+    "dq_duplicate_rate_by_source",
+    "dq_event_conformity",
+    "events_user_gini",
+    "graph_component_sizes",
+    "graph_degree_distribution",
+    "graph_neighbor_jaccard",
+    "interval_error_click_burst",
+    "mart_nation_customer_map",
+    "mm_payload_meta",
+    "mm_resize",
+    "p6_statistical_moments",
+    "pipeline_dataset_card",
+    "rollup_event_time_grain",
+    "seq_markov_entropy",
+    "sess2_session_window",
+    "text_hapax_profile",
+    "text_novelty_rate",
+    "w4_daily_event_rollup",
+    "w5_value_delta_per_user",
+    "w6_customer_rank_in_segment",
 ]
 
 CONTROLS = [
@@ -144,7 +130,7 @@ CONTROLS = [
 ]
 
 PRIORITY = (
-    ROUND12_NEW + RECHECK_CHANGED + RECONFIRM_STALE
+    ROUND13_NEW + RECHECK_CHANGED + RECONFIRM_STALE
     + RECONFIRM_ROTATION + CONTROLS
 )
 
