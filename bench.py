@@ -283,7 +283,19 @@ SCALE_PROBE_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
 #:            verdict item 1): the minimal quiet-window adjudication
 #:            of the weak-flagged movers; prints timings + the quiet
 #:            verdict, does NOT touch BENCH_DETAIL.json.
+#:   probe    — the probe tier ALONE (this round's cohort + its stage
+#:            decompositions) in a fresh JVM, self-labeled over the
+#:            whole process window, written to BENCH_PROBE.json (r13:
+#:            inside an `all` run the probe window is the longest and
+#:            its steal check failed on every r12/r13 full run — this
+#:            mode gives the ratio tier its own quiet artifact without
+#:            re-paying the headline).  Does NOT touch
+#:            BENCH_DETAIL.json.
 BENCH_SET = os.environ.get("SPARK_GRAFT_BENCH_SET", "all")
+
+PROBE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_PROBE.json"
+)
 
 #: r13 (r12 verdict items 1+5): the full 62-query best-of-3 headline
 #: plus the 26-family two-scale probe outgrew any realistic quiet
@@ -571,6 +583,8 @@ def main() -> None:
         headline = list(EXTRAS_WATCH)
     elif BENCH_SET == "full":
         headline = HEADLINE
+    elif BENCH_SET == "probe":
+        headline = []  # probe tier only; the q1 warm above still ran
     else:  # "all" — the adjudicating rotation (see EXTRAS_WATCH note)
         stable = [n for n in EXTRAS if n not in EXTRAS_WATCH]
         headline = SHARED12 + EXTRAS_WATCH + _cohort(stable, rotor)
@@ -746,6 +760,31 @@ def main() -> None:
             )
         pq["window"] = "scale_probe only (steal check only — see note)"
         scale_probe["probe_quiet"] = pq
+
+    if BENCH_SET == "probe":
+        # probe-only artifact: full-process quiet verdict (the before
+        # capture reflects ambient load — this is a fresh JVM), written
+        # to its own file so it can never clobber the committed
+        # headline detail.
+        quiet = _quiet_verdict(env_before, _env_capture())
+        quiet["window"] = "whole probe-only process (fresh JVM)"
+        payload = {
+            "bench_set": "probe",
+            "quiet": quiet,
+            "scale_probe": scale_probe,
+            "sf": sf_val,
+            "testdata": fingerprint,
+        }
+        with open(PROBE_FILE, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(json.dumps({
+            "bench_set": "probe",
+            "quiet_verdict": quiet["verdict"],
+            "ratio": (scale_probe or {}).get("ratio"),
+            "probe_file": "BENCH_PROBE.json",
+        }))
+        return
 
     # Carry forward the untimed stable tail from the prior committed
     # detail (same testdata only) so every query keeps a series across
@@ -1018,7 +1057,24 @@ def main() -> None:
             "ratios agree across runs except dedup_lsh_band_ladder "
             "(1.91/1.91/3.76 — the 3.76 sits in the committed run's "
             "3.8%-steal probe window and the 1.91 pair is the "
-            "operative figure)."
+            "operative figure).  A probe-only quiet-true artifact "
+            "(BENCH_PROBE.json, fresh JVM, run steal 0.39%, "
+            "2026-08-16) supersedes the tainted probe windows: all 13 "
+            "r13-cohort families measured 1.09-1.99 at factor 10 — "
+            "none above 2 — and the stage decompositions reproduce "
+            "(jaccard pair mass exactly 10x with emit sublinear at "
+            "1.86x, cluster-assign loop flat at 2 rounds/0.65 s, "
+            "incremental-CC merge_sec flat across the scale step at "
+            "both batch fractions).  Post-adjudication r13 rewrite: "
+            "sketch_hll_mulmod_merge's linear-counting lookup flipped "
+            "from the r12 broadcast join to element_at over the same "
+            "literal array (verified row-identical; "
+            "sketches.py:362-376) — full-session best-of-3 measured "
+            "1.732 -> 0.890 s at sf0.1, recovering most of the "
+            "adjudicated r12 cost; a quiet flagged re-run (steal "
+            "0.011%) reads 0.966 fresh-JVM vs 1.029 pre-rewrite.  The "
+            "committed detail's 0.789 predates the rewrite and "
+            "remains the old-plan figure."
         ),
     }
     with open(DETAIL_FILE, "w") as fh:

@@ -293,9 +293,10 @@ _HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
 #: oracle-checked surface — Spark's Math.log and DuckDB's ln() are not
 #: guaranteed correctly rounded, so a 1-ulp divergence could flip the
 #: rounded estimate.  The estimate is a pure function of v_zero, so
-#: both engines now read the SAME integer literals (Spark via a
-#: broadcast lookup join, DuckDB via a list_extract over the literal
-#: array) and no engine libm ever runs.  The remaining double
+#: both engines now read the SAME integer literals (Spark via
+#: element_at over the literal array since r13 — the r12 broadcast-
+#: join form cost an extra exchange — DuckDB via a list_extract over
+#: the same array) and no engine libm ever runs.  The remaining double
 #: arithmetic (the raw branch's mul/div and its <= 2.5m gate) is
 #: IEEE-mandated correctly rounded, hence engine-exact.
 _HLL_LC_USERS = [
@@ -359,16 +360,23 @@ def sketch_hll_mulmod_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("days_merged"))
     est_raw = F.lit(_HLL_ALPHA_M2) * F.lit(float(1 << (_HLL_TAIL_BITS + 1))) / F.col("s_scaled")
     # linear counting via the shared Python-literal lookup (see
-    # _HLL_LC_USERS) — broadcast join on v_zero, no engine log()
-    lc = F.broadcast(
-        spark.createDataFrame(
-            [(v + 1, u) for v, u in enumerate(_HLL_LC_USERS)],
-            "v_zero BIGINT, lc_users BIGINT",
-        )
+    # _HLL_LC_USERS) — element_at over the literal array, the exact
+    # mirror of the oracle's list_extract, no engine log().  r13: this
+    # replaces the r12 broadcast-join form — same integers, same
+    # results (verified row-identical), but the join added a broadcast
+    # exchange + an extra stage that cost ~2x on this sub-second query
+    # (quiet best-of-3 1.73 vs 0.89 s at sf0.1); the array literal is
+    # a foldable constant evaluated only on the ~|event_type| state
+    # rows.  The v_zero > 0 CASE guard precedes element_at, so the
+    # ANSI out-of-bounds throw on index 0 is unreachable (CASE
+    # branches evaluate lazily), and v_zero <= m-1 < len(array) since
+    # a state row exists only when >= 1 register is present.
+    lc_arr = "array({})".format(
+        ", ".join(f"{u}L" for u in _HLL_LC_USERS)
     )
     users = F.when(
         (est_raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
-        F.col("lc_users"),
+        F.expr(f"element_at({lc_arr}, CAST(v_zero AS INT))"),
     ).otherwise(F.floor(est_raw + F.lit(0.5)).cast("long"))
     return (
         state.withColumn(
@@ -377,7 +385,6 @@ def sketch_hll_mulmod_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("v_zero") * F.lit(1 << (_HLL_TAIL_BITS + 1)),
         )
         .join(days, "event_type")
-        .join(lc, "v_zero", "left")
         .select(
             "event_type",
             "days_merged",

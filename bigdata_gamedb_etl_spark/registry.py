@@ -62,12 +62,17 @@ ROUND13_NEW: list[str] = []
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the
-#: head of the window.  Empty so far: the r13 ADVICE fixes (assert →
-#: ValueError; two bench-harness fixes) change no query plan or dtype.
-#: If the IVF nprobe ladder (r12 verdict item 4) bumps a default, the
-#: affected sim_* queries land here and the alphabetically-last
-#: rotation entries below move out to r14 to keep the window at 50.
-RECHECK_CHANGED: list[str] = []
+#: head of the window.  (The other r13 edits — assert → ValueError,
+#: two bench-harness fixes, the nprobe parameterization with an
+#: unchanged default — change no query plan or dtype.)
+RECHECK_CHANGED: list[str] = [
+    # r13: the linear-counting lookup flipped from the r12 broadcast
+    # join to element_at over the same literal array — verified
+    # row-identical locally, but the plan shape changed (the broadcast
+    # exchange is gone), so it re-queues; w6_customer_rank_in_segment
+    # moved out to the r14 rotation to keep the window at 50.
+    "sketch_hll_mulmod_merge",
+]
 
 #: Drained in r7; refills only after a real testdata regeneration
 #: (the staleness guard goes red and names land here).
@@ -117,7 +122,9 @@ RECONFIRM_ROTATION: list[str] = [
     "text_novelty_rate",
     "w4_daily_event_rollup",
     "w5_value_delta_per_user",
-    "w6_customer_rank_in_segment",
+    # w6_customer_rank_in_segment: displaced to r14 by the
+    # sketch_hll_mulmod_merge RECHECK (window capped at 50); its r7
+    # green stands and test_oracle_parity re-verifies it every run.
 ]
 
 CONTROLS = [
