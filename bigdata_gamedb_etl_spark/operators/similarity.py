@@ -1881,18 +1881,26 @@ def sim_ivfpq_residual_topk(
     coarse probe binding: at nprobe=16 the probe covers every cell
     (the candidate set is the whole corpus) and the residual tier
     still reads 0.45, so at sf0.1 the binding constraint is the
-    residual QUANTIZER — per-cell sub-codebooks spread the fixed
-    PQ_INT_ITERS=4 Lloyd budget over 16 independent codebooks whose
-    per-cell train mass grows with the corpus, and the md5-seeded
-    per-cell fits converge worse than the single shared codebook the
-    no-residual tier trains on the same budget (which, probe-
-    unbound, climbs to 0.55).  Residual wins where cells are small
+    residual QUANTIZER, not the probe.  A follow-up iteration-budget
+    sweep (same day) rules out fit convergence too: at nprobe=16,
+    PQ_INT_ITERS ∈ {4, 8, 12} leaves residual recall flat at 0.45
+    (and moves the shared-codebook tier 0.55/0.40/0.40 — more Lloyd
+    is not monotone for the single evaluation query either), so the
+    binding constraint is the code RESOLUTION itself — PQ_M=16
+    4-dim subspaces × PQ_K=16 codes at sf0.1's corpus density —
+    with the caveat that recall@20 of the one fixed query vector
+    moves in 0.05 steps, so single-step differences are near the
+    metric's granularity.  Residual wins where cells are small
     (sf0.001/0.01, every nprobe); at sf0.1 the shared-codebook tier
-    dominates at every nprobe.  IVF_NPROBE stays 4: the benched
+    edges it at high nprobe.  IVF_NPROBE stays 4: the benched
     serving claim is the nprobe/k corpus-fraction shape, nprobe is a
     serving-time dial deployments read off this table, and bumping
     the default would not move sf0.1 residual recall at all (flat
     curve) while growing every probed-slice encode ~nprobe-fold.
+    PQ_INT_ITERS stays 4 likewise: the sweep shows extra rounds buy
+    no recall at any measured point while the fit cost (inside the
+    benched query) grows ~linearly with rounds (24.6→35.5 s
+    measured at 12 iters, loaded machine).
 
     Scale: identical serving shape to sim_ivf_pq_topk (nprobe/k corpus
     fraction × 1-byte codes) plus one broadcast model-sized centroid
