@@ -865,3 +865,23 @@ def test_logbin_quantile_window_runs_over_merged_bins(spark, sf_dir):
         "cumulative curve is not over the merged bin aggregate"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_hll_linear_counting_lookup_is_literal_not_join(spark, sf_dir):
+    """r13: the linear-counting estimate reads element_at over the
+    _HLL_LC_USERS literal array — the r12 broadcast-join form cost an
+    extra exchange + stage on a sub-second query (quiet best-of-3
+    1.73 → 0.89 s at sf0.1).  The only joins left in the plan are the
+    days_merged attach; a plan that joins on v_zero means the lookup
+    regressed to the join form."""
+    from bigdata_gamedb_etl_spark.operators import sketches
+
+    plan = plans.physical(
+        sketches.sketch_hll_mulmod_merge(spark, sf_dir)
+    )
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "v_zero" in ln
+    ]
+    assert not join_lines, f"LC lookup joined on v_zero: {join_lines}"
+    assert "element_at" in plan
