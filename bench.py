@@ -318,6 +318,12 @@ EXTRAS_WATCH = [
     "sketch_cm_heavy_hitters",
     "dedup_substring_spans",
     "dedup_cut_spans_emit",
+    # r13 PQ resolution bump (PQ_M 16 → 32): both benched PQ tiers
+    # changed plan volume (2× subspace rows in the encode/fit), so
+    # they are timed — and force their probe slots — every run until
+    # the next verdict adjudicates the new series.
+    "sim_ivf_pq_topk",
+    "sim_ivfpq_residual_topk",
 ]
 
 #: Stable-tail rotation cadence: every stable EXTRAS query is timed at
@@ -1074,7 +1080,16 @@ def main() -> None:
             "adjudicated r12 cost; a quiet flagged re-run (steal "
             "0.011%) reads 0.966 fresh-JVM vs 1.029 pre-rewrite.  The "
             "committed detail's 0.789 predates the rewrite and "
-            "remains the old-plan figure."
+            "remains the old-plan figure.  r13 expected deltas: the "
+            "PQ resolution bump (PQ_M 16 -> 32, 2-dim sub-codes — "
+            "recall up at every (SF, tier) point, matrix in "
+            "similarity.py's PQ_M note) doubles the subspace row "
+            "volume through the PQ encode/fit, so sim_ivf_pq_topk "
+            "and sim_ivfpq_residual_topk carry a recall-bought cost "
+            "on their series (loaded spot-check: residual "
+            "11.7->14.8 s at sf0.1 full probe; quiet numbers land "
+            "with the r14 adjudication — both queries sit in "
+            "EXTRAS_WATCH until then)."
         ),
     }
     with open(DETAIL_FILE, "w") as fh:

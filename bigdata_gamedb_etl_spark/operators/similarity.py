@@ -1215,7 +1215,7 @@ LIMIT {TOP_K}
 # --------------------------------------------------------------------------
 # Product quantization (PQ/ADC): the standard rung ABOVE SQ8 on the
 # ANN compression ladder — 64 float64 dims become PQ_M single-byte
-# codes (64×8 B → 16×1 B: 32× smaller than float64), and query scoring never
+# codes (64×8 B → 32×1 B: 16× smaller than float64), and query scoring never
 # reconstructs a vector: the query precomputes a PQ_M×PQ_K lookup
 # table of partial dots against each sub-codebook and every corpus
 # vector's score is PQ_M table lookups + adds (the Asymmetric
@@ -1232,14 +1232,26 @@ LIMIT {TOP_K}
 # so every float op is a single correctly-rounded IEEE op on identical
 # integer inputs and the quantized unit vector is engine-exact by
 # construction, with no dependence on summation order.
-PQ_M = 16  # subspaces (64 dims → 4 per subspace)
+#: r13 resolution bump (16 → 32 subspaces, so 2 dims per sub-code):
+#: the r13 ladder sweeps localized the sf0.1 recall ceiling to PQ code
+#: resolution (nprobe and Lloyd budget both measured flat), and
+#: halving the subspace width raised recall@20 vs exact at EVERY
+#: (SF, tier) point at comparable runtime — pq .65/.70/.55 →
+#: .80/.80/.70, composed IVFPQ .40/.70/.45 → .55/.75/.60, residual
+#: IVFADC .50/.75/.45 → .55/.80/.65 (sf0.001/0.01/0.1) — and made
+#: residual ≥ no-residual at every SF at the default nprobe.  Codes
+#: stay 1-byte-range (PQ_K=16), so the serving-size claim only moves
+#: 16× → 8× smaller than float64 per vector while recall jumps.
+PQ_M = 32  # subspaces (64 dims → 2 per subspace)
 PQ_K = 16  # codes per sub-codebook
 PQ_SUBDIM = 64 // PQ_M
 #: Lloyd rounds for the sub-quantizer fits.  4 (vs the IVF tier's 6):
-#: 4-dim sub-codebooks converge in 2-3 rounds on this corpus, extra
-#: rounds measured NO recall gain (vec_id-seeded control: 6 rounds
-#: read 0.40 vs 4 rounds' 0.45 at sf0.001 — drift, not improvement),
-#: and each extra round adds 2 CTEs to the oracle chain.
+#: low-dim sub-codebooks converge in 2-3 rounds on this corpus, extra
+#: rounds measured NO recall gain (vec_id-seeded control at the r11
+#: 16×4 setting: 6 rounds read 0.40 vs 4 rounds' 0.45 at sf0.001 —
+#: drift, not improvement; the r13 sweep re-confirmed at 4/8/12
+#: rounds, residual flat 0.45 at sf0.1 full probe), and each extra
+#: round adds 2 CTEs to the oracle chain.
 PQ_INT_ITERS = 4
 
 
@@ -1321,7 +1333,7 @@ def _pq_assign(
             ids, C = books[int(j)]
             E = np.vstack(sub.iloc[idx].to_numpy()).astype(np.int64)
             # argmin of dist² == argmin of (−2·e·c + |c|²); all int64,
-            # no overflow: |u|,|c| ≤ ~1.1e6, PQ_SUBDIM=4 dims
+            # no overflow: |u|,|c| ≤ ~1.1e6, PQ_SUBDIM ≤ 4 dims
             score = -2 * (E @ C.T) + (C * C).sum(axis=1)[None, :]
             out[idx] = ids[np.argmin(score, axis=1)]
         return pd.Series(out.astype("int32"))
@@ -1336,12 +1348,13 @@ def _pq_int_fit(
     sub-codebooks.  Seeds: the subvectors of the PQ_K train vec_ids
     that sort FIRST BY md5(vec_id) — an engine-reproducible
     pseudo-random draw, NOT the IVF tier's first-by-vec_id recipe.
-    4-dim sub-codebooks are far more seed-sensitive than 64-dim cells:
-    the lowest vec_ids' subvectors cluster in quantized space, and
-    seeding from them measured recall@20 0.45/0.65/0.20 at
-    sf0.001/0.01/0.1 (gate-trained, 4 rounds) vs 0.65/0.70/0.55 for
-    the md5-ordered draw — the scrambled seed is the difference
-    between a broken and a working codebook at sf0.1.  The same PQ_K
+    Low-dim sub-codebooks are far more seed-sensitive than 64-dim
+    cells: the lowest vec_ids' subvectors cluster in quantized space,
+    and seeding from them measured recall@20 0.45/0.65/0.20 at
+    sf0.001/0.01/0.1 (gate-trained, 4 rounds, at the r11 16×4
+    setting) vs 0.65/0.70/0.55 for the md5-ordered draw — the
+    scrambled seed is the difference between a broken and a working
+    codebook at sf0.1.  The same PQ_K
     vectors seed every subspace (the oracle's ROW_NUMBER-per-j
     reproduces this).  Per round: one assignment pass + one
     (j, code, dim) integer-sum aggregation; driver traffic is the
@@ -1575,14 +1588,15 @@ def sim_ivf_pq_topk(
     serving stacks compound.  Both fits are the oracle-checked integer
     machinery above (coarse: sim_ivf_topk's codebook; fine:
     sim_pq_topk's sub-codebooks), so the COMPOSITION is oracle-checked
-    end-to-end too.  Measured recall@20 vs exact: 0.40 / 0.70 / 0.45
-    at sf0.001/0.01/0.1 — at or below the weaker of the pure-IVF and
-    pure-PQ tiers, as expected when both approximations stack (the
-    misses are near-disjoint at the small SFs).  The r13 nprobe
-    ladder (full table + analysis in sim_ivfpq_residual_topk's
-    docstring) measured this tier at sf0.1 climbing 0.45→0.50→0.55
-    over nprobe 4/8/16 — probe-bound, unlike the residual tier,
-    whose sf0.1 curve is flat at 0.45 (quantizer-bound).
+    end-to-end too.  Measured recall@20 vs exact at the r13 32×2
+    setting: 0.55 / 0.75 / 0.60 at sf0.001/0.01/0.1 (the r11 16×4
+    setting read 0.40 / 0.70 / 0.45) — at or below the weaker of the
+    pure-IVF and pure-PQ tiers, as expected when both approximations
+    stack.  The r13 nprobe ladder (full table + analysis in
+    sim_ivfpq_residual_topk's docstring, measured at 16×4) found this
+    tier probe-bound at sf0.1 — climbing 0.45→0.50→0.55 over nprobe
+    4/8/16 — and the resolution bump that followed moved every point
+    up at the default nprobe.
 
     Scale: production builds persist the full code table once; this
     query's encode stage runs only over the probed slice (same result
@@ -1683,7 +1697,7 @@ SIM_IVF_PQ_ORACLE = _ivf_pq_oracle()
 # sub-codebooks quantize only the residual r — a far smaller, roughly
 # centered domain — and the ADC score adds a per-cell offset
 # dot(q, cunit) to the residual lookup-adds.  Cost: k× the model
-# (IVF_CELLS × PQ_M × PQ_K sub-centroids ≈ 16·16·16·4 ints — still
+# (IVF_CELLS × PQ_M × PQ_K sub-centroids ≈ 16·32·16·2 ints — still
 # model-sized) for recall the shared codebook can't reach once cells
 # are tight.
 #
@@ -1793,7 +1807,7 @@ def _rpq_assign(
             ids, C = books[(int(kk) // PQ_M, int(kk) % PQ_M)]
             E = np.vstack(sub.iloc[idx].to_numpy()).astype(np.int64)
             # argmin of dist² == argmin of (−2·e·c + |c|²); all int64,
-            # no overflow: residual coords ≤ ~2.2e6, PQ_SUBDIM=4 dims
+            # no overflow: residual coords ≤ ~2.2e6, PQ_SUBDIM ≤ 4 dims
             score = -2 * (E @ C.T) + (C * C).sum(axis=1)[None, :]
             out[idx] = ids[np.argmin(score, axis=1)]
         return pd.Series(out.astype("int32"))
@@ -1861,13 +1875,17 @@ def sim_ivfpq_residual_topk(
 ) -> DataFrame:
     """Residual IVFADC serving: coarse probe → per-cell residual PQ
     codes → ADC score = per-cell offset dot(q, cunit) + PQ_M residual
-    lookup-adds.  Measured recall@20 vs exact at sf0.001/0.01/0.1:
-    0.50 / 0.75 / 0.45 vs the no-residual tier's 0.40 / 0.70 / 0.45 —
-    residual encoding wins at the two smaller SFs and ties at sf0.1.
+    lookup-adds.  Measured recall@20 vs exact at sf0.001/0.01/0.1,
+    r13 32×2 setting: 0.55 / 0.80 / 0.65 vs the no-residual tier's
+    0.55 / 0.75 / 0.60 — residual ≥ no-residual at EVERY SF at the
+    default nprobe (at the r11 16×4 setting it read 0.50/0.75/0.45
+    vs 0.40/0.70/0.45, tying at sf0.1; the ladder analysis below is
+    what localized that tie and motivated the resolution bump).
 
-    nprobe ladder (measured 2026-08-16, r13 — r12 verdict item 4;
-    recall values are deterministic integer math, latency was a
-    loaded-machine single shot and is recorded only as shape):
+    nprobe ladder (measured 2026-08-16, r13, at the then-current
+    16×4 setting — r12 verdict item 4; recall values are
+    deterministic integer math, latency was a loaded-machine single
+    shot and is recorded only as shape):
 
         recall@20        nprobe=4   nprobe=8   nprobe=16 (=IVF_CELLS)
         sf0.001 residual   0.50       0.70       0.75
@@ -1900,7 +1918,12 @@ def sim_ivfpq_residual_topk(
     PQ_INT_ITERS stays 4 likewise: the sweep shows extra rounds buy
     no recall at any measured point while the fit cost (inside the
     benched query) grows ~linearly with rounds (24.6→35.5 s
-    measured at 12 iters, loaded machine).
+    measured at 12 iters, loaded machine).  ACTED ON (r13, same
+    day): what the ladders localized, the resolution bump fixed —
+    PQ_M 16→32 (2-dim sub-codes, same 1-byte code range, same
+    16384-int IVFADC model size) raised recall at every (SF, tier)
+    point at comparable runtime; see the PQ_M constant's note for
+    the full before/after matrix.
 
     Scale: identical serving shape to sim_ivf_pq_topk (nprobe/k corpus
     fraction × 1-byte codes) plus one broadcast model-sized centroid

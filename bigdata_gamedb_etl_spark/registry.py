@@ -72,6 +72,17 @@ RECHECK_CHANGED: list[str] = [
     # exchange is gone), so it re-queues; w6_customer_rank_in_segment
     # moved out to the r14 rotation to keep the window at 50.
     "sketch_hll_mulmod_merge",
+    # r13 PQ resolution bump (PQ_M 16 → 32, 2-dim sub-codes): the
+    # nprobe + Lloyd-budget ladders localized the sf0.1 recall
+    # ceiling to code resolution, and halving the subspace width
+    # raised recall at every (SF, tier) point (matrix in the PQ_M
+    # note).  Results of all three PQ-backed queries change; their
+    # DuckDB chains read the same constants so parity re-derives —
+    # locally re-verified, re-queued here.  text_novelty_rate, w4,
+    # and w5 moved out to the r14 rotation to keep the window at 50.
+    "sim_pq_topk",
+    "sim_ivf_pq_topk",
+    "sim_ivfpq_residual_topk",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
@@ -119,12 +130,10 @@ RECONFIRM_ROTATION: list[str] = [
     "seq_markov_entropy",
     "sess2_session_window",
     "text_hapax_profile",
-    "text_novelty_rate",
-    "w4_daily_event_rollup",
-    "w5_value_delta_per_user",
-    # w6_customer_rank_in_segment: displaced to r14 by the
-    # sketch_hll_mulmod_merge RECHECK (window capped at 50); its r7
-    # green stands and test_oracle_parity re-verifies it every run.
+    # text_novelty_rate, w4_daily_event_rollup, w5_value_delta_per_
+    # user, w6_customer_rank_in_segment: displaced to r14 by the four
+    # r13 RECHECKs (window capped at 50); their r7 greens stand and
+    # test_oracle_parity re-verifies them every run.
 ]
 
 CONTROLS = [

@@ -354,11 +354,12 @@ def test_ivf_pq_composed_recall_and_probe_discipline(spark, sf):
 @pytest.mark.parametrize("sf", SF_DIRS)
 def test_ivfpq_residual_recall_and_probe_discipline(spark, sf):
     """Residual IVFADC (r12): recall@20 vs exact must be ≥ the
-    composed no-residual tier's at the same SF (measured 0.50/0.75 vs
-    0.40/0.70 at the two small SFs, tied 0.45 at sf0.1 — the per-cell
-    residual codebooks can only refine the fine quantizer; the shared
-    coarse stage bounds both).  Probe discipline: ≤ IVF_NPROBE
-    distinct cells in the output.  Determinism at the cheap SF."""
+    composed no-residual tier's at the same SF (r13 32×2 setting:
+    0.55/0.80/0.65 vs 0.55/0.75/0.60 at sf0.001/0.01/0.1 — the
+    per-cell residual codebooks can only refine the fine quantizer;
+    the shared coarse stage bounds both).  Probe discipline: ≤
+    IVF_NPROBE distinct cells in the output.  Determinism at the
+    cheap SF."""
     exact = {
         r["vec_id"] for r in similarity.sim_cosine_topk(spark, sf).collect()
     }
@@ -381,12 +382,13 @@ def test_ivfpq_residual_recall_and_probe_discipline(spark, sf):
 
 @pytest.mark.parametrize("sf", SF_DIRS)
 def test_pq_recall_vs_exact(spark, sf):
-    """PQ-ADC top-k must overlap the exact cosine top-k: 16 subspaces ×
-    16 codes on quantized-unit 64-dim vectors — recall@20 well above
-    the random baseline (20/N; measured 0.65 / 0.70 at the two SFs,
-    0.55 at sf0.1, on the r11 integer-Lloyd sub-codebooks).  Also
-    locks determinism: two runs produce identical rankings (the
-    integer fit is exact, not merely seeded)."""
+    """PQ-ADC top-k must overlap the exact cosine top-k: PQ_M
+    subspaces × 16 codes on quantized-unit 64-dim vectors — recall@20
+    well above the random baseline (20/N; measured 0.80 / 0.80 / 0.70
+    at sf0.001/0.01/0.1 on the r13 32×2 integer-Lloyd sub-codebooks;
+    the r11 16×4 setting read 0.65/0.70/0.55).  Also locks
+    determinism: two runs produce identical rankings (the integer fit
+    is exact, not merely seeded)."""
     exact = [r["vec_id"] for r in similarity.sim_cosine_topk(spark, sf).collect()]
     pq1 = [r["vec_id"] for r in similarity.sim_pq_topk(spark, sf).collect()]
     recall = len(set(pq1) & set(exact)) / len(exact)
