@@ -1086,10 +1086,19 @@ def main() -> None:
             "similarity.py's PQ_M note) doubles the subspace row "
             "volume through the PQ encode/fit, so sim_ivf_pq_topk "
             "and sim_ivfpq_residual_topk carry a recall-bought cost "
-            "on their series (loaded spot-check: residual "
-            "11.7->14.8 s at sf0.1 full probe; quiet numbers land "
-            "with the r14 adjudication — both queries sit in "
-            "EXTRAS_WATCH until then)."
+            "on their series — quiet-recorded same-day on the final "
+            "code: a flagged run (steal 0.29%) read ivfpq 7.533 (r11 "
+            "series 6.092, ~1.24x) and residual 14.034, and a "
+            "quiet-true FULL run of the final code (steal 0.18%, "
+            "shared12 16.116 — inside the 13.19-16.95 same-day quiet "
+            "spread; the committed 13.187 detail remains the "
+            "headline artifact since no SHARED12 query changed after "
+            "it) read ivfpq 9.368 / residual 12.832 / hll 0.770 "
+            "(the hll element_at rewrite recovering most of its r12 "
+            "cost in-session).  The final-code quiet probe artifact "
+            "(BENCH_PROBE.json, steal 0.04%) puts both M=32 PQ "
+            "tiers at 10x ratios 1.30/1.16.  Both PQ queries sit in "
+            "EXTRAS_WATCH pending the r14 verdict."
         ),
     }
     with open(DETAIL_FILE, "w") as fh:
