@@ -1245,6 +1245,11 @@ LIMIT {TOP_K}
 PQ_M = 32  # subspaces (64 dims → 2 per subspace)
 PQ_K = 16  # codes per sub-codebook
 PQ_SUBDIM = 64 // PQ_M
+if PQ_M * PQ_SUBDIM != 64:
+    # a non-divisor PQ_M would silently truncate the trailing dims out
+    # of every subspace slice (Spark slice and DuckDB list slice both
+    # just stop short) — fail at import, not with quietly-wrong codes
+    raise ValueError(f"PQ_M={PQ_M} must divide the 64 embedding dims")
 #: Lloyd rounds for the sub-quantizer fits.  4 (vs the IVF tier's 6):
 #: low-dim sub-codebooks converge in 2-3 rounds on this corpus, extra
 #: rounds measured NO recall gain (vec_id-seeded control at the r11
