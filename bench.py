@@ -722,6 +722,11 @@ def main() -> None:
             "cluster_assign_stages": (
                 "dedup_cluster_assign", _cluster_assign_stage_breakdown
             ),
+            # r13: the last undecomposed >2.5 quiet ratio — LM build
+            # vs scoring join, with the model-table growth recorded
+            "bigram_stages": (
+                "text_bigram_logprob", _bigram_stage_breakdown
+            ),
         }
         for key, (anchor, fn) in stage_breakdowns.items():
             if anchor in probe_names:
@@ -838,7 +843,7 @@ def main() -> None:
         stages_carry: dict[str, dict] = {}
         for key in (
             "simhash_stages", "incremental_cc_stages",
-            "jaccard_stages", "cluster_assign_stages",
+            "jaccard_stages", "cluster_assign_stages", "bigram_stages",
         ):
             if key in scale_probe:
                 continue
@@ -1241,6 +1246,47 @@ def _cluster_assign_stage_breakdown(spark, sf_dir: str) -> dict:
         "full_sec": full_sec,
         "rounds": stats.get("rounds"),
         "n_edges": n_edges,
+    }
+
+
+def _bigram_stage_breakdown(spark, sf_dir: str) -> dict:
+    """Per-stage cost of text_bigram_logprob (r13: its quiet probe
+    ratio, 2.61, was the last undecomposed >2.5).  Stages:
+
+      model_sec    — building the corpus bigram LM alone (the doc_bg
+                     aggregation + the (x,y)/(x) count rollups + the
+                     logp join): the part whose input is the corpus
+      full_sec     — the whole query
+      score_sec    — their difference: the doc_bg ⋈ model scoring
+                     join + per-doc aggregation
+      n_model      — LM table rows (replica suffixing keeps replica
+                     bigrams distinct, so this scales with the
+                     factor — the model table genuinely 10×es, which
+                     is what a 10× corpus with new content does)
+      n_doc_bg     — per-doc bigram count rows (the scoring join's
+                     probe side)
+
+    Verdict key: if model_sec and score_sec both track their input
+    sizes (~linear), the >2.5 ratio is two linear stages compounding
+    constant factors at small absolute times, not a superlinear
+    join."""
+    from bigdata_gamedb_etl_spark.operators import textops
+
+    t0 = time.perf_counter()
+    doc_bg, model = textops._bigram_lm_tables(spark, sf_dir)
+    _force(model)
+    model_sec = round(time.perf_counter() - t0, 3)
+    n_model = model.count()
+    n_doc_bg = doc_bg.count()
+    t0 = time.perf_counter()
+    _force(textops.text_bigram_logprob(spark, sf_dir))
+    full_sec = round(time.perf_counter() - t0, 3)
+    return {
+        "model_sec": model_sec,
+        "full_sec": full_sec,
+        "score_sec": round(max(0.0, full_sec - model_sec), 3),
+        "n_model": n_model,
+        "n_doc_bg": n_doc_bg,
     }
 
 

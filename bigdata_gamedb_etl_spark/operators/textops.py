@@ -1131,10 +1131,13 @@ _BIGRAMS_DOC = """CASE WHEN size(split(text, ' ')) >= 2 THEN
    ELSE array() END"""
 
 
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean bigram log-probability under the corpus's own
-    bigram LM (docs with < 2 tokens carry no bigram and are absent, as
-    in the oracle)."""
+def _bigram_lm_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_bg, model) — the per-doc bigram counts and the corpus LM
+    table.  Factored out (r13) so the bench's stage decomposition can
+    time the LM build separately from the scoring join while sharing
+    this exact construction with the query."""
     d = table(spark, sf_dir, "documents")
     stream = d.select(
         "doc_id", F.explode(F.expr(_BIGRAMS_DOC)).alias("bg")
@@ -1147,6 +1150,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.log(F.col("c_xy") / F.col("c_x")).cast("decimal(18,9)").alias("logp"),
     )
+    return doc_bg, model
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram LM (docs with < 2 tokens carry no bigram and are absent, as
+    in the oracle)."""
+    doc_bg, model = _bigram_lm_tables(spark, sf_dir)
     return (
         doc_bg.join(model, ["x", "y"])
         .groupBy("doc_id")
