@@ -311,19 +311,36 @@ PROBE_FILE = os.path.join(
 #: per-query series is lost and a changed query is never carried —
 #: by the registry's RECHECK rule it must be in EXTRAS_WATCH.
 EXTRAS_WATCH = [
-    # r12 verdict item 1: the three >2× movers vs the r11 quiet run
-    # whose deltas were unadjudicated (steal-tainted), plus the
-    # consumer that inherits dedup_substring_spans' cost
+    # r14 (r13 verdict item 1): the element_at rewrite landed AFTER
+    # the committed r13 headline run — timed every run until the
+    # committed table carries the final-code figure (~0.89 s quiet).
     "sketch_hll_mulmod_merge",
-    "sketch_cm_heavy_hitters",
+    # r13 verdict item 5: the md5 gram-key widening's accepted
+    # collision-safety cost (1.43–1.46×) stays on watch one more
+    # round so the r14 quiet run pins the post-widening series as
+    # the new baseline.  (sketch_cm_heavy_hitters dropped back to
+    # the stable tail: r13 adjudicated it RECOVERED — the r12 3.25×
+    # was contention.)
     "dedup_substring_spans",
     "dedup_cut_spans_emit",
     # r13 PQ resolution bump (PQ_M 16 → 32): both benched PQ tiers
     # changed plan volume (2× subspace rows in the encode/fit), so
     # they are timed — and force their probe slots — every run until
-    # the next verdict adjudicates the new series.
+    # the r14 verdict adjudicates the new series (expected ≈9.4 /
+    # ≈12.8 per the r13 variance note).
     "sim_ivf_pq_topk",
     "sim_ivfpq_residual_topk",
+    # r14 broadcast-discipline sweep (registry RECHECK_CHANGED): the
+    # LM scoring join's explicit model-side broadcast — expected to
+    # cut the probe's 3.2 ratio by pinning the join shape the
+    # planner could flip to sort-merge at probe scale — plus the
+    # three single-row-attach hints (value-identical; timed so the
+    # new plans get fresh series, and dq_k_anonymity /
+    # graph_triangle_count get first-time numbers).
+    "text_bigram_logprob",
+    "sim_ivf_recall_curve",
+    "dq_k_anonymity",
+    "graph_triangle_count",
 ]
 
 #: Stable-tail rotation cadence: every stable EXTRAS query is timed at
@@ -425,6 +442,41 @@ def _ensure_scale_slice(sf_dir: str, factor: int, fp_hash: str) -> str:
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _tree_cpu_seconds() -> float | None:
+    """utime+stime seconds summed over this process and every LIVE
+    descendant (r14, r13 verdict item 3).  time.process_time() alone
+    is useless here: under local[32] the executor threads live in the
+    JVM gateway — a CHILD process — so the Python driver's own CPU is
+    a rounding error.  One /proc sweep builds the ppid tree (comm is
+    parsed after the LAST ')' so names with spaces/parens can't shift
+    the fields); CPU of descendants that EXIT mid-run is lost, but
+    the JVM outlives the bench, which is the case that matters.
+    Returns None when /proc isn't readable (non-Linux)."""
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        children: dict[int, list[int]] = {}
+        ticks: dict[int, int] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as fh:
+                    rest = fh.read().rsplit(")", 1)[1].split()
+            except (OSError, IndexError):
+                continue
+            pid = int(p)
+            children.setdefault(int(rest[1]), []).append(pid)
+            ticks[pid] = int(rest[11]) + int(rest[12])
+        total, frontier = 0, [os.getpid()]
+        while frontier:
+            pid = frontier.pop()
+            total += ticks.get(pid, 0)
+            frontier.extend(children.get(pid, []))
+        return total / hz
+    except Exception:
+        return None
 
 
 def _env_capture() -> dict:
@@ -596,14 +648,35 @@ def main() -> None:
         headline = SHARED12 + EXTRAS_WATCH + _cohort(stable, rotor)
     timings: dict[str, float] = {}
     per_query_runs: dict[str, list[float]] = {}
+    # r14 (r13 verdict item 3): process-tree CPU per run, alongside
+    # wall.  Rationale: r13 proved sub-gate contention inflates wall
+    # clock 1.125–1.34× even at steal 0.15–0.64% — wall-only timing
+    # cannot separate "plan got slower" from "machine was busy", which
+    # cost three full quiet runs to adjudicate.  CPU time is immune to
+    # time-slicing (a preempted thread stops accruing), so: a wall
+    # delta with flat cpu_sec is contention; matching cpu growth is a
+    # real plan/volume change — ONE run decides.
+    per_query_cpu_runs: dict[str, list[float | None]] = {}
+    cpu_sec: dict[str, float | None] = {}
     for name in headline:
         runs: list[float] = []
+        cpu_runs: list[float | None] = []
         for _ in range(3):
+            c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             _force(queries[name](spark, SF_DIR))
             runs.append(round(time.perf_counter() - t0, 3))
+            c1 = _tree_cpu_seconds()
+            cpu_runs.append(
+                round(c1 - c0, 3)
+                if c0 is not None and c1 is not None
+                else None
+            )
         per_query_runs[name] = runs
+        per_query_cpu_runs[name] = cpu_runs
         timings[name] = min(runs)
+        # CPU of the same run the headline wall figure comes from
+        cpu_sec[name] = cpu_runs[runs.index(min(runs))]
 
     fingerprint = _testdata_fingerprint(SF_DIR)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -635,6 +708,8 @@ def main() -> None:
             "bench_set": "flagged",
             "queries": timings,
             "per_query_runs": per_query_runs,
+            "cpu_sec": cpu_sec,
+            "per_query_cpu_runs": per_query_cpu_runs,
             "quiet": _quiet_verdict(env_before, env_after),
             "sf": sf_val,
             "testdata": fingerprint["hash"],
@@ -925,6 +1000,16 @@ def main() -> None:
         # per-query noise floor that adjudicates same-data deltas for
         # the EXTRAS exactly like the SHARED12 quiet-series bound.
         "per_query_runs": per_query_runs,
+        # r14 (r13 verdict item 3): process-tree CPU seconds for the
+        # SAME run each headline wall figure comes from (min-wall of
+        # 3), plus all three raw CPU readings.  Wall inflated but CPU
+        # flat vs the prior series = contention; both up = real
+        # plan/volume change.  Under local[32] a healthy parallel
+        # query reads cpu_sec ≫ wall (up to 32×); the JVM's
+        # background threads (GC etc.) ride along, so sub-100 ms
+        # queries carry proportionally noisier CPU numbers.
+        "cpu_sec": cpu_sec,
+        "per_query_cpu_runs": per_query_cpu_runs,
         "variance_floor": {
             n: (
                 round(max(r[1], r[2]) / min(r[1], r[2]), 3)
@@ -1103,7 +1188,20 @@ def main() -> None:
             "cost in-session).  The final-code quiet probe artifact "
             "(BENCH_PROBE.json, steal 0.04%) puts both M=32 PQ "
             "tiers at 10x ratios 1.30/1.16.  Both PQ queries sit in "
-            "EXTRAS_WATCH pending the r14 verdict."
+            "EXTRAS_WATCH pending the r14 verdict.  r14 adjudication "
+            "rule (r13 verdict item 3 — sub-gate contention inflates "
+            "wall 1.125-1.34x even at steal 0.15-0.64%, which "
+            "wall-only timing cannot see): every timed query now "
+            "records cpu_sec (process-tree utime+stime around the "
+            "same run the wall figure comes from).  Adjudicate a "
+            "same-data wall delta by its CPU ratio: wall up with "
+            "cpu_sec flat (ratio inside the query's variance_floor) "
+            "= contention, not a regression — no re-run needed; wall "
+            "and cpu_sec up together = real plan/volume change.  CPU "
+            "time is preemption-immune, so ONE run decides what r13 "
+            "needed three full quiet runs to settle; the steal/load "
+            "gates still label the artifact, but cpu_sec carries the "
+            "per-query verdict."
         ),
     }
     with open(DETAIL_FILE, "w") as fh:

@@ -138,8 +138,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = p.select(F.explode(F.array("lo", "hi")).alias("n")).distinct()
     return (
         tri.agg(F.count("*").alias("triangles"))
-        .crossJoin(tri_nodes.agg(F.count("*").alias("triangle_nodes")))
-        .crossJoin(nodes.agg(F.count("*").alias("graph_nodes")))
+        .crossJoin(
+            F.broadcast(tri_nodes.agg(F.count("*").alias("triangle_nodes")))
+        )
+        .crossJoin(F.broadcast(nodes.agg(F.count("*").alias("graph_nodes"))))
     )
 
 

@@ -868,7 +868,7 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = topk.join(exact, "vec_id").agg(F.count("*").alias("hits"))
         ncand = cand.agg(F.count("*").alias("candidates"))
         parts.append(
-            hits.crossJoin(ncand)
+            hits.crossJoin(F.broadcast(ncand))
             .crossJoin(F.broadcast(n_exact))
             .select(
                 F.lit(np_).alias("nprobe"),
@@ -1241,7 +1241,7 @@ LIMIT {TOP_K}
 #: IVFADC .50/.75/.45 → .55/.80/.65 (sf0.001/0.01/0.1) — and made
 #: residual ≥ no-residual at every SF at the default nprobe.  Codes
 #: stay 1-byte-range (PQ_K=16), so the serving-size claim only moves
-#: 16× → 8× smaller than float64 per vector while recall jumps.
+#: 32× → 16× smaller than float64 per vector while recall jumps.
 PQ_M = 32  # subspaces (64 dims → 2 per subspace)
 PQ_K = 16  # codes per sub-codebook
 PQ_SUBDIM = 64 // PQ_M

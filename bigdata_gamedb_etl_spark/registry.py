@@ -51,89 +51,89 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-13 head (r12 verdict item 2): no new queries this round — the
-# §2 surface has been complete since r11 and round 13's mandate is
-# perf evidence (the quiet bench) — so the whole window goes to
-# draining the evidence-age tail: the last 9 r6-age queries (the r12
-# rotation's declared remainder) plus all 29 r7-age queries, which
-# exactly fills the 50-slot window alongside the 12 CONTROLS and
-# brings every registered query's newest driver evidence to r8+.
-ROUND13_NEW: list[str] = []
+# Round-14 head: no new queries (the §2 surface has been complete
+# since r11; round 14's mandate per the r13 verdict is the final-code
+# bench commit + draining the evidence-age tail).  The window takes
+# the 4 plan-changed rechecks, then the full 6-query r7-age band
+# (the 4 queries the r13 RECHECKs displaced plus the 2 sketch
+# queries the r13 head comment under-counted), then the 28
+# alphabetically-first r8-age queries — 4 + 34 + 12 CONTROLS = 50.
+# The 18 remaining r8-age queries rotate in r15; their r8 greens
+# stand and test_oracle_parity re-verifies them every run.
+ROUND14_NEW: list[str] = []
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the
-#: head of the window.  (The other r13 edits — assert → ValueError,
-#: two bench-harness fixes, the nprobe parameterization with an
-#: unchanged default — change no query plan or dtype.)
+#: head of the window.
 RECHECK_CHANGED: list[str] = [
-    # r13: the linear-counting lookup flipped from the r12 broadcast
-    # join to element_at over the same literal array — verified
-    # row-identical locally, but the plan shape changed (the broadcast
-    # exchange is gone), so it re-queues; w6_customer_rank_in_segment
-    # moved out to the r14 rotation to keep the window at 50.
-    "sketch_hll_mulmod_merge",
-    # r13 PQ resolution bump (PQ_M 16 → 32, 2-dim sub-codes): the
-    # nprobe + Lloyd-budget ladders localized the sf0.1 recall
-    # ceiling to code resolution, and halving the subspace width
-    # raised recall at every (SF, tier) point (matrix in the PQ_M
-    # note).  Results of all three PQ-backed queries change; their
-    # DuckDB chains read the same constants so parity re-derives —
-    # locally re-verified, re-queued here.  text_novelty_rate, w4,
-    # and w5 moved out to the r14 rotation to keep the window at 50.
-    "sim_pq_topk",
-    "sim_ivf_pq_topk",
-    "sim_ivfpq_residual_topk",
+    # r14 broadcast-discipline sweep (r13 verdict item 6 + nit): the
+    # LM scoring join now carries an explicit F.broadcast on the
+    # model side (the planner's stats-based choice could flip to
+    # sort-merge past the size threshold — see the textops module
+    # note), and the three single-row-aggregate crossJoins that
+    # leaned on AQE (dq_k_anonymity's total, graph_triangle_count's
+    # node counts, sim_ivf_recall_curve's candidate count) are
+    # broadcast-hinted like every other total-attach.  Results are
+    # value-identical (join semantics unchanged) — locally
+    # re-verified vs DuckDB — but the static plan shape changed, so
+    # all four re-queue; test_plan_quality.py pins the new shapes.
+    "text_bigram_logprob",
+    "dq_k_anonymity",
+    "graph_triangle_count",
+    "sim_ivf_recall_curve",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
 #: (the staleness guard goes red and names land here).
 RECONFIRM_STALE: list[str] = []
 
-#: r13: the 9 remaining r6-age queries (newest driver green r6),
-#: then all 29 r7-age queries — alphabetical within each age band so
-#: the drain order is auditable.  All unchanged since their last green
-#: and locally re-verified every run by test_oracle_parity.
+#: r14: the full 6-query r7-age band (newest driver green r7), then
+#: the 28 alphabetically-first r8-age queries — alphabetical within
+#: each age band so the drain order is auditable (dq_k_anonymity is
+#: r8-age but rides in RECHECK_CHANGED above).  All unchanged since
+#: their last green and locally re-verified every run by
+#: test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
-    # r6-age (the r12 verdict's named tail)
-    "tpch_q16_supplier_cardinality",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q21_sole_returned",
-    "tpch_q22_dormant_rich",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "w2_top_customers_per_nation",
-    # r7-age
-    "asof_purchase_click",
-    "behavior_conversion_lag",
-    "dedup_bloom_prefilter",
-    "dedup_cluster_assign",
-    "dedup_exact_keeper",
-    "dedup_exact_md5",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_semantic_decontaminate",
-    "dedup_shingle_docfreq_hist",
-    "dq_duplicate_rate_by_source",
-    "dq_event_conformity",
-    "events_user_gini",
-    "graph_component_sizes",
-    "graph_degree_distribution",
-    "graph_neighbor_jaccard",
-    "interval_error_click_burst",
-    "mart_nation_customer_map",
-    "mm_payload_meta",
-    "mm_resize",
-    "p6_statistical_moments",
-    "pipeline_dataset_card",
-    "rollup_event_time_grain",
-    "seq_markov_entropy",
-    "sess2_session_window",
-    "text_hapax_profile",
-    # text_novelty_rate, w4_daily_event_rollup, w5_value_delta_per_
-    # user, w6_customer_rank_in_segment: displaced to r14 by the four
-    # r13 RECHECKs (window capped at 50); their r7 greens stand and
-    # test_oracle_parity re-verifies them every run.
+    # r7-age: the 4 queries the r13 RECHECKs displaced plus
+    # sketch_daily_merge_total / sketch_users_per_type (newest
+    # evidence r7 — the r13 head comment's "29 r7-age" under-count
+    # missed them; computed from the CORRECTNESS_r*.json union).
+    "sketch_daily_merge_total",
+    "sketch_users_per_type",
+    "text_novelty_rate",
+    "w4_daily_event_rollup",
+    "w5_value_delta_per_user",
+    "w6_customer_rank_in_segment",
+    # r8-age (28 of 46; the remaining 18 — sim_knn_top1 …
+    # w3_moving_avg_events alphabetically — rotate in r15)
+    "a13_global_totals",
+    "a14_year_avg_price",
+    "a8_word_count_stats",
+    "dedup_cluster_assign_star",
+    "dedup_semantic_fused_pairs",
+    "dq_source_quality_drift",
+    "f1_date_parts",
+    "f2_string_funcs",
+    "funnel_user_conversion",
+    "graph_clustering_coeff",
+    "mm_audio_meta",
+    "p4_user_value_mad",
+    "p5_lineitem_profile",
+    "p7_winsorized_value",
+    "pipeline_clean_corpus",
+    "pipeline_corpus_emit",
+    "pipeline_epoch_shuffle",
+    "pipeline_leakage_safe_split",
+    "pipeline_mixture_reweight",
+    "pipeline_pack_attention_spans",
+    "pipeline_source_cards",
+    "pipeline_split_contamination",
+    "rfm_customer_segments",
+    "sim_centroid_outliers",
+    "sim_cosine_dup_pairs",
+    "sim_cosine_topk",
+    "sim_dim_variance_profile",
+    "sim_kmeans_lloyd_step",
 ]
 
 CONTROLS = [
@@ -146,7 +146,7 @@ CONTROLS = [
 ]
 
 PRIORITY = (
-    ROUND13_NEW + RECHECK_CHANGED + RECONFIRM_STALE
+    ROUND14_NEW + RECHECK_CHANGED + RECONFIRM_STALE
     + RECONFIRM_ROTATION + CONTROLS
 )
 

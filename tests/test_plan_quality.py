@@ -885,3 +885,46 @@ def test_hll_linear_counting_lookup_is_literal_not_join(spark, sf_dir):
     ]
     assert not join_lines, f"LC lookup joined on v_zero: {join_lines}"
     assert "element_at" in plan
+
+
+def test_bigram_lm_scoring_join_broadcasts_model(spark, sf_dir):
+    """r14 (r13 verdict item 4): the LM scoring join must broadcast
+    the model side — the bigram-TYPE table is Heaps-law sublinear in
+    the corpus (931 → 9,310 rows over the probe's 10× step) while
+    doc_bg is corpus-sized, so a sort-merge join here means the
+    corpus-sized doc-bigram stream is shuffling on (x, y) to meet a
+    kilobyte table.  Left to size estimates the planner picked
+    broadcast at sf0.01 but can flip past the threshold at larger
+    SFs — the explicit hint pins it; every join in this plan (the
+    scoring join and the model-internal c_x attach) must be
+    broadcast."""
+    df = textops.text_bigram_logprob(spark, sf_dir)
+    plan = plans.physical(df)
+    assert "BroadcastHashJoin" in plan
+    offenders = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    ]
+    assert not offenders, f"LM join lost its broadcast: {offenders}"
+
+
+def test_single_row_totals_are_broadcast_not_cartesian(spark, sf_dir):
+    """r14 (r13 verdict nit): the three single-row-aggregate
+    crossJoins that leaned on AQE (dq_k_anonymity's total,
+    graph_triangle_count's node counts, sim_ivf_recall_curve's
+    candidate count) now carry the explicit F.broadcast hint like
+    every other total-attach in the repo — the static plan must show
+    the broadcast nested-loop form, never a CartesianProduct."""
+    from bigdata_gamedb_etl_spark.operators import extended, graph
+    from bigdata_gamedb_etl_spark.operators import similarity as sim
+
+    for q in (
+        extended.dq_k_anonymity,
+        graph.graph_triangle_count,
+        sim.sim_ivf_recall_curve,
+    ):
+        plan = q(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" in plan, (
+            f"{q.__name__} single-row attach is not broadcast"
+        )
