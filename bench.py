@@ -751,18 +751,35 @@ def main() -> None:
         # ratio noise compounds from both numerator and denominator,
         # so each side gets the same steady-state treatment as the
         # headline timings.
-        def _probe_best(name: str, d: str) -> float:
-            best = float("inf")
+        def _probe_best(name: str, d: str) -> tuple[float, float | None]:
+            """(best wall, CPU of that run) — CPU captured per run
+            with _tree_cpu_seconds like the headline loop (r14): a
+            probe RATIO whose numerator and denominator carry CPU
+            readings is adjudicable in one run — a wall ratio above
+            the family's claim with a matching CPU ratio is real
+            growth; wall-only inflation is the window's contention."""
+            best, best_cpu = float("inf"), None
             for _ in range(2):
+                c0 = _tree_cpu_seconds()
                 t0 = time.perf_counter()
                 _force(queries[name](spark, d))
-                best = min(best, time.perf_counter() - t0)
-            return round(best, 3)
+                wall = time.perf_counter() - t0
+                c1 = _tree_cpu_seconds()
+                if wall < best:
+                    best = wall
+                    best_cpu = (
+                        round(c1 - c0, 3)
+                        if c0 is not None and c1 is not None
+                        else None
+                    )
+            return round(best, 3), best_cpu
 
-        base_sec = {n: _probe_best(n, SF_DIR) for n in probe_names}
-        scaled_sec = {
+        base_timed = {n: _probe_best(n, SF_DIR) for n in probe_names}
+        scaled_timed = {
             n: _probe_best(n, probe_dir) for n in probe_names
         }
+        base_sec = {n: w for n, (w, _) in base_timed.items()}
+        scaled_sec = {n: w for n, (w, _) in scaled_timed.items()}
         scale_probe = {
             "factor": SCALE_PROBE_FACTOR,
             "probed": probe_names,
@@ -770,6 +787,16 @@ def main() -> None:
             "scaled_sec": scaled_sec,
             "ratio": {
                 n: round(scaled_sec[n] / base_sec[n], 2) if base_sec[n] else None
+                for n in probe_names
+            },
+            "base_cpu_sec": {n: c for n, (_, c) in base_timed.items()},
+            "scaled_cpu_sec": {n: c for n, (_, c) in scaled_timed.items()},
+            "cpu_ratio": {
+                n: (
+                    round(scaled_timed[n][1] / base_timed[n][1], 2)
+                    if base_timed[n][1] and scaled_timed[n][1] is not None
+                    else None
+                )
                 for n in probe_names
             },
         }

@@ -288,3 +288,60 @@ def test_quiet_verdict_labels_loaded_and_quiet_runs():
     assert stolen["verdict"] is False  # 5% steal during the run
 
     assert _quiet_verdict({}, {})["verdict"] is None
+
+
+def test_bench_tree_cpu_seconds_counts_self_and_children():
+    """r14: the CPU-ratio adjudication rule (BENCH_DETAIL.cpu_sec)
+    stands on _tree_cpu_seconds summing utime+stime over this process
+    AND its descendants — the local[32] executor threads live in the
+    JVM child, so a self-only reading would miss ~all of the work.
+    Pins: (a) monotone non-negative delta, (b) a CPU burn in THIS
+    process registers, (c) a CPU burn in a CHILD process registers
+    while the child is still alive (the JVM-outlives-the-bench case)."""
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import _tree_cpu_seconds
+
+    c0 = _tree_cpu_seconds()
+    assert c0 is not None and c0 >= 0.0
+
+    # (b) self burn: ~0.3 s of pure-Python spinning
+    x = 0
+    for i in range(4_000_000):
+        x += i * i
+    c1 = _tree_cpu_seconds()
+    assert c1 - c0 >= 0.1, f"self CPU burn invisible: {c1 - c0}"
+
+    # (c) child burn, read while the child is STILL RUNNING (the
+    # helper only sees live descendants by design)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import time\n"
+            "t0 = time.process_time()\n"
+            "x = 0\n"
+            "i = 0\n"
+            "while time.process_time() - t0 < 1.0:\n"
+            "    x += i * i\n"
+            "    i += 1\n"
+            "time.sleep(5)\n",
+        ]
+    )
+    try:
+        import time as _time
+
+        deadline = _time.monotonic() + 10.0
+        seen = 0.0
+        while _time.monotonic() < deadline:
+            seen = _tree_cpu_seconds() - c1
+            if seen >= 0.5:
+                break
+            _time.sleep(0.2)
+        assert seen >= 0.5, f"child CPU burn invisible: {seen}"
+    finally:
+        child.kill()
+        child.wait()
