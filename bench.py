@@ -673,8 +673,18 @@ def main() -> None:
         per_query_runs[name] = runs
         per_query_cpu_runs[name] = cpu_runs
         timings[name] = min(runs)
-        # CPU of the same run the headline wall figure comes from
-        cpu_sec[name] = cpu_runs[runs.index(min(runs))]
+        # min CPU across the three runs — NOT the min-wall run's CPU:
+        # the first run carries Catalyst+Janino JIT CPU, and when it
+        # wins on wall (warm plans, cold codegen) pairing its CPU
+        # with the wall figure wobbled same-code readings ~2x between
+        # quiet runs.  Min-of-runs is the steady-state lower bound,
+        # the same statistic as the wall side; the raw triples stay
+        # in per_query_cpu_runs.  (The r14 committed detail predates
+        # this and used the min-wall run's CPU — recompute min from
+        # its per_query_cpu_runs when comparing across rounds.)
+        cpu_sec[name] = min(
+            (c for c in cpu_runs if c is not None), default=None
+        )
 
     fingerprint = _testdata_fingerprint(SF_DIR)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -752,12 +762,19 @@ def main() -> None:
         # so each side gets the same steady-state treatment as the
         # headline timings.
         def _probe_best(name: str, d: str) -> tuple[float, float | None]:
-            """(best wall, CPU of that run) — CPU captured per run
-            with _tree_cpu_seconds like the headline loop (r14): a
-            probe RATIO whose numerator and denominator carry CPU
-            readings is adjudicable in one run — a wall ratio above
-            the family's claim with a matching CPU ratio is real
-            growth; wall-only inflation is the window's contention."""
+            """(best wall, best CPU) — CPU captured per run with
+            _tree_cpu_seconds like the headline loop (r14): a probe
+            RATIO whose numerator and denominator carry CPU readings
+            is adjudicable in one run — a wall ratio above the
+            family's claim with a matching CPU ratio is real growth;
+            wall-only inflation is the window's contention.  CPU is
+            the MIN across the runs, independently of which run wins
+            on wall: the first run carries the Catalyst+Janino JIT's
+            CPU, and when it happens to win on wall (warm plans, cold
+            codegen) pairing its CPU with the wall figure inflated
+            same-code cpu_ratio readings ~2x between quiet runs —
+            min-of-runs is the steady-state lower bound, the same
+            statistic the wall side uses."""
             best, best_cpu = float("inf"), None
             for _ in range(2):
                 c0 = _tree_cpu_seconds()
@@ -765,13 +782,10 @@ def main() -> None:
                 _force(queries[name](spark, d))
                 wall = time.perf_counter() - t0
                 c1 = _tree_cpu_seconds()
-                if wall < best:
-                    best = wall
-                    best_cpu = (
-                        round(c1 - c0, 3)
-                        if c0 is not None and c1 is not None
-                        else None
-                    )
+                best = min(best, wall)
+                if c0 is not None and c1 is not None:
+                    cpu = round(c1 - c0, 3)
+                    best_cpu = cpu if best_cpu is None else min(best_cpu, cpu)
             return round(best, 3), best_cpu
 
         base_timed = {n: _probe_best(n, SF_DIR) for n in probe_names}
@@ -799,6 +813,26 @@ def main() -> None:
                 )
                 for n in probe_names
             },
+            # How to read cpu_ratio vs (wall) ratio — they answer
+            # different questions and a LINEAR family's cpu_ratio is
+            # expected to sit near the FACTOR, not near 1:
+            "cpu_ratio_note": (
+                "cpu_ratio is the contention-proof scaling measure: "
+                "factor-x data means factor-x total work, so a "
+                "linear family reads cpu_ratio ~= factor while its "
+                "wall ratio sits far lower because the larger input "
+                "also fills more of the 32 threads (per-unit growth "
+                "= cpu_ratio / factor).  cpu_ratio well below the "
+                "factor = fixed overhead amortizing (sublinear); "
+                "well above = superlinear work, the thing the probe "
+                "hunts.  Wall-vs-cpu disagreement localizes "
+                "contention to the window, same rule as the "
+                "headline cpu_sec.  CPU here is min-of-runs per "
+                "side (the first run's Catalyst+Janino JIT CPU "
+                "otherwise leaks into whichever side it lands on "
+                "and wobbled same-code cpu_ratio ~2x between quiet "
+                "runs)."
+            ),
         }
         # Stage decompositions run only when their anchor family is in
         # this run's probe cohort (they re-run the family's heaviest
