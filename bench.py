@@ -816,6 +816,17 @@ def main() -> None:
             # How to read cpu_ratio vs (wall) ratio — they answer
             # different questions and a LINEAR family's cpu_ratio is
             # expected to sit near the FACTOR, not near 1:
+            #
+            # First measured band (committed quiet artifact
+            # 2026-08-17, factor 10, min-of-runs CPU): cpu_ratio
+            # 0.94–13.83 across the 14 cohort families — i.e. every
+            # family at or below ~1.4× per unit of data.  The
+            # above-factor tail (containment 13.83, LPA 13.17, 2hop
+            # 11.78, lsh_recall 11.65) is the shuffle-sort log factor
+            # plus hash-table pressure at the bigger working set, not
+            # a quadratic term — their wall ratios sit at 1.6–2.0
+            # and their output/candidate masses are probed linear by
+            # the stage decompositions.
             "cpu_ratio_note": (
                 "cpu_ratio is the contention-proof scaling measure: "
                 "factor-x data means factor-x total work, so a "

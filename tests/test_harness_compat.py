@@ -345,3 +345,39 @@ def test_bench_tree_cpu_seconds_counts_self_and_children():
     finally:
         child.kill()
         child.wait()
+
+
+def test_committed_bench_artifacts_are_self_labeling_and_complete():
+    """r14 structural contract for the two committed perf artifacts:
+    the adjudication chain (quiet self-label -> per-query wall -> r14
+    cpu_sec) must be readable from the files alone.  Catches a
+    half-written or wrong-mode file in the tree without pinning any
+    timing VALUE (numbers drift between quiet runs by design) and
+    WITHOUT requiring quiet-true: the driver's end-of-round run
+    overwrites BENCH_DETAIL.json and routinely self-labels
+    quiet-false (r13 round-end detail did) — that label being
+    PRESENT and honest is the contract; being green is not."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+
+    with open(os.path.join(root, "BENCH_DETAIL.json")) as fh:
+        d = json.load(fh)
+    assert d["quiet"]["verdict"] in (True, False, None)
+    assert d["quiet"]["checks"], "quiet self-label lost its evidence"
+    assert d["queries"], "no timed queries"
+    for n in d["queries"]:
+        assert n in d["per_query_runs"] and len(d["per_query_runs"][n]) == 3
+        assert n in d["cpu_sec"], f"{n} missing cpu_sec (r14 contract)"
+    assert set(d["queries_carryover"]).isdisjoint(d["queries"])
+    assert d["shared12_sec"] > 0
+
+    with open(os.path.join(root, "BENCH_PROBE.json")) as fh:
+        p = json.load(fh)
+    assert p["quiet"]["verdict"] in (True, False, None)
+    sp = p.get("scale_probe") or p
+    assert sp["ratio"], "no probe ratios"
+    assert "cpu_ratio_note" in sp, "probe cpu_ratio reading note missing"
+    for n in sp["ratio"]:
+        assert n in sp["cpu_ratio"], f"{n} missing cpu_ratio"
