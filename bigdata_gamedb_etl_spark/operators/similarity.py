@@ -580,6 +580,46 @@ IVF_INT_ITERS = 6
 #: sign(s)·(|s|//n) in the assignment UDF).
 _TRUNC_DIV = "CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END"
 
+#: embedding dimensionality — already assumed throughout the PQ tier
+#: (PQ_SUBDIM = 64 // PQ_M and the fixed slice positions); named here
+#: so the Lloyd-round aggregation below can be spelled per-dim.
+_EMB_DIM = 64
+
+
+def _trunc_div_py(s: int, n: int) -> int:
+    """The Python twin of _TRUNC_DIV (exact on arbitrary ints)."""
+    s, n = int(s), int(n)
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def _dim_sum_aggs(col: str, n_dims: int) -> list:
+    """Per-dim SUM + one COUNT(*) aggregate over an array column —
+    the one-exchange replacement for posexplode → (key, dim) agg →
+    collect_list (r14, guide §2.3/§2.4): the explode multiplied every
+    row n_dims-fold and each Lloyd round paid TWO exchanges plus an
+    array_sort(collect_list) merely to rebuild arrays the driver was
+    about to take() anyway.  The arrays are fixed-width (the PQ tier
+    hardcodes the 64-dim layout already), so the old per-(key, dim)
+    exploded row count equals the group's COUNT(*); the trunc-div
+    moves to driver Python on the model-sized take() result — same
+    integers, one exchange, no row multiplication."""
+    return [
+        F.sum(F.get(F.col(col), F.lit(d))).alias(f"s{d}")
+        for d in range(n_dims)
+    ] + [F.count("*").alias("n")]
+
+
+def _dims_of(row, n_dims: int) -> list[int]:
+    """Centroid array from a per-dim-SUM/COUNT(*) row (s{d} is None
+    only when no member carried that slot — impossible on the
+    fixed-width corpus, guarded for form)."""
+    n = row["n"]
+    return [
+        _trunc_div_py(row[f"s{d}"], n)
+        for d in range(n_dims)
+        if row[f"s{d}"] is not None
+    ]
+
 
 def _int_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb double[], e bigint[]) — positive-norm embeddings
@@ -653,30 +693,30 @@ def _int_lloyd_fit(eq_train: DataFrame) -> dict[int, list[int]]:
     aggregation; the new centroids — model-sized, k·dim ints — come
     back to the driver exactly like MLlib's own fit loop.  Cells that
     lose all members vanish (the oracle's GROUP BY does the same)."""
+    # materialize the train slice ONCE: the seed take plus every Lloyd
+    # round below re-scans it, and without the barrier each of those
+    # 1 + IVF_INT_ITERS jobs re-executes the full upstream lineage
+    # (parquet scan + quantize transform) — guide §5's localCheckpoint
+    # discipline, the same fix the CC/PageRank loops carry.  Production
+    # persists its training sample before a fit loop for the same
+    # reason; values are untouched (r14 quiet evidence: the residual
+    # tier's 65 CPU-s collapses with this family of barriers).
+    eq_train = eq_train.localCheckpoint(eager=False)
     seed = (
         eq_train.orderBy("vec_id").limit(IVF_CELLS).select("e").take(IVF_CELLS)
     )
     cents = {j: [int(v) for v in r["e"]] for j, r in enumerate(seed)}
     if not cents:
         return {}
+    aggs = _dim_sum_aggs("e", _EMB_DIM)
     for _ in range(IVF_INT_ITERS):
         rows = (
             _int_assign(eq_train, cents)
-            .select("cell", F.posexplode("e").alias("dim", "v"))
-            .groupBy("cell", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .select("cell", "dim", F.expr(_TRUNC_DIV).alias("c"))
             .groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias(
-                    "dc"
-                )
-            )
+            .agg(*aggs)
             .take(IVF_CELLS)
         )
-        cents = {
-            int(r["cell"]): [int(x["c"]) for x in r["dc"]] for r in rows
-        }
+        cents = {int(r["cell"]): _dims_of(r, _EMB_DIM) for r in rows}
     return cents
 
 
@@ -694,7 +734,15 @@ def _ivf_int_build(
     cents = _int_lloyd_fit(train.select("vec_id", "e"))
     if not cents:
         return None, {}, None
-    assigned = _int_assign(eq, cents)
+    # materialize the full-corpus assignment ONCE: every serving tier
+    # consumes it at least twice (the query-row fetch below + the
+    # probed-cell scan), and the PQ/residual tiers re-join it up to
+    # three more times (residual subtraction, candidate slice, final
+    # encode) — each consumption re-ran the parquet scan AND the
+    # Arrow-batched coarse GEMM before this barrier.  Production
+    # persists the assignment table at index-build time; this is the
+    # in-query equivalent (recall-curve has carried it since r9).
+    assigned = _int_assign(eq, cents).localCheckpoint(eager=True)
     qrow = (
         assigned.where(F.col("vec_id") == QUERY_VEC_ID)
         .select("emb", "e")
@@ -1260,6 +1308,24 @@ if PQ_M * PQ_SUBDIM != 64:
 PQ_INT_ITERS = 4
 
 
+def _unit_quantize_py(e: list[int]) -> list[int] | None:
+    """Driver twin of _pq_unit_quantized's per-row math — the same
+    IEEE op sequence ((x·1e6)/sqrt(n2), +0.5, floor; each step a
+    single correctly-rounded double op, n2 < 2^53 so the int→double
+    casts are exact) the _unit_centroids helper already mirrors.
+    Returns None for a zero-norm vector — the row _pq_unit_quantized
+    drops.  Used to derive the query's unit vector from the coarse
+    tier's already-fetched qrow instead of paying a second
+    one-row-first() driver job per serving query (r14)."""
+    import math
+
+    n2 = sum(v * v for v in e)
+    if n2 <= 0:
+        return None
+    s = math.sqrt(float(n2))
+    return [int(math.floor(float(v) * 1000000.0 / s + 0.5)) for v in e]
+
+
 def _pq_unit_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, u bigint[]) — the 6dp-quantized UNIT vector, computed
     integer-first (see the section note): quantize the raw embedding,
@@ -1379,24 +1445,21 @@ def _pq_int_fit(
             cents[(j, code)] = u[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
     if not cents:
         return {}
-    subs_train = _pq_subspaces(uq_train)
+    # one barrier for the PQ_M-way subspace explode: all PQ_INT_ITERS
+    # rounds re-scan it (only `cents` changes between rounds), so
+    # without this each round re-ran scan + normalize + explode before
+    # its GEMM — guide §5, same rationale as _int_lloyd_fit's barrier
+    subs_train = _pq_subspaces(uq_train).localCheckpoint(eager=False)
+    aggs = _dim_sum_aggs("sub", PQ_SUBDIM)
     for _ in range(PQ_INT_ITERS):
         rows = (
             _pq_assign(subs_train, cents)
-            .select("j", "code", F.posexplode("sub").alias("dim", "v"))
-            .groupBy("j", "code", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .select("j", "code", "dim", F.expr(_TRUNC_DIV).alias("c"))
             .groupBy("j", "code")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias(
-                    "dc"
-                )
-            )
+            .agg(*aggs)
             .take(PQ_M * PQ_K)
         )
         cents = {
-            (int(r["j"]), int(r["code"])): [int(x["c"]) for x in r["dc"]]
+            (int(r["j"]), int(r["code"])): _dims_of(r, PQ_SUBDIM)
             for r in rows
         }
     return cents
@@ -1418,7 +1481,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Normalizing first makes the approximate inner product an
     approximate cosine (score/1e12 ≈ cosine on the 6dp-quantized unit
     vectors)."""
-    uq = _pq_unit_quantized(spark, sf_dir)
+    # materialized once: the fit's seed draw, the query-row fetch, and
+    # the full-corpus encode below all re-derive uq otherwise (§5)
+    uq = _pq_unit_quantized(spark, sf_dir).localCheckpoint(eager=False)
     cents = _pq_int_fit(uq.where(_int_train_gate()))
     empty = "vec_id bigint, approx_cosine double"
     if not cents:
@@ -1614,19 +1679,25 @@ def sim_ivf_pq_topk(
     if not cents or qrow is None:
         return spark.createDataFrame([], empty)
     probe = _int_probe_order([int(v) for v in qrow["e"]], cents)[:nprobe]
-    cand = (
-        assigned.where(F.col("cell").isin(probe))
-        .select("vec_id", "cell")
-        .localCheckpoint(eager=True)
+    # cand is two cheap filters over the MATERIALIZED assignment now —
+    # its former localCheckpoint guarded a deep unmaterialized lineage
+    # and became a pure extra driver job once _ivf_int_build grew its
+    # own barrier (r14)
+    cand = assigned.where(F.col("cell").isin(probe)).select(
+        "vec_id", "cell"
     )
-    uq = _pq_unit_quantized(spark, sf_dir)
+    # materialized once, like sim_pq_topk's (fit seed + probed-slice
+    # encode both consume it)
+    uq = _pq_unit_quantized(spark, sf_dir).localCheckpoint(eager=False)
     pq_cents = _pq_int_fit(uq.where(_int_train_gate()))
     if not pq_cents:
         return spark.createDataFrame([], empty)
-    q = uq.where(F.col("vec_id") == QUERY_VEC_ID).first()
-    if q is None:
+    # the query's unit vector derives from the coarse qrow already in
+    # hand — same integers as the dropped uq.where(vec_id=...).first()
+    # (see _unit_quantize_py), one driver job fewer
+    qu = _unit_quantize_py([int(v) for v in qrow["e"]])
+    if qu is None:
         return spark.createDataFrame([], empty)
-    qu = [int(v) for v in q["u"]]
     lut = [
         (
             j,
@@ -1848,28 +1919,24 @@ def _rpq_int_fit(
             ]
     if not cents:
         return {}
-    subs_train = _rpq_subspaces(res_train)
+    # same barrier as _pq_int_fit's: the residual subspace explode is
+    # static across rounds, and before this every round re-derived it
+    # from scratch — INCLUDING the full-corpus coarse GEMM hiding in
+    # res_train's assigned-join lineage (the single largest repeated
+    # subtree the r14 profile found: 4 extra corpus GEMMs per fit)
+    subs_train = _rpq_subspaces(res_train).localCheckpoint(eager=False)
+    aggs = _dim_sum_aggs("sub", PQ_SUBDIM)
     for _ in range(PQ_INT_ITERS):
         rows = (
             _rpq_assign(subs_train, cents)
-            .select(
-                "cell", "j", "code", F.posexplode("sub").alias("dim", "v")
-            )
-            .groupBy("cell", "j", "code", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .select("cell", "j", "code", "dim", F.expr(_TRUNC_DIV).alias("c"))
             .groupBy("cell", "j", "code")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias(
-                    "dc"
-                )
-            )
+            .agg(*aggs)
             .take(IVF_CELLS * PQ_M * PQ_K)
         )
         cents = {
-            (int(r["cell"]), int(r["j"]), int(r["code"])): [
-                int(x["c"]) for x in r["dc"]
-            ]
+            (int(r["cell"]), int(r["j"]), int(r["code"])): _dims_of(
+                r, PQ_SUBDIM
+            )
             for r in rows
         }
     return cents
@@ -1941,17 +2008,20 @@ def sim_ivfpq_residual_topk(
     if not cents or qrow is None:
         return spark.createDataFrame([], empty)
     cunit = _unit_centroids(cents)
-    uq = _pq_unit_quantized(spark, sf_dir)
+    # materialized once (fit seed window + residual joins + query
+    # fetch + final probed-slice encode all consume it)
+    uq = _pq_unit_quantized(spark, sf_dir).localCheckpoint(eager=False)
     res_train = _rpq_residuals(
         uq.where(_int_train_gate()), assigned, cunit
     )
     rcents = _rpq_int_fit(res_train)
     if not rcents:
         return spark.createDataFrame([], empty)
-    q = uq.where(F.col("vec_id") == QUERY_VEC_ID).first()
-    if q is None:
+    # query unit vector from the coarse qrow in hand (same integers as
+    # the dropped one-row first() — see _unit_quantize_py)
+    qu = _unit_quantize_py([int(v) for v in qrow["e"]])
+    if qu is None:
         return spark.createDataFrame([], empty)
-    qu = [int(v) for v in q["u"]]
     # query-side model math: per-(cell, j, code) residual partial dots
     # plus the per-cell centroid offset — both exact integers
     lut = [
@@ -1978,13 +2048,11 @@ def sim_ivfpq_residual_topk(
         :nprobe
     ]
     covered = {cell for cell, _, _ in rcents}
-    cand = (
-        assigned.where(
-            F.col("cell").isin([c for c in probe if c in covered])
-        )
-        .select("vec_id", "cell")
-        .localCheckpoint(eager=True)
-    )
+    # a cheap filter over the materialized assignment (the former
+    # localCheckpoint here predates _ivf_int_build's barrier — r14)
+    cand = assigned.where(
+        F.col("cell").isin([c for c in probe if c in covered])
+    ).select("vec_id", "cell")
     enc = _rpq_assign(
         _rpq_subspaces(
             _rpq_residuals(uq.join(cand.select("vec_id"), "vec_id"),
