@@ -1388,15 +1388,25 @@ CLUSTER_MAX_ITERS = 20
 RELIABLE_CKPT_CONF = "spark.bigdata_gamedb_etl.reliableCheckpoint"
 
 
-def _materialize_iter(df: DataFrame, reliable: bool) -> DataFrame:
+def _materialize_iter(
+    df: DataFrame, reliable: bool, lazy: bool = False
+) -> DataFrame:
     """Cut lineage between CC iterations.  localCheckpoint is
     executor-local: cheap, but after truncation the only copy of each
     block lives on one executor, so at cluster scale an executor loss
     kills the job mid-loop.  The reliable path writes checkpoint files
     (HDFS/object store in deployment; a temp dir when unset here) —
-    slower per round, recoverable."""
+    slower per round, recoverable.
+
+    lazy=True (r14, guide §5) defers materialization to the caller's
+    NEXT action — correct ONLY when a full-scan action immediately
+    follows (the CC loops' convergence probes), so the barrier rides
+    that job instead of paying its own; loops with no per-round
+    action (PageRank/LPA/k-core) must stay eager or the lazy plan
+    nests every round.  The reliable path ignores it: checkpoint
+    files must exist before _ckpt_file can record them."""
     if not reliable:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=not lazy)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         import tempfile
@@ -1497,12 +1507,15 @@ def _min_label_components(
             pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
         ).toDF("src", "nbr"),
         reliable,
+        lazy=True,  # the label-sum probe below scans labels (and
+        # through it, edges) fully — both barriers ride that one job
     )
     labels = _materialize_iter(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node")),
         reliable,
+        lazy=True,
     )
     # Convergence via the label-sum invariant: labels only ever
     # decrease, so the total is strictly smaller after any change and a
@@ -1534,6 +1547,8 @@ def _min_label_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp")),
             reliable,
+            lazy=True,  # materialized by the convergence sum below —
+            # one job per round instead of two
         )
         if reliable:
             _drop_ckpt(prev_label_ckpt)
@@ -1603,6 +1618,7 @@ def _star_components(
         .where(F.col("lo") != F.col("hi"))
         .distinct(),
         reliable,
+        lazy=True,  # the signature agg below scans it fully
     )
     prev_ckpt: str | None = _ckpt_file(edges) if reliable else None
     # decimal sums for the same ANSI-overflow reason as the min-label
@@ -1660,6 +1676,7 @@ def _star_components(
             .where(F.col("lo") != F.col("hi"))
             .distinct(),
             reliable,
+            lazy=True,  # materialized by the signature agg below
         )
         if reliable:
             _drop_ckpt(prev_ckpt)

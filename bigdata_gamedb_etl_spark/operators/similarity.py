@@ -2914,12 +2914,24 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     each dup pair, counted once).  Zero-norm vectors are excluded (no
     direction to compare)."""
     _, assigned = _seed_assigned(spark, sf_dir)
-    vecs = assigned.select(
-        "vec_id",
-        "assigned",
-        "emb",
-        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
-    ).where(F.col("nrm") > 0)
+    # materialize the assignment ONCE (guide §5): the self-join's two
+    # sides plus the membership agg all consume it, and the executed
+    # plan re-ran the centroid fit + broadcast probe lineage for each
+    # (AQE stage reuse recovered only the vec_id agg exchange —
+    # measured 9 parquet scans / 5 BroadcastNestedLoopJoins before,
+    # 2 / 1 after).  The centroid-probe plan contract moved to the
+    # assignment stage itself (test_semdedup_assignment_broadcast_
+    # no_cartesian probes _seed_assigned directly).
+    vecs = (
+        assigned.select(
+            "vec_id",
+            "assigned",
+            "emb",
+            F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+        )
+        .where(F.col("nrm") > 0)
+        .localCheckpoint(eager=True)
+    )
     a, b = vecs.alias("a"), vecs.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (
         F.col("a.nrm") * F.col("b.nrm")

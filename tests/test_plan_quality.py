@@ -646,12 +646,24 @@ def test_leakage_split_cluster_join_no_forced_broadcast(spark, sf_dir):
 def test_semdedup_assignment_broadcast_no_cartesian(spark, sf_dir):
     """SemDeDup's assignment stage probes BROADCAST centroids (k×d
     grain) and the within-cluster pair stage is an equi-join on the
-    cluster key — no cartesian product anywhere."""
+    cluster key — no cartesian product anywhere.  r14: the prune query
+    materializes the assignment once (its three consumers re-ran the
+    fit lineage before), so the centroid-probe contract is asserted on
+    the assignment stage itself and the final plan must show the
+    barrier (ExistingRDD) instead of re-derived scans."""
     from bigdata_gamedb_etl_spark.operators import similarity
 
+    _, assigned = similarity._seed_assigned(spark, sf_dir)
+    stage = plans.physical(assigned)
+    assert "BroadcastNestedLoopJoin" in stage  # centroid probe
+    assert "CartesianProduct" not in stage
+
     plan = plans.physical(similarity.sim_semdedup_prune(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan  # centroid probe
     assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan, "assignment barrier lost"
+    assert plan.count("Scan parquet") == 0, (
+        "prune consumers re-derive the assignment from the source scan"
+    )
 
 
 def test_mrl_recall_both_sides_are_topk(spark, sf_dir):
