@@ -339,6 +339,25 @@ EXTRAS_WATCH = [
     "sim_ivf_recall_curve",
     "dq_k_anonymity",
     "graph_triangle_count",
+    # r14 optimization sweep (registry RECHECK_CHANGED + the CC lazy
+    # barriers): every benched query whose execution changed this
+    # round rides the watch so its post-optimization series lands on
+    # a timed run, never a carryover — the IVF/PQ family's
+    # materialization barriers + one-exchange Lloyd rounds, SemDeDup's
+    # assignment barrier, and the min-label/star CC loops' lazy
+    # barriers (one scheduler round per iteration instead of two; the
+    # CC consumers below inherit that loop).
+    "sim_ivf_pq_topk",
+    "sim_ivfpq_residual_topk",
+    "sim_ivf_int_topk",
+    "sim_semdedup_prune",
+    "dedup_cluster_assign",
+    "dedup_cluster_assign_star",
+    "dedup_simhash_clusters",
+    "dedup_incremental_cc",
+    "pipeline_corpus_emit",
+    "pipeline_split_contamination",
+    "pipeline_leakage_safe_split",
 ]
 
 #: Stable-tail rotation cadence: every stable EXTRAS query is timed at

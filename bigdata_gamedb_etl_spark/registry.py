@@ -52,14 +52,15 @@ MODULES = [
 # must appear in PRIORITY[:50].
 #
 # Round-14 head: no new queries (the §2 surface has been complete
-# since r11; round 14's mandate per the r13 verdict is the final-code
-# bench commit + draining the evidence-age tail).  The window takes
-# the 4 plan-changed rechecks, then the full 6-query r7-age band
-# (the 4 queries the r13 RECHECKs displaced plus the 2 sketch
-# queries the r13 head comment under-counted), then the 28
-# alphabetically-first r8-age queries — 4 + 34 + 12 CONTROLS = 50.
-# The 18 remaining r8-age queries rotate in r15; their r8 greens
-# stand and test_oracle_parity re-verifies them every run.
+# since r11; round 14 is the first OPTIMIZATION round).  The window
+# takes the 11 plan-changed rechecks (4 broadcast-discipline + 7
+# IVF/PQ-family materialization, all value-identical and locally
+# re-verified), then the full 6-query r7-age band (the 4 queries the
+# r13 RECHECKs displaced plus the 2 sketch queries the r13 head
+# comment under-counted), then the 21 alphabetically-first r8-age
+# queries — 11 + 27 + 12 CONTROLS = 50.  The 25 remaining r8-age
+# queries rotate in r15; their r8 greens stand and test_oracle_parity
+# re-verifies them every run.
 ROUND14_NEW: list[str] = []
 
 #: Queries edited this round (new plan shape or new result dtype) —
@@ -81,6 +82,25 @@ RECHECK_CHANGED: list[str] = [
     "dq_k_anonymity",
     "graph_triangle_count",
     "sim_ivf_recall_curve",
+    # r14 optimization sweep (guide §5): the IVF/PQ family now
+    # materializes its fit/serving intermediates (localCheckpoint
+    # barriers on the train slice, full-corpus assignment, unit
+    # corpus, and subspace explodes), each Lloyd round aggregates in
+    # ONE exchange instead of posexplode + two, and the serving tiers
+    # derive the query's unit vector driver-side from the coarse
+    # qrow; sim_semdedup_prune materializes its assignment stage.
+    # Row-identical at sf0.001/0.01/0.1 vs DuckDB (verified this
+    # round, plus a vanilla-session driver-contract sweep), but every
+    # serving plan changed shape (parquet scans → ExistingRDD
+    # barriers), so all seven re-queue; the displaced r8-age rotation
+    # names move to r15 (see RECONFIRM_ROTATION).
+    "sim_pq_topk",
+    "sim_ivf_topk",
+    "sim_ivf_multiprobe_topk",
+    "sim_ivf_int_topk",
+    "sim_ivf_pq_topk",
+    "sim_ivfpq_residual_topk",
+    "sim_semdedup_prune",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
@@ -104,8 +124,14 @@ RECONFIRM_ROTATION: list[str] = [
     "w4_daily_event_rollup",
     "w5_value_delta_per_user",
     "w6_customer_rank_in_segment",
-    # r8-age (28 of 46; the remaining 18 — sim_knn_top1 …
-    # w3_moving_avg_events alphabetically — rotate in r15)
+    # r8-age (21 of 46; the remaining 25 — the 7 displaced below plus
+    # sim_knn_top1 … w3_moving_avg_events — rotate in r15.  The 7
+    # r14-optimization RECHECKs displaced the alphabetically-last 7
+    # of the original 28: pipeline_split_contamination,
+    # rfm_customer_segments, sim_centroid_outliers,
+    # sim_cosine_dup_pairs, sim_cosine_topk, sim_dim_variance_profile,
+    # sim_kmeans_lloyd_step — all unchanged since their r8 green and
+    # re-verified locally every run by test_oracle_parity.)
     "a13_global_totals",
     "a14_year_avg_price",
     "a8_word_count_stats",
@@ -127,13 +153,6 @@ RECONFIRM_ROTATION: list[str] = [
     "pipeline_mixture_reweight",
     "pipeline_pack_attention_spans",
     "pipeline_source_cards",
-    "pipeline_split_contamination",
-    "rfm_customer_segments",
-    "sim_centroid_outliers",
-    "sim_cosine_dup_pairs",
-    "sim_cosine_topk",
-    "sim_dim_variance_profile",
-    "sim_kmeans_lloyd_step",
 ]
 
 CONTROLS = [
