@@ -311,53 +311,50 @@ PROBE_FILE = os.path.join(
 #: per-query series is lost and a changed query is never carried —
 #: by the registry's RECHECK rule it must be in EXTRAS_WATCH.
 EXTRAS_WATCH = [
-    # r14 watch drain (all five r13 carry-ins adjudicated by the
-    # committed quiet-true detail of 2026-08-17, headline steal
-    # 0.015%, and PRUNED back to the stable tail):
-    #   sketch_hll_mulmod_merge  0.678 s — final-code element_at
-    #     figure now in the committed table (r13 verdict item 1);
-    #   dedup_substring_spans 2.835 / dedup_cut_spans_emit 3.053 —
-    #     the md5 gram-key widening's collision-safety cost pinned
-    #     as the new baseline (r13 verdict item 5);
-    #   sim_ivf_pq_topk 6.567 — the flagged 1.54× M=32 series cost
-    #     collapses to 1.08× vs the r11 6.092 series in a quiet
-    #     window (the r13 9.368 was contention-inflated);
-    #   sim_ivfpq_residual_topk 10.616 — under both r13 full-run
-    #     readings (12.832 / 14.034); recall-bought M=32 plan
-    #     confirmed cheaper than its tainted series suggested.
-    # (sketch_cm_heavy_hitters left in r13: RECOVERED, contention.)
+    # r15 watch drain: the r14 watch (broadcast sweep + IVF/PQ
+    # materialization + CC lazy-barrier cohort) was adjudicated by the
+    # r15-opening quiet-true BENCH_DETAIL on unchanged r14 HEAD (the
+    # artifact VERDICT r14 item 1 asked for; numbers in
+    # OPTIMIZATION_r15.md) and PRUNED back to the stable tail —
+    # except the queries re-changed or cohort-pinned below.
     #
-    # r14 broadcast-discipline sweep (registry RECHECK_CHANGED): the
-    # LM scoring join's explicit model-side broadcast — which cut
-    # the probe's 3.2 ratio to 2.11 by pinning the join shape the
-    # planner could flip to sort-merge at probe scale — plus the
-    # three single-row-attach hints (value-identical; timed so the
-    # new plans get fresh series, and dq_k_anonymity /
-    # graph_triangle_count get first-time numbers).  These four stay
-    # on watch until the r15 verdict reads their committed series.
-    "text_bigram_logprob",
+    # r15 optimization sweep (registry RECHECK_CHANGED): every benched
+    # query whose execution changed this round rides the watch so its
+    # post-optimization series lands on a timed run, never a
+    # carryover — the recall curve's single-pass ladder, the fused
+    # encode+ADC serving kernels, and the recall-by-jaccard
+    # self-join removal.
     "sim_ivf_recall_curve",
-    "dq_k_anonymity",
-    "graph_triangle_count",
-    # r14 optimization sweep (registry RECHECK_CHANGED + the CC lazy
-    # barriers): every benched query whose execution changed this
-    # round rides the watch so its post-optimization series lands on
-    # a timed run, never a carryover — the IVF/PQ family's
-    # materialization barriers + one-exchange Lloyd rounds, SemDeDup's
-    # assignment barrier, and the min-label/star CC loops' lazy
-    # barriers (one scheduler round per iteration instead of two; the
-    # CC consumers below inherit that loop).
     "sim_ivf_pq_topk",
     "sim_ivfpq_residual_topk",
-    "sim_ivf_int_topk",
-    "sim_semdedup_prune",
-    "dedup_cluster_assign",
-    "dedup_cluster_assign_star",
-    "dedup_simhash_clusters",
-    "dedup_incremental_cc",
+    "dedup_lsh_recall_by_jaccard",
+    # r15 scaling cohort (r14 verdict item 2): the driver's low-core
+    # comparison needs CPU-heavy queries in EVERY run's summary line
+    # (SCALING_COHORT below) — these two are not otherwise forced
+    # this rotor, so they ride the watch; residual/ivf_pq above
+    # double as cohort members.
     "pipeline_corpus_emit",
-    "pipeline_split_contamination",
-    "pipeline_leakage_safe_split",
+    "dedup_simhash_clusters",
+    # r14 verdict item 7: the CC lazy-barrier effect needs probe-tier
+    # cpu_ratio evidence; the watch forces dedup_cluster_assign's
+    # probe slot (its stage decompositions ride along).
+    "dedup_cluster_assign",
+]
+
+#: r15 (r14 verdict item 2): the driver's scaling block ratios
+#: low-core vs 32-core wall per query from the summary line's
+#: `queries` dict — which carried only SHARED12, all
+#: scheduling-bound at sf0.1 (every ratio ≈ 1, tripping the driver's
+#: suspect_cpus_ignored alarm even though session.py honors
+#: $SPARK_GRAFT_CPUS).  These four CPU-heavy queries (cpu/wall
+#: 1.8–6.1 at 32 cores) are ADDED to the summary line so the
+#: low-core ratio measures parallelism; entries are only ever added,
+#: never removed or renamed, per the driver contract.
+SCALING_COHORT = [
+    "sim_ivfpq_residual_topk",
+    "sim_ivf_pq_topk",
+    "pipeline_corpus_emit",
+    "dedup_simhash_clusters",
 ]
 
 #: Stable-tail rotation cadence: every stable EXTRAS query is timed at
@@ -1588,12 +1585,22 @@ def summary_payload(
     return {
         "metric": (
             "headline-query wall clock (noop sink, best of 3 runs), "
-            f"sum of {len(timings)} timed queries (SHARED12 shown; "
-            "rotation + per-query detail in BENCH_DETAIL.json)"
+            f"sum of {len(timings)} timed queries (SHARED12 + scaling "
+            "cohort shown; rotation + per-query detail in "
+            "BENCH_DETAIL.json)"
         ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": {n: timings[n] for n in SHARED12 if n in timings},
+        # SHARED12 first (the pinned round-over-round comparable),
+        # then the CPU-heavy scaling cohort (r15 — additions only:
+        # the driver's low-core ratio needs queries that actually
+        # use the cores at sf0.1)
+        "queries": {
+            n: timings[n]
+            for n in SHARED12 + [c for c in SCALING_COHORT
+                                 if c not in SHARED12]
+            if n in timings
+        },
         "shared12_sec": round(
             sum(timings[n] for n in SHARED12 if n in timings), 3
         ),

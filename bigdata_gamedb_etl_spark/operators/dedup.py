@@ -1106,19 +1106,22 @@ def dedup_lsh_recall_by_jaccard(
     j ≥ 0.8, a setting that loses half the 0.5-bin pairs may still be
     the right trade.
 
-    Scale — ONE band self-join, not four: the band boundaries NEST
-    (32 permutations split 2/4/8/16 ways), so every coarser setting's
-    candidate set is a subset of the 16-band one.  The plan joins ONCE
-    at the loosest setting, joins the surviving pairs back to their
-    two signature rows, and derives each setting's membership as a
-    boolean expression over the pair's own minhash columns (OR over
-    bands of AND over rows-per-band equality) — turning three band
-    self-joins + distincts into per-pair codegen flags (measured
-    7.1 → 5.9 s at sf0.1 same-session; the remaining cost is the
-    shared signature + exact-pair generation, not the settings).
-    The ORACLE keeps the direct per-setting
-    band-join formulation: it is the SPEC, and the nesting theorem is
-    exactly the equivalence the parity test then proves on real data.
+    Scale — NO band self-join at all (r15): this table only ever
+    reads a pair's collision flags when the pair is ALREADY in the
+    exact near-dup set, so the loosest-band candidate generation the
+    r10 rewrite still paid (band posexplode ×2 → self-join →
+    distinct — the widest exchange in the query) is dead weight:
+    c{nb} for an exact pair is a pure function of its two signature
+    rows (_band_collides — OR over bands of AND over rows-per-band
+    equality), and a pair OUTSIDE the loosest candidate set evaluates
+    every flag False exactly as the old left-join's null→False
+    coalesce did, by the same band-nesting theorem (collision at any
+    setting implies collision at 16 bands).  The plan is now: exact
+    pairs ⋈ signatures ×2 (equi-joins on doc id) → per-pair codegen
+    flags → one bin aggregation (the before/after numbers live in
+    OPTIMIZATION_r15.md).  The ORACLE keeps the direct per-setting band-join
+    formulation: it is the SPEC, and the nesting theorem is exactly
+    the equivalence the parity test then proves on real data.
     Signature table and binned exact pairs are localCheckpoint-ed and
     shared."""
     sig = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
@@ -1127,19 +1130,33 @@ def dedup_lsh_recall_by_jaccard(
         .select("d1", "d2", _jaccard_bin_expr().alias("bin"))
         .localCheckpoint(eager=True)
     )
-    flags = _sig_pair_flags(sig, _loosest_band_candidates(sig))
-    agg = (
-        exact.join(flags, ["d1", "d2"], "left")
-        .groupBy("bin")
-        .agg(
-            F.count("*").alias("n_exact"),
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{k}").alias(f"x{k}") for k in range(MINHASH_PERMS)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{k}").alias(f"y{k}") for k in range(MINHASH_PERMS)],
+    )
+    # inner joins lose no exact pair: both docs of an exact pair have
+    # ≥ 1 shingle by construction, so both carry a signature row
+    flagged = (
+        exact.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "bin",
             *[
-                F.sum(
-                    F.coalesce(F.col(f"c{nb}"), F.lit(False)).cast("long")
-                ).alias(f"caught{nb}")
+                _band_collides(nb).alias(f"c{nb}")
                 for nb in LSH_LADDER_BANDS
             ],
         )
+    )
+    agg = flagged.groupBy("bin").agg(
+        F.count("*").alias("n_exact"),
+        *[
+            F.sum(F.col(f"c{nb}").cast("long")).alias(f"caught{nb}")
+            for nb in LSH_LADDER_BANDS
+        ],
     )
     melted = agg.select(
         "bin",

@@ -26,11 +26,26 @@ the corpus); LSH/IVF cut the scan to a bucket subset.
 
 from __future__ import annotations
 
+import sys
+
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import table
 from ._rounding import _fr4
+
+# The r15 fused kernels (_pq_round_sums / _rpq_round_sums /
+# _pq_adc_sum / _rpq_adc_sum) call the module-level _np_fixed /
+# _scatter_sums helpers from inside executor-side functions; plain
+# cloudpickle ships module-level functions BY REFERENCE, which dies
+# with ModuleNotFoundError on any harness whose executors run from a
+# different cwd (the multimodal/windowed precedent — their module
+# docstrings carry the original war story).  Registering the module
+# for by-value pickling ships the referenced function bodies inside
+# the task; their only foreign deps (numpy, pyarrow) exist on every
+# worker.
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 QUERY_VEC_ID = 0
 TOP_K = 20
@@ -621,6 +636,203 @@ def _dims_of(row, n_dims: int) -> list[int]:
     ]
 
 
+def _np_fixed(col, width: int):
+    """(n, width) int64 ndarray from an Arrow list<int64> batch column
+    — one flatten of the fixed-width value buffer (offset-safe), no
+    per-row Python objects."""
+    import numpy as np
+
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.int64, copy=False).reshape(-1, width)
+
+
+def _sum_schema_ddl(keys: str, n_dims: int) -> str:
+    return (
+        keys
+        + ", "
+        + ", ".join(f"s{d} bigint" for d in range(n_dims))
+        + ", n bigint"
+    )
+
+
+def _scatter_sums(acc, cnt, pos, E):
+    """acc[p] += column-sums of E's rows with pos == p; cnt bumps by
+    the per-p row counts.  Exact int64 via one stable argsort +
+    np.add.reduceat — np.add.at's unbuffered scatter measured an
+    order of magnitude slower on row blocks this shape."""
+    import numpy as np
+
+    if not len(pos):
+        return
+    order = np.argsort(pos, kind="stable")
+    ps = pos[order]
+    starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+    acc[ps[starts]] += np.add.reduceat(E[order], starts, axis=0)
+    cnt += np.bincount(pos, minlength=len(cnt))
+
+
+def _pq_round_sums(
+    uq_train: DataFrame, cents: dict[tuple[int, int], list[int]]
+):
+    """One fused joint-Lloyd round for the PQ fit (r15, guide §4):
+    replaces subspace-explode (32× rows) → _pq_assign pandas UDF →
+    (j, code) JVM hash aggregate with ONE mapInArrow over the train
+    unit vectors emitting ≤ PQ_M·PQ_K partial-sum rows per task.
+    Integer-identical to the old path (same argmin/tie-break per
+    subspace, int64 sums associate)."""
+    import numpy as np
+
+    js = sorted({jj for jj, _ in cents})
+    books = {}
+    for j in js:
+        codes = sorted(c for jj, c in cents if jj == j)
+        Cj = np.asarray([cents[(j, c)] for c in codes], dtype=np.int64)
+        books[j] = (np.asarray(codes, dtype=np.int64), Cj,
+                    (Cj * Cj).sum(axis=1))
+
+    def fn(it):
+        import pyarrow as pa
+
+        acc = {j: np.zeros_like(books[j][1]) for j in js}
+        cnt = {j: np.zeros(len(books[j][0]), dtype=np.int64) for j in js}
+        for batch in it:
+            U = _np_fixed(batch.column(0), _EMB_DIM)
+            for j in js:
+                ids_j, Cj, cn2 = books[j]
+                E = U[:, j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+                pos = np.argmin(-2 * (E @ Cj.T) + cn2[None, :], axis=1)
+                _scatter_sums(acc[j], cnt[j], pos, E)
+        out_j, out_c, out_s, out_n = [], [], [], []
+        for j in js:
+            nz = np.nonzero(cnt[j])[0]
+            out_j.append(np.full(len(nz), j, dtype=np.int64))
+            out_c.append(books[j][0][nz])
+            out_s.append(acc[j][nz])
+            out_n.append(cnt[j][nz])
+        if out_j and sum(len(a) for a in out_j):
+            S = np.concatenate(out_s)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate(out_j).astype("int32"),
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        np.concatenate(out_c).astype("int32"),
+                        type=pa.int32(),
+                    ),
+                ]
+                + [pa.array(S[:, d]) for d in range(PQ_SUBDIM)]
+                + [pa.array(np.concatenate(out_n))],
+                names=["j", "code"]
+                + [f"s{d}" for d in range(PQ_SUBDIM)]
+                + ["n"],
+            )
+
+    return (
+        uq_train.select("u")
+        .mapInArrow(fn, _sum_schema_ddl("j int, code int", PQ_SUBDIM))
+        .groupBy("j", "code")
+        .agg(
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(PQ_SUBDIM)],
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+def _rpq_round_sums(
+    res_train: DataFrame, cents: dict[tuple[int, int, int], list[int]]
+):
+    """The per-cell residual twin of _pq_round_sums: one mapInArrow
+    over (cell, r) emitting ≤ |cells|·PQ_M·PQ_K partial rows per
+    task.  Callers pre-filter to cells with a codebook (train rows
+    always are — each train vector is a member of its own cell)."""
+    import numpy as np
+
+    books = {}
+    for cell, j in sorted({(c, j) for c, j, _ in cents}):
+        codes = sorted(k for cc, jj, k in cents if cc == cell and jj == j)
+        Cj = np.asarray(
+            [cents[(cell, j, k)] for k in codes], dtype=np.int64
+        )
+        books[(cell, j)] = (
+            np.asarray(codes, dtype=np.int64),
+            Cj,
+            (Cj * Cj).sum(axis=1),
+        )
+
+    def fn(it):
+        import pyarrow as pa
+
+        acc = {key: np.zeros_like(b[1]) for key, b in books.items()}
+        cnt = {
+            key: np.zeros(len(b[0]), dtype=np.int64)
+            for key, b in books.items()
+        }
+        for batch in it:
+            cl = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            R = _np_fixed(batch.column(1), _EMB_DIM)
+            for cell in np.unique(cl):
+                idx = np.where(cl == cell)[0]
+                for j in range(PQ_M):
+                    ids_j, Cj, cn2 = books[(int(cell), j)]
+                    E = R[np.ix_(idx, range(j * PQ_SUBDIM,
+                                            (j + 1) * PQ_SUBDIM))]
+                    pos = np.argmin(
+                        -2 * (E @ Cj.T) + cn2[None, :], axis=1
+                    )
+                    _scatter_sums(
+                        acc[(int(cell), j)], cnt[(int(cell), j)], pos, E
+                    )
+        rows_cell, rows_j, rows_c, rows_s, rows_n = [], [], [], [], []
+        for (cell, j), b in books.items():
+            nz = np.nonzero(cnt[(cell, j)])[0]
+            if not len(nz):
+                continue
+            rows_cell.append(np.full(len(nz), cell, dtype=np.int64))
+            rows_j.append(np.full(len(nz), j, dtype=np.int64))
+            rows_c.append(b[0][nz])
+            rows_s.append(acc[(cell, j)][nz])
+            rows_n.append(cnt[(cell, j)][nz])
+        if rows_cell:
+            S = np.concatenate(rows_s)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate(rows_cell).astype("int32"),
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        np.concatenate(rows_j).astype("int32"),
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        np.concatenate(rows_c).astype("int32"),
+                        type=pa.int32(),
+                    ),
+                ]
+                + [pa.array(S[:, d]) for d in range(PQ_SUBDIM)]
+                + [pa.array(np.concatenate(rows_n))],
+                names=["cell", "j", "code"]
+                + [f"s{d}" for d in range(PQ_SUBDIM)]
+                + ["n"],
+            )
+
+    return (
+        res_train.select("cell", "r")
+        .mapInArrow(
+            fn, _sum_schema_ddl("cell int, j int, code int", PQ_SUBDIM)
+        )
+        .groupBy("cell", "j", "code")
+        .agg(
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(PQ_SUBDIM)],
+            F.sum("n").alias("n"),
+        )
+    )
+
+
 def _int_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb double[], e bigint[]) — positive-norm embeddings
     with their 6dp fixed-point quantization (floor(x·1e6 + 0.5), the
@@ -708,6 +920,17 @@ def _int_lloyd_fit(eq_train: DataFrame) -> dict[int, list[int]]:
     cents = {j: [int(v) for v in r["e"]] for j, r in enumerate(seed)}
     if not cents:
         return {}
+    # NOT fused (r15, measured): a _lloyd_round_sums-style fused
+    # assign+partial-sum round was built and REJECTED here — paired
+    # same-window A/B on sim_ivf_int_topk (the purest consumer, full-
+    # corpus fit) read old 3.81 s wall / 14.35 CPU-s vs fused 4.62 /
+    # 14.41 at 0.7% steal: CPU flat, wall +21%.  Unlike the PQ tiers
+    # there is no row explode to remove — the pandas-UDF assignment +
+    # 64-sum JVM hash aggregate is already one boundary crossing of n
+    # rows — so the fusion only swapped JVM aggregation for kernel
+    # bookkeeping.  The PQ/residual fits keep their fused rounds,
+    # where killing the 32×-row explode is the win (guide §1.2: fix
+    # the shape first; per-task work second).
     aggs = _dim_sum_aggs("e", _EMB_DIM)
     for _ in range(IVF_INT_ITERS):
         rows = (
@@ -879,13 +1102,28 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly 1.0 by construction (pytest pins this plus recall
     monotonicity in nprobe).
 
-    Scale: the codebook fits ONCE; the assignment and the exact top-k
-    are localCheckpoint-ed and each ladder step re-scans only its
-    probed cells.  Oracle-checked since the r11 integer-codebook
-    rebase (previously rows-only on the MLlib fit): the DuckDB twin
-    unrolls the Lloyd chain once and evaluates all five ladder steps
-    against it; quantitative invariants stay in
-    tests/test_llm_pipeline.py."""
+    Scale — ONE scored corpus pass for the whole ladder (r15; guide
+    §2.4's shared-exchange discipline, the same nesting trick the LSH
+    band ladder carries): the probed cell sets NEST (order[:1] ⊆
+    order[:2] ⊆ …), so instead of five candidate scans + five
+    distributed top-k's + ten count jobs, the plan scores every
+    vector once against the broadcast query, attaches each cell's
+    PROBE RANK (its position in the nearest-first order — rank < np
+    ⟺ cell ∈ order[:np], a 16-entry driver-side map), and keeps the
+    per-cell top-TOP_K via one cell-partitioned window.  Membership
+    of a row in ladder step np's top-k is then decided among the ≤
+    IVF_CELLS·TOP_K survivors alone: a row is in topk(np) iff its
+    rank < np and fewer than TOP_K better-scoring survivor rows
+    (same (cosine desc, vec_id) total order) have rank < np — any
+    non-survivor that outscores it implies ≥ TOP_K same-cell
+    survivors that also do, so pruning to survivors never changes
+    the decision.  Candidates per step fold into the same pass as a
+    per-cell count.  Every ladder row falls out of ONE conditional
+    aggregation over the survivor set — identical integers to the
+    per-step formulation, proven against the unchanged per-step
+    DuckDB oracle.  Oracle-checked since the r11 integer-codebook
+    rebase (previously rows-only on the MLlib fit); quantitative
+    invariants stay in tests/test_llm_pipeline.py."""
     eq = _int_quantized(spark, sf_dir)
     cents = _int_lloyd_fit(eq.where(_int_train_gate()).select("vec_id", "e"))
     empty = "nprobe int, candidates bigint, hits bigint, recall double"
@@ -909,28 +1147,112 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.agg(F.count("*").alias("exact_k"))
     order = _int_probe_order([int(v) for v in qrow["e"]], cents)
     qdf = spark.createDataFrame([(qrow["emb"],)], "qv array<double>")
-    parts = []
-    for np_ in IVF_CURVE_NPROBES:
-        cand = assigned.where(F.col("cell").isin(order[:np_]))
-        topk = _ivf_int_score(cand, qdf).select("vec_id")
-        hits = topk.join(exact, "vec_id").agg(F.count("*").alias("hits"))
-        ncand = cand.agg(F.count("*").alias("candidates"))
-        parts.append(
-            hits.crossJoin(F.broadcast(ncand))
-            .crossJoin(F.broadcast(n_exact))
-            .select(
-                F.lit(np_).alias("nprobe"),
-                "candidates",
-                "hits",
-                _fr4(
-                    F.col("hits") * F.lit(1.0) / F.col("exact_k")
-                ).alias("recall"),
+    # cell → probe rank: model-sized driver math shipped as a literal
+    # map (rank < np ⟺ cell ∈ order[:np] by construction)
+    rank_map = F.create_map(
+        *[F.lit(v) for cell, r in zip(order, range(len(order)))
+          for v in (cell, r)]
+    )
+    scored = assigned.crossJoin(F.broadcast(qdf)).select(
+        "vec_id",
+        F.element_at(rank_map, F.col("cell")).alias("rk"),
+        F.round(
+            _dot(F.col("emb"), F.col("qv"))
+            / (
+                F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            ),
+            4,
+        ).alias("cosine"),
+    )
+    # per-cell top-TOP_K + per-cell candidate count: one exchange by
+    # rank class (= cell), two window functions over it
+    w_cell = Window.partitionBy("rk")
+    w_rank = w_cell.orderBy(F.col("cosine").desc(), "vec_id")
+    surv = (
+        scored.withColumn("cell_n", F.count("*").over(w_cell))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= TOP_K)
+    )
+    # survivor set is model-sized (≤ IVF_CELLS·TOP_K rows): the global
+    # better-scoring prefix counts below run on it, not the corpus
+    marked = surv.join(
+        F.broadcast(exact.withColumn("hit", F.lit(True))),
+        "vec_id",
+        "left",
+    )
+    w_prefix = Window.orderBy(
+        F.col("cosine").desc(), "vec_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    better = marked.select(
+        "rk",
+        "cell_n",
+        "rn",
+        F.coalesce("hit", F.lit(False)).alias("hit"),
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("rk") < F.lit(np_), F.lit(1)).cast("long")
+                ).over(w_prefix),
+                F.lit(0).cast("long"),
+            ).alias(f"b{np_}")
+            for np_ in IVF_CURVE_NPROBES
+        ],
+    )
+    agg = better.agg(
+        *[
+            col
+            for np_ in IVF_CURVE_NPROBES
+            for col in (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("rk") < F.lit(np_)) & (F.col("rn") == 1),
+                            F.col("cell_n"),
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias(f"cand{np_}"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("rk") < F.lit(np_))
+                            & (F.col(f"b{np_}") < F.lit(TOP_K))
+                            & F.col("hit"),
+                            F.lit(1),
+                        ).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias(f"hit{np_}"),
             )
+        ]
+    )
+    melted = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(np_).alias("nprobe"),
+                        F.col(f"cand{np_}").alias("candidates"),
+                        F.col(f"hit{np_}").alias("hits"),
+                    )
+                    for np_ in IVF_CURVE_NPROBES
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        melted.crossJoin(F.broadcast(n_exact))
+        .select(
+            "nprobe",
+            "candidates",
+            "hits",
+            _fr4(F.col("hits") * F.lit(1.0) / F.col("exact_k")).alias(
+                "recall"
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("nprobe")
+        .orderBy("nprobe")
+    )
 
 
 def _ivf_chain_ctes(full_train: bool = False) -> list[str]:
@@ -1412,6 +1734,109 @@ def _pq_assign(
     return subs.withColumn("code", codeof("j", "sub"))
 
 
+def _pq_adc_sum(
+    cents: dict[tuple[int, int], list[int]],
+    lut: dict[tuple[int, int], int],
+):
+    """Fused encode + ADC sum for the PQ serving pass (r15, guide §4):
+    ONE Arrow-batched kernel u → Σ_j pdot[j, nearest-code_j] replaces
+    the 32×-row subspace explode → per-(j,sub) assignment UDF →
+    broadcast-LUT join → groupBy(vec_id) SUM — the same integers
+    (argmin ties to the smallest code id exactly like _pq_assign;
+    int64 throughout, |Σ| ≤ PQ_M·2·(1.1e6)² ≈ 1.6e14 ≪ 2⁶³), one
+    Python boundary crossing one row per VECTOR instead of PQ_M, and
+    zero exchanges where the explode shape paid one per serving
+    query.  Codebook and query lookup table are model-sized closure
+    constants — the per-task rebuild cost production would amortize
+    via a persisted code table is the same constant the broadcast
+    LUT paid."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    js = sorted({jj for jj, _ in cents})
+    books = {}
+    for j in js:
+        codes = sorted(c for jj, c in cents if jj == j)
+        books[j] = (
+            np.asarray([cents[(j, c)] for c in codes], dtype=np.int64),
+            np.asarray([lut[(j, c)] for c in codes], dtype=np.int64),
+        )
+
+    @pandas_udf(LongType())
+    def adc(us):
+        if not len(us):
+            return pd.Series([], dtype="int64")
+        U = np.vstack(us.to_numpy()).astype(np.int64)
+        total = np.zeros(len(us), dtype=np.int64)
+        for j in js:
+            C, pd_j = books[j]
+            E = U[:, j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+            # argmin of dist² == argmin of (−2·e·c + |c|²); ties to
+            # the smallest code id (rows of C are code-id-ascending,
+            # np.argmin returns the first minimum) — same contract as
+            # _pq_assign's codeof
+            score = -2 * (E @ C.T) + (C * C).sum(axis=1)[None, :]
+            total += pd_j[np.argmin(score, axis=1)]
+        return pd.Series(total)
+
+    return adc
+
+
+def _rpq_adc_sum(
+    rcents: dict[tuple[int, int, int], list[int]],
+    lut: dict[tuple[int, int, int], int],
+    cunit: dict[int, list[int]],
+    off: dict[int, int],
+):
+    """Residual twin of _pq_adc_sum (r15): (cell, u) → odot[cell] +
+    Σ_j pdot[cell, j, nearest-residual-code_j], with the residual
+    subtraction r = u − cunit[cell] folded into the kernel — replaces
+    the broadcast centroid join + 32×-row explode + per-(cell,j,sub)
+    assignment UDF + broadcast-LUT join + groupBy + broadcast offset
+    join of the old serving tail.  Same integers throughout
+    (residual coords ≤ ~2.2e6, |total| ≤ ~2.3e14 ≪ 2⁶³; argmin ties
+    to the smallest code id like _rpq_assign).  Callers pre-filter to
+    cells that HAVE a codebook, exactly as _rpq_assign required."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    books = {}
+    for cell, j in sorted({(c, j) for c, j, _ in rcents}):
+        codes = sorted(k for cc, jj, k in rcents if cc == cell and jj == j)
+        books[(cell, j)] = (
+            np.asarray(
+                [rcents[(cell, j, k)] for k in codes], dtype=np.int64
+            ),
+            np.asarray([lut[(cell, j, k)] for k in codes], dtype=np.int64),
+        )
+    cu_arr = {c: np.asarray(v, dtype=np.int64) for c, v in cunit.items()}
+
+    @pandas_udf(LongType())
+    def radc(cells, us):
+        if not len(us):
+            return pd.Series([], dtype="int64")
+        U = np.vstack(us.to_numpy()).astype(np.int64)
+        cl = cells.to_numpy().astype(np.int64)
+        total = np.zeros(len(us), dtype=np.int64)
+        for cell in np.unique(cl):
+            idx = np.where(cl == cell)[0]
+            R = U[idx] - cu_arr[int(cell)][None, :]
+            t = np.full(len(idx), off[int(cell)], dtype=np.int64)
+            for j in range(PQ_M):
+                C, pd_j = books[(int(cell), j)]
+                E = R[:, j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+                score = -2 * (E @ C.T) + (C * C).sum(axis=1)[None, :]
+                t += pd_j[np.argmin(score, axis=1)]
+            total[idx] = t
+        return pd.Series(total)
+
+    return radc
+
+
 def _pq_int_fit(
     uq_train: DataFrame,
 ) -> dict[tuple[int, int], list[int]]:
@@ -1445,19 +1870,16 @@ def _pq_int_fit(
             cents[(j, code)] = u[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
     if not cents:
         return {}
-    # one barrier for the PQ_M-way subspace explode: all PQ_INT_ITERS
-    # rounds re-scan it (only `cents` changes between rounds), so
-    # without this each round re-ran scan + normalize + explode before
-    # its GEMM — guide §5, same rationale as _int_lloyd_fit's barrier
-    subs_train = _pq_subspaces(uq_train).localCheckpoint(eager=False)
-    aggs = _dim_sum_aggs("sub", PQ_SUBDIM)
     for _ in range(PQ_INT_ITERS):
-        rows = (
-            _pq_assign(subs_train, cents)
-            .groupBy("j", "code")
-            .agg(*aggs)
-            .take(PQ_M * PQ_K)
-        )
+        # fused assign+partial-sum round (r15, guide §4): each task
+        # emits ≤ PQ_M·PQ_K model-sized partial rows straight from the
+        # train unit vectors — the r14 shape (subspace explode barrier
+        # → _pq_assign pandas UDF → (j, code) hash aggregate) crossed
+        # the Python boundary with 32× the rows each round; see
+        # _pq_round_sums for the exact-integer equivalence.  The train
+        # slice is a cheap filter over the caller's materialized uq,
+        # so no extra barrier is needed here.
+        rows = _pq_round_sums(uq_train, cents).take(PQ_M * PQ_K)
         cents = {
             (int(r["j"]), int(r["code"])): _dims_of(r, PQ_SUBDIM)
             for r in rows
@@ -1496,24 +1918,19 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qu = [int(v) for v in q["u"]]
     # query-side ADC lookup table: exact-integer partial dot of the
     # query subvector against each sub-centroid — model-sized driver
-    # math, shipped back as a broadcast join table
-    lut = [
-        (
-            j,
-            code,
-            sum(
-                a * b
-                for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
-            ),
+    # math, folded into the fused encode+ADC kernel (r15; the r11-r14
+    # shape shipped it as a broadcast join table over a 32×-row
+    # subspace explode — see _pq_adc_sum for the equivalence)
+    lut = {
+        (j, code): sum(
+            a * b
+            for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
         )
-        for (j, code), c in sorted(cents.items())
-    ]
-    lut_df = spark.createDataFrame(lut, "j int, code int, pdot bigint")
-    encoded = _pq_assign(_pq_subspaces(uq), cents)
+        for (j, code), c in cents.items()
+    }
+    adc = _pq_adc_sum(cents, lut)
     return (
-        encoded.join(F.broadcast(lut_df), ["j", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("pdot").alias("s"))
+        uq.select("vec_id", adc("u").alias("s"))
         .select(
             "vec_id",
             F.round(
@@ -1698,27 +2115,20 @@ def sim_ivf_pq_topk(
     qu = _unit_quantize_py([int(v) for v in qrow["e"]])
     if qu is None:
         return spark.createDataFrame([], empty)
-    lut = [
-        (
-            j,
-            code,
-            sum(
-                a * b
-                for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
-            ),
+    lut = {
+        (j, code): sum(
+            a * b
+            for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
         )
-        for (j, code), c in sorted(pq_cents.items())
-    ]
-    lut_df = spark.createDataFrame(lut, "j int, code int, pdot bigint")
-    enc = _pq_assign(
-        _pq_subspaces(uq.join(cand, "vec_id").select("vec_id", "u")),
-        pq_cents,
-    )
+        for (j, code), c in pq_cents.items()
+    }
+    # fused encode+ADC over the probed slice (r15): the cand join
+    # carries the cell through, so the old post-aggregation join-back
+    # disappears along with the explode + LUT join + groupBy exchange
+    adc = _pq_adc_sum(pq_cents, lut)
     return (
-        enc.join(F.broadcast(lut_df), ["j", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("pdot").alias("s"))
-        .join(cand, "vec_id")
+        uq.join(cand, "vec_id")
+        .select("vec_id", "cell", adc("u").alias("s"))
         .select(
             "vec_id",
             "cell",
@@ -1901,6 +2311,12 @@ def _rpq_int_fit(
     — the oracle repeats it verbatim); the same vectors seed every
     subspace of their cell.  Driver traffic per round is the
     IVF_CELLS·PQ_M·PQ_K·PQ_SUBDIM-int codebook — model-sized."""
+    # materialize the residual table ONCE (r15): the seed window plus
+    # every fused round below consumes it — without the barrier each
+    # of those 1 + PQ_INT_ITERS jobs re-runs the assignment/centroid
+    # joins in its lineage (guide §5; the r14 barrier sat one explode
+    # further downstream, on the 32×-row subspace table)
+    res_train = res_train.localCheckpoint(eager=False)
     w = Window.partitionBy("cell").orderBy(
         F.md5(F.col("vec_id").cast("string"))
     )
@@ -1919,19 +2335,16 @@ def _rpq_int_fit(
             ]
     if not cents:
         return {}
-    # same barrier as _pq_int_fit's: the residual subspace explode is
-    # static across rounds, and before this every round re-derived it
-    # from scratch — INCLUDING the full-corpus coarse GEMM hiding in
-    # res_train's assigned-join lineage (the single largest repeated
-    # subtree the r14 profile found: 4 extra corpus GEMMs per fit)
-    subs_train = _rpq_subspaces(res_train).localCheckpoint(eager=False)
-    aggs = _dim_sum_aggs("sub", PQ_SUBDIM)
     for _ in range(PQ_INT_ITERS):
-        rows = (
-            _rpq_assign(subs_train, cents)
-            .groupBy("cell", "j", "code")
-            .agg(*aggs)
-            .take(IVF_CELLS * PQ_M * PQ_K)
+        # fused assign+partial-sum round (r15, guide §4) — the r14
+        # shape materialized the 32×-row residual subspace explode
+        # once (itself the fix for the re-derived full-corpus coarse
+        # GEMM) and still crossed the Python boundary with 32n rows
+        # per round; _rpq_round_sums reads res_train (the caller's
+        # barrier) directly and emits model-sized partials.  Same
+        # integers — argmin/tie-break per (cell, j) and int64 sums.
+        rows = _rpq_round_sums(res_train, cents).take(
+            IVF_CELLS * PQ_M * PQ_K
         )
         cents = {
             (int(r["cell"]), int(r["j"]), int(r["code"])): _dims_of(
@@ -2023,27 +2436,21 @@ def sim_ivfpq_residual_topk(
     if qu is None:
         return spark.createDataFrame([], empty)
     # query-side model math: per-(cell, j, code) residual partial dots
-    # plus the per-cell centroid offset — both exact integers
-    lut = [
-        (
-            cell,
-            j,
-            code,
-            sum(
-                a * b
-                for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
-            ),
+    # plus the per-cell centroid offset — both exact integers, folded
+    # into the fused kernel (r15; the r12-r14 shape shipped them as
+    # two broadcast join tables over the residual-subtraction join +
+    # 32×-row explode — see _rpq_adc_sum for the equivalence)
+    lut = {
+        (cell, j, code): sum(
+            a * b
+            for a, b in zip(qu[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM], c)
         )
-        for (cell, j, code), c in sorted(rcents.items())
-    ]
-    lut_df = spark.createDataFrame(
-        lut, "cell int, j int, code int, pdot bigint"
-    )
-    off = [
-        (cell, sum(a * b for a, b in zip(qu, cu)))
-        for cell, cu in sorted(cunit.items())
-    ]
-    off_df = spark.createDataFrame(off, "cell int, odot bigint")
+        for (cell, j, code), c in rcents.items()
+    }
+    off = {
+        cell: sum(a * b for a, b in zip(qu, cu))
+        for cell, cu in cunit.items()
+    }
     probe = _int_probe_order([int(v) for v in qrow["e"]], cents)[
         :nprobe
     ]
@@ -2053,24 +2460,18 @@ def sim_ivfpq_residual_topk(
     cand = assigned.where(
         F.col("cell").isin([c for c in probe if c in covered])
     ).select("vec_id", "cell")
-    enc = _rpq_assign(
-        _rpq_subspaces(
-            _rpq_residuals(uq.join(cand.select("vec_id"), "vec_id"),
-                           assigned, cunit)
-        ),
-        rcents,
-    )
+    # the cand join carries the assignment's cell, so the kernel's
+    # residual subtraction reads the same per-row centroid the old
+    # _rpq_residuals broadcast join attached
+    radc = _rpq_adc_sum(rcents, lut, cunit, off)
     return (
-        enc.join(F.broadcast(lut_df), ["cell", "j", "code"])
-        .groupBy("vec_id", "cell")
-        .agg(F.sum("pdot").alias("s"))
-        .join(F.broadcast(off_df), "cell")
+        uq.join(cand, "vec_id")
+        .select("vec_id", "cell", radc("cell", "u").alias("t"))
         .select(
             "vec_id",
             "cell",
             F.round(
-                (F.col("odot") + F.col("s")).cast("double")
-                / F.lit(1000000000000.0),
+                F.col("t").cast("double") / F.lit(1000000000000.0),
                 4,
             ).alias("approx_cosine"),
         )

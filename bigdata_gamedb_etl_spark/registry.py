@@ -51,108 +51,89 @@ MODULES = [
 # enforces this: a registered name with no row in any CORRECTNESS_r*.json
 # must appear in PRIORITY[:50].
 #
-# Round-14 head: no new queries (the §2 surface has been complete
-# since r11; round 14 is the first OPTIMIZATION round).  The window
-# takes the 11 plan-changed rechecks (4 broadcast-discipline + 7
-# IVF/PQ-family materialization, all value-identical and locally
-# re-verified), then the full 6-query r7-age band (the 4 queries the
-# r13 RECHECKs displaced plus the 2 sketch queries the r13 head
-# comment under-counted), then the 21 alphabetically-first r8-age
-# queries — 11 + 27 + 12 CONTROLS = 50.  The 25 remaining r8-age
-# queries rotate in r15; their r8 greens stand and test_oracle_parity
-# re-verifies them every run.
-ROUND14_NEW: list[str] = []
+# Round-15 head: no new queries (round 15 is the second OPTIMIZATION
+# round).  The window takes the 5 plan-changed rechecks (the r15
+# fused-ADC/single-pass rewrites, all value-identical and locally
+# re-verified), then the full 24-query r8-age band (completing the
+# drain the r14 head comment scheduled), then the 9 alphabetically-
+# first r9-age queries — 5 + 33 + 12 CONTROLS = 50.  The 27 remaining
+# r9-age queries rotate next round; their greens stand and
+# test_oracle_parity re-verifies them every run.
+ROUND15_NEW: list[str] = []
 
 #: Queries edited this round (new plan shape or new result dtype) —
 #: locally re-verified vs DuckDB, re-queued for driver evidence at the
 #: head of the window.
 RECHECK_CHANGED: list[str] = [
-    # r14 broadcast-discipline sweep (r13 verdict item 6 + nit): the
-    # LM scoring join now carries an explicit F.broadcast on the
-    # model side (the planner's stats-based choice could flip to
-    # sort-merge past the size threshold — see the textops module
-    # note), and the three single-row-aggregate crossJoins that
-    # leaned on AQE (dq_k_anonymity's total, graph_triangle_count's
-    # node counts, sim_ivf_recall_curve's candidate count) are
-    # broadcast-hinted like every other total-attach.  Results are
-    # value-identical (join semantics unchanged) — locally
-    # re-verified vs DuckDB — but the static plan shape changed, so
-    # all four re-queue; test_plan_quality.py pins the new shapes.
-    "text_bigram_logprob",
-    "dq_k_anonymity",
-    "graph_triangle_count",
-    "sim_ivf_recall_curve",
-    # r14 optimization sweep (guide §5): the IVF/PQ family now
-    # materializes its fit/serving intermediates (localCheckpoint
-    # barriers on the train slice, full-corpus assignment, unit
-    # corpus, and subspace explodes), each Lloyd round aggregates in
-    # ONE exchange instead of posexplode + two, and the serving tiers
-    # derive the query's unit vector driver-side from the coarse
-    # qrow; sim_semdedup_prune materializes its assignment stage.
+    # r15 optimization sweep (guide §2.4/§4): sim_ivf_recall_curve
+    # collapses its 5-step nprobe ladder to ONE scored corpus pass +
+    # per-cell top-k window + one conditional aggregation (the band-
+    # ladder trick — probe-set nesting makes per-step top-k membership
+    # decidable among the per-cell survivors); the PQ serving passes
+    # (sim_pq_topk, sim_ivf_pq_topk, sim_ivfpq_residual_topk) fuse
+    # encode+ADC-sum into one Arrow kernel, removing the 32×-row
+    # subspace explode, the broadcast LUT/offset joins, and the
+    # groupBy exchange; dedup_lsh_recall_by_jaccard drops the
+    # loosest-band candidate self-join (flags are computed directly
+    # on the exact pairs' signature rows — the nesting theorem makes
+    # the left-join-null path and the direct evaluation identical).
     # Row-identical at sf0.001/0.01/0.1 vs DuckDB (verified this
-    # round, plus a vanilla-session driver-contract sweep), but every
-    # serving plan changed shape (parquet scans → ExistingRDD
-    # barriers), so all seven re-queue; the displaced r8-age rotation
-    # names move to r15 (see RECONFIRM_ROTATION).
+    # round); every plan changed shape, so all five re-queue.
     "sim_pq_topk",
-    "sim_ivf_topk",
-    "sim_ivf_multiprobe_topk",
-    "sim_ivf_int_topk",
     "sim_ivf_pq_topk",
     "sim_ivfpq_residual_topk",
-    "sim_semdedup_prune",
+    "sim_ivf_recall_curve",
+    "dedup_lsh_recall_by_jaccard",
 ]
 
 #: Drained in r7; refills only after a real testdata regeneration
 #: (the staleness guard goes red and names land here).
 RECONFIRM_STALE: list[str] = []
 
-#: r14: the full 6-query r7-age band (newest driver green r7), then
-#: the 28 alphabetically-first r8-age queries — alphabetical within
-#: each age band so the drain order is auditable (dq_k_anonymity is
-#: r8-age but rides in RECHECK_CHANGED above).  All unchanged since
-#: their last green and locally re-verified every run by
-#: test_oracle_parity.
+#: r15: the full 24-query r8-age band (newest driver green r8 —
+#: computed from the CORRECTNESS_r*.json union), then the 9
+#: alphabetically-first r9-age queries — alphabetical within each age
+#: band so the drain order is auditable.  All unchanged since their
+#: last green and locally re-verified every run by test_oracle_parity.
 RECONFIRM_ROTATION: list[str] = [
-    # r7-age: the 4 queries the r13 RECHECKs displaced plus
-    # sketch_daily_merge_total / sketch_users_per_type (newest
-    # evidence r7 — the r13 head comment's "29 r7-age" under-count
-    # missed them; computed from the CORRECTNESS_r*.json union).
-    "sketch_daily_merge_total",
-    "sketch_users_per_type",
-    "text_novelty_rate",
-    "w4_daily_event_rollup",
-    "w5_value_delta_per_user",
-    "w6_customer_rank_in_segment",
-    # r8-age (21 of 46; the remaining 25 — the 7 displaced below plus
-    # sim_knn_top1 … w3_moving_avg_events — rotate in r15.  The 7
-    # r14-optimization RECHECKs displaced the alphabetically-last 7
-    # of the original 28: pipeline_split_contamination,
-    # rfm_customer_segments, sim_centroid_outliers,
-    # sim_cosine_dup_pairs, sim_cosine_topk, sim_dim_variance_profile,
-    # sim_kmeans_lloyd_step — all unchanged since their r8 green and
-    # re-verified locally every run by test_oracle_parity.)
-    "a13_global_totals",
-    "a14_year_avg_price",
-    "a8_word_count_stats",
-    "dedup_cluster_assign_star",
-    "dedup_semantic_fused_pairs",
-    "dq_source_quality_drift",
-    "f1_date_parts",
-    "f2_string_funcs",
-    "funnel_user_conversion",
-    "graph_clustering_coeff",
-    "mm_audio_meta",
-    "p4_user_value_mad",
-    "p5_lineitem_profile",
-    "p7_winsorized_value",
-    "pipeline_clean_corpus",
-    "pipeline_corpus_emit",
-    "pipeline_epoch_shuffle",
-    "pipeline_leakage_safe_split",
-    "pipeline_mixture_reweight",
-    "pipeline_pack_attention_spans",
-    "pipeline_source_cards",
+    # r8-age (all 24 that remain after the r14 drain; completes the
+    # r8 band — no registered query's newest driver evidence predates
+    # r9 after this window lands).
+    "pipeline_split_contamination",
+    "rfm_customer_segments",
+    "sim_centroid_outliers",
+    "sim_cosine_dup_pairs",
+    "sim_cosine_topk",
+    "sim_dim_variance_profile",
+    "sim_kmeans_lloyd_step",
+    "sim_knn_top1",
+    "sim_label_centroid_norms",
+    "sim_mrl_truncation_recall",
+    "sim_pca_power_iteration",
+    "sim_sq8_topk",
+    "sql_from_json_struct",
+    "sql_variant_props_stats",
+    "text_bpe_first_merges",
+    "text_freq_spectrum",
+    "text_gopher_quality",
+    "text_heaps_law",
+    "text_lang_rollup",
+    "text_repetition_rate",
+    "text_unigram_logprob",
+    "text_zipf_slope",
+    "tpch_q2_min_cost_supplier",
+    "w3_moving_avg_events",
+    # r9-age head (9 of 36, alphabetical; the remaining 27 rotate
+    # next round).
+    "anomaly_daily_zscore",
+    "behavior_event_lorenz",
+    "cohort_weekly_retention",
+    "dedup_boilerplate_lines",
+    "dedup_decontaminate",
+    "dedup_editdist_names",
+    "dedup_incremental_cc",
+    "dedup_incremental_pairs",
+    "dedup_simhash_band_pairs",
 ]
 
 CONTROLS = [
@@ -165,7 +146,7 @@ CONTROLS = [
 ]
 
 PRIORITY = (
-    ROUND14_NEW + RECHECK_CHANGED + RECONFIRM_STALE
+    ROUND15_NEW + RECHECK_CHANGED + RECONFIRM_STALE
     + RECONFIRM_ROTATION + CONTROLS
 )
 

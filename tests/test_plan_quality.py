@@ -503,34 +503,43 @@ def test_char_entropy_shuffles_partial_counts(spark, sf_dir):
 
 
 def test_ivf_pq_composed_serving_plan(spark, sf_dir):
-    """The composed IVFPQ serve must keep both scale contracts: the
-    ADC scoring joins a BROADCAST lookup table (j,code grain —
-    model-sized), the final ranking is TakeOrderedAndProject (true
-    distributed top-k), and nothing plans as a cartesian product.
-    (The 1-row query crossJoins inside the fit helpers broadcast by
-    construction and are covered by the family's other contracts.)"""
+    """The composed IVFPQ serve after the r15 fused encode+ADC
+    rewrite: ONE Arrow kernel scores each candidate vector (no
+    32×-row subspace explode — no Generate node — and no broadcast
+    LUT join or per-vector re-aggregation left in the serving tail),
+    the final ranking stays TakeOrderedAndProject (true distributed
+    top-k), and nothing plans as a cartesian product.  The serving
+    inputs are the materialized assignment/unit-corpus barriers, so
+    the plan reads ExistingRDD, never re-deriving the fits."""
     from bigdata_gamedb_etl_spark.operators import similarity
 
     df = similarity.sim_ivf_pq_topk(spark, sf_dir)
     plan = plans.physical(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
-    assert plans.uses_broadcast_join(df)
+    assert "ArrowEvalPython" in plan, "fused ADC kernel missing"
+    assert "Generate" not in plan, "subspace explode came back"
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan, "serving re-derives the fits"
 
 
 def test_ivfpq_residual_serving_plan(spark, sf_dir):
-    """The residual IVFADC serve keeps the composed tier's contracts
-    — broadcast ADC lookup + offset tables (both model-sized, now at
-    (cell, j, code) / cell grain), TakeOrderedAndProject final
-    ranking, no cartesian product — plus the residual subtraction's
-    centroid table joins broadcast too."""
+    """The residual IVFADC serve keeps the composed tier's r15
+    contracts — fused Arrow kernel (residual subtraction + per-cell
+    encode + ADC sum + offset, one boundary), no subspace explode,
+    no LUT/offset/centroid joins in the serving tail,
+    TakeOrderedAndProject final ranking, no cartesian product, and
+    ExistingRDD-only inputs."""
     from bigdata_gamedb_etl_spark.operators import similarity
 
     df = similarity.sim_ivfpq_residual_topk(spark, sf_dir)
     plan = plans.physical(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
-    assert plans.uses_broadcast_join(df)
+    assert "ArrowEvalPython" in plan, "fused ADC kernel missing"
+    assert "Generate" not in plan, "subspace explode came back"
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan, "serving re-derives the fits"
 
 
 def test_lloyd_assignment_is_broadcast(spark, sf_dir):
@@ -791,7 +800,12 @@ def test_lsh_recall_curve_no_cartesian_and_checkpointed_inputs(
     """r10: the per-bin recall curve shares ONE signature table and ONE
     exact pair set across its 4 band settings via localCheckpoint — the
     final plan must read checkpointed RDDs (no re-execution of the
-    shingle pipeline per setting) and contain no cartesian join."""
+    shingle pipeline per setting) and contain no cartesian join.
+    r15: the loosest-band candidate self-join is GONE — flags are
+    evaluated directly on the exact pairs' signature rows (the
+    nesting theorem makes that identical to the old left-join), so
+    the plan must carry no band posexplode (Generate) and no
+    band_hash key anywhere."""
     from bigdata_gamedb_etl_spark.operators import dedup
 
     df = dedup.dedup_lsh_recall_by_jaccard(spark, sf_dir)
@@ -799,6 +813,26 @@ def test_lsh_recall_curve_no_cartesian_and_checkpointed_inputs(
     assert "CartesianProduct" not in phys, phys
     # the checkpointed sig/exact tables surface as RDD scans
     assert "Scan ExistingRDD" in phys, phys
+    assert "band_hash" not in phys, "loosest-band self-join came back"
+
+
+def test_ivf_recall_curve_single_scored_pass(spark, sf_dir):
+    """r15: the nprobe ladder is ONE scored pass over the materialized
+    assignment + a per-cell top-k window + one conditional
+    aggregation — not five per-step subplans.  Pins: no Union (the
+    old plan glued 5 per-step parts), exactly one cell-partitioned
+    window subtree feeding the survivor filter, the single-row
+    attaches broadcast (never cartesian), and ExistingRDD inputs (the
+    assignment/exact barriers, no re-derivation)."""
+    from bigdata_gamedb_etl_spark.operators import similarity
+
+    df = similarity.sim_ivf_recall_curve(spark, sf_dir)
+    phys = plans.physical(df)
+    assert "Union" not in phys, "per-step ladder parts came back"
+    assert "CartesianProduct" not in phys, phys
+    assert "Window" in phys, "per-cell top-k window missing"
+    assert "Scan ExistingRDD" in phys, phys
+    assert "Scan parquet" not in phys, "ladder re-derives its inputs"
 
 
 def test_substring_spans_window_is_doc_partitioned(spark, sf_dir):
