@@ -5,6 +5,8 @@ parquet scan, column pruning, whole-stage codegen on hot paths.
 
 from __future__ import annotations
 
+import pytest
+
 from bigdata_gamedb_etl_spark import plans
 from bigdata_gamedb_etl_spark.operators import core, dedup, joins, textops, tpch
 from bigdata_gamedb_etl_spark.sources.catalog import table
@@ -444,6 +446,7 @@ def test_keeper_selection_no_window_no_cartesian(spark, sf_dir):
     assert "max_by" in plan
 
 
+@pytest.mark.fullsweep
 def test_no_registered_query_plans_a_cartesian_product(spark, sf_dir):
     """Fleet-wide structural ban: no registered query may plan a
     CartesianProduct — the one join operator with no scale story.
